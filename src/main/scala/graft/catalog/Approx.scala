@@ -1,0 +1,149 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Hash-based approximate operators (no DuckDB oracle — Spark-native
+  * murmur3/xxhash64 have no DuckDB equivalent, so the driver records the
+  * weaker rows-only check; exact semantics are pinned by ScalaTest specs).
+  *
+  * These are the 100-TB scale paths: MinHash+LSH and SimHash replace the
+  * O(n²) pairwise scan of d6_ngram_jaccard with band-bucket joins; the
+  * LSH-bucketed ANN replaces e1's brute-force cross join.
+  */
+object Approx {
+  import Tables.t
+
+  /** whitespace tokens of trimmed lowercased text */
+  private def toks(c: Column): Column = split(trim(lower(c)), " +")
+
+  /** distinct 3-token shingles — the dedup signal (token sets are too
+    * uniform on a small vocabulary; shingle sets separate real near-dups) */
+  private def shingles(c: Column): Column = {
+    val tk = toks(c)
+    array_distinct(transform(sequence(lit(1), size(tk) - 2),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+        element_at(tk, i + 2))))
+  }
+
+  private val MinhashK = 32 // total minhash permutations
+  private val Bands = 8     // LSH bands (K/Bands rows per band)
+  private val RowsPerBand = MinhashK / Bands
+
+  /** K minhash values: seeded xxhash64 per (permutation, token) — no
+    * multiply, so safe under ANSI overflow checking */
+  private def minhashSig(tokens: Column): Column = {
+    val distinctToks = array_distinct(tokens)
+    transform(sequence(lit(0), lit(MinhashK - 1)), j =>
+      array_min(transform(distinctToks, w => xxhash64(j, w))))
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "d7_minhash_lsh",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(size(toks(col("text"))) >= 3)
+          .select(col("doc_id"), shingles(col("text")).as("tk"))
+          .withColumn("sig", minhashSig(col("tk")))
+        // band keys: hash of each contiguous signature slice
+        val banded = docs.select(col("doc_id"), col("tk"),
+            posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+              xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), b))))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+        val a = banded.select(col("band").as("band_a"), col("band_key").as("key_a"),
+          col("doc_id").as("id_a"), col("tk").as("tk_a"))
+        val b = banded.select(col("band").as("band_b"), col("band_key").as("key_b"),
+          col("doc_id").as("id_b"), col("tk").as("tk_b"))
+        // bucket join: only same-band same-key pairs are candidates
+        a.join(b, col("band_a") === col("band_b")
+            && col("key_a") === col("key_b") && col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "tk_a", "tk_b").distinct()
+          .withColumn("jaccard",
+            size(array_intersect(array_distinct(col("tk_a")), array_distinct(col("tk_b")))).cast("double")
+              / size(array_distinct(concat(col("tk_a"), col("tk_b")))).cast("double"))
+          .filter(col("jaccard") >= 0.5) // exact-Jaccard confirmation of LSH candidates
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      None,
+      "MinHash+LSH near-dup: shingle→minhash→band→bucket-join; candidates " +
+        "verified with exact Jaccard (scale path for d6)"),
+
+    QueryDef(
+      "d8_simhash",
+      (s, dir) => {
+        // 64-bit simhash: bit j is set iff the sum over tokens of
+        // (+1 if token-hash bit j set, else -1) is positive. The per-bit
+        // expressions are generated at plan-build time (j is a Scala Int),
+        // so the whole signature stays one codegen'd projection.
+        val simhash = (0 until 64).map { j =>
+          val bitSum = aggregate(col("hashes"), lit(0L), (cnt, h) =>
+            cnt + (shiftrightunsigned(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+          when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b))
+        t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .withColumn("hashes", transform(array_distinct(col("tk")), w => xxhash64(w)))
+          .select(col("doc_id"), simhash.as("simhash"))
+          .orderBy("doc_id")
+      },
+      None,
+      "SimHash 64-bit signature per document"),
+
+    QueryDef(
+      "e2_ann_lsh",
+      (s, dir) => {
+        val Planes = 8
+        val emb = t(s, dir, "embeddings")
+          .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+        // deterministic pseudo-random hyperplanes from (plane, dim) indices;
+        // bucket = packed sign bits of the plane projections
+        val bucketExpr = (0 until Planes).map { p =>
+          val plane = transform(sequence(lit(0), size(col("dv")) - 1), d =>
+            (pmod(lit(p.toLong * 1315423911L) + d * lit(2654435761L), lit(1000L))
+              .cast("double") / 1000.0) - 0.5)
+          val proj = aggregate(zip_with(col("dv"), plane, (x, pl) => x * pl),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b))
+        val bucketed = emb.withColumn("bucket", bucketExpr)
+        val q = bucketed.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("dv").as("qv"), col("bucket").as("q_bucket"))
+        val c = bucketed.select(col("vec_id").as("c_id"), col("dv").as("cv"), col("bucket"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+        broadcast(q).join(c, col("q_bucket") === col("bucket") && col("q_id") =!= col("c_id"))
+          .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("q_id", "c_id", "rk", "cos")
+          .orderBy("q_id", "rk")
+      },
+      None,
+      "LSH-bucketed ANN (random hyperplane signs): candidate set shrinks " +
+        "by 2^planes vs e1 brute force; recall spec checks vs e1"),
+
+    QueryDef(
+      "d9_rolling_fp",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      None,
+      "document fingerprint via native codegen'd rolling-hash Expression"),
+
+    QueryDef(
+      "q21_approx_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      None,
+      "HLL approximate distinct (sketch aggregate; estimate != oracle)")
+  )
+}

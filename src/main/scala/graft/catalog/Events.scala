@@ -1,0 +1,261 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Event-stream queries: JSON access, pivot, time windows, sessionization —
+  * plus the bb_* family, which re-expresses the reference pipeline's exact
+  * operator semantics (`bigbugdata.py` A1 totals → A2 pivot → F2 rpm →
+  * W2 z-score → J2/F3 rrpm → W1/J1 tophits) over the `events` table so the
+  * DuckDB oracle can check each stage.
+  */
+object Events {
+  import Tables.t
+
+  private def d2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Long-format per-(user,event_type) counts + per-user totals — the
+    * reference's combined-taxa accumulator (`bigbugdata.py:286–302`) with
+    * user_id playing "sample" and event_type playing "organism". */
+  private def longCounts(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("user_total", sum(col("n")).over(w))
+  }
+
+  private val longCountsSql =
+    """SELECT user_id, event_type, COUNT(*) AS n,
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
+       FROM events GROUP BY user_id, event_type"""
+
+  /** RPM normalization — reads / (total/1e6), `bigbugdata.py:122`. */
+  private def rpmDf(s: SparkSession, dir: String): DataFrame =
+    longCounts(s, dir).withColumn("rpm",
+      col("n").cast("double") / (col("user_total").cast("double") / lit(1000000.0)))
+
+  private val rpmSql =
+    s"""SELECT user_id, event_type, n, user_total,
+        CAST(n AS DOUBLE) / (CAST(user_total AS DOUBLE) / 1000000.0) AS rpm
+        FROM ($longCountsSql)"""
+
+  /** rRPM — floor-truncated ratio to the negative-control row
+    * (user_id 0 as the "control sample"), `bigbugdata.py:147–159`:
+    * floor both operands, clamp control to >= 1, default 1 when absent. */
+  private def rrpmDf(s: SparkSession, dir: String): DataFrame = {
+    val rpm = rpmDf(s, dir)
+    val nc = rpm.filter(col("user_id") === 0)
+      .select(col("event_type").as("nc_event_type"), col("rpm").as("nc_rpm"))
+    rpm.join(broadcast(nc), col("event_type") === col("nc_event_type"), "left")
+      .withColumn("rrpm",
+        floor(col("rpm")).cast("double") /
+          greatest(floor(coalesce(col("nc_rpm"), lit(1.0))).cast("double"), lit(1.0)))
+      .select("user_id", "event_type", "n", "rpm", "rrpm")
+  }
+
+  private val rrpmSql =
+    s"""SELECT r.user_id, r.event_type, r.n, r.rpm,
+        CAST(FLOOR(r.rpm) AS DOUBLE) /
+          GREATEST(CAST(FLOOR(COALESCE(nc.nc_rpm, 1.0)) AS DOUBLE), 1.0) AS rrpm
+        FROM ($rpmSql) r
+        LEFT JOIN (SELECT event_type AS nc_event_type, rpm AS nc_rpm
+                   FROM ($rpmSql) WHERE user_id = 0) nc
+          ON r.event_type = nc.nc_event_type"""
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q16_json",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events ORDER BY event_id"""),
+      "JSON field extraction from string column (driver-corpus F surface)"),
+
+    QueryDef(
+      "q17_pivot",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .pivot("event_type", eventTypes)
+          .count()
+          .na.fill(0, eventTypes)
+          .orderBy("day"),
+      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+        FROM events GROUP BY 1 ORDER BY day"""),
+      "pivot with explicit values (A2 wide form; avoids distinct-collect job)"),
+
+    QueryDef(
+      "q19_time_window",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(d2(col("value"))).cast("double").as("total_value"))
+          .select(col("window.start").as("ws"), col("n_events"), col("total_value"))
+          .orderBy("ws"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1 ORDER BY ws"""),
+      "tumbling time window in batch (§2.10 streaming surface, batch-checked)"),
+
+    QueryDef(
+      "ev_session",
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") >= 1800000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(min(col("ts")).as("session_start"),
+            count(lit(1)).as("n_events"),
+            sum(d2(col("value"))).cast("double").as("session_value"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+            LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+              (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+          FROM events),
+        g AS (
+          SELECT *, CASE WHEN prev_us IS NULL
+              OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+        sess AS (
+          SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+          FROM g)
+        SELECT user_id, sess_id, MIN(ts) AS session_start,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""),
+      "sessionization: 30-min-gap islands (batch twin of session_window)"),
+
+    QueryDef(
+      "bb_totals",
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("event_type").isin("signup", "purchase"))
+          .groupBy(col("user_id"))
+          .agg(sum(d2(col("value"))).cast("double").as("total_value"),
+            count(lit(1)).as("n"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        COUNT(*) AS n
+        FROM events WHERE event_type IN ('signup', 'purchase')
+        GROUP BY user_id ORDER BY user_id"""),
+      "A1: per-sample totals from a membership-filtered subset (taxID 0/1 analog)"),
+
+    QueryDef(
+      "bb_pivot_long",
+      (s, dir) => longCounts(s, dir).orderBy("user_id", "event_type"),
+      Some(s"SELECT * FROM ($longCountsSql) ORDER BY user_id, event_type"),
+      "A2/A3: long-format pivot accumulation with per-sample grand totals"),
+
+    QueryDef(
+      "bb_rpm",
+      (s, dir) => rpmDf(s, dir).orderBy("user_id", "event_type"),
+      Some(s"SELECT * FROM ($rpmSql) ORDER BY user_id, event_type"),
+      "F2: reads-per-million normalization (bigbugdata.py:122)"),
+
+    QueryDef(
+      "bb_zscore",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+        longCounts(s, dir)
+          .withColumn("grp_cnt", count(lit(1)).over(w))
+          .withColumn("grp_sum", sum(col("n")).over(w))
+          .withColumn("grp_sumsq", sum(col("n") * col("n")).over(w))
+          .withColumn("grp_avg", col("grp_sum").cast("double") / col("grp_cnt"))
+          .withColumn("grp_var",
+            col("grp_sumsq").cast("double") / col("grp_cnt")
+              - col("grp_avg") * col("grp_avg"))
+          .withColumn("grp_sd", sqrt(col("grp_var")))
+          .withColumn("z_score",
+            when(col("grp_sd") === 0.0, lit(null).cast("double"))
+              .otherwise((col("n").cast("double") - col("grp_avg")) / col("grp_sd")))
+          .select("user_id", "event_type", "n", "z_score")
+          .orderBy("user_id", "event_type")
+      },
+      Some(s"""WITH lc AS ($longCountsSql),
+        stats AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS grp_cnt,
+            CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS grp_sum,
+            CAST(SUM(n * n) OVER (PARTITION BY event_type) AS BIGINT) AS grp_sumsq
+          FROM lc),
+        d AS (
+          SELECT *, CAST(grp_sum AS DOUBLE) / grp_cnt AS grp_avg,
+            CAST(grp_sumsq AS DOUBLE) / grp_cnt
+              - (CAST(grp_sum AS DOUBLE) / grp_cnt) * (CAST(grp_sum AS DOUBLE) / grp_cnt) AS grp_var
+          FROM stats)
+        SELECT user_id, event_type, n,
+          CASE WHEN sqrt(grp_var) = 0.0 THEN NULL
+            ELSE (CAST(n AS DOUBLE) - grp_avg) / sqrt(grp_var) END AS z_score
+        FROM d ORDER BY user_id, event_type"""),
+      "W2: population z-score across samples, NULL at zero stddev " +
+        "(bigbugdata.py:322–331); exact integer moments -> IEEE-deterministic"),
+
+    QueryDef(
+      "bb_rrpm",
+      (s, dir) => rrpmDf(s, dir).orderBy("user_id", "event_type"),
+      Some(s"SELECT * FROM ($rrpmSql) ORDER BY user_id, event_type"),
+      "J2+F3: negative-control ratio with int-truncation, 0->1 clamp, " +
+        "default-1 for ungrouped samples (bigbugdata.py:147–159)"),
+
+    QueryDef(
+      "bb_tophits",
+      (s, dir) => {
+        val rrpm = rrpmDf(s, dir)
+        val wTop = Window.partitionBy(col("user_id"))
+          .orderBy(col("rrpm").desc, col("event_type").asc)
+        // rank BEFORE the stats join: dropped rows consume rank ordinals
+        // (gap semantics, bigbugdata.py:183–188)
+        val topk = rrpm.withColumn("rk", row_number().over(wTop).cast("long"))
+          .filter(col("rk") <= 3)
+        val stats = t(s, dir, "events")
+          .filter(col("value") > 50)
+          .groupBy(col("user_id").as("st_user"), col("event_type").as("st_type"))
+          .agg(sum(d2(col("value"))).cast("double").as("stat_value"))
+        topk.join(stats,
+            col("user_id") === col("st_user") && col("event_type") === col("st_type"))
+          .select("user_id", "event_type", "rk", "rrpm", "stat_value")
+          .orderBy("user_id", "rk")
+      },
+      Some(s"""WITH rr AS ($rrpmSql),
+        topk AS (
+          SELECT user_id, event_type, rrpm,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY rrpm DESC, event_type ASC) AS rk
+          FROM rr),
+        stats AS (
+          SELECT user_id AS st_user, event_type AS st_type,
+            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS stat_value
+          FROM events WHERE value > 50 GROUP BY user_id, event_type)
+        SELECT user_id, event_type, rk, rrpm, stat_value
+        FROM topk JOIN stats ON user_id = st_user AND event_type = st_type
+        WHERE rk <= 3 ORDER BY user_id, rk"""),
+      "W1+J1: top-K by rRPM with stable tiebreak, rank-before-join gap " +
+        "semantics (bigbugdata.py:176–205)")
+  )
+}

@@ -1,0 +1,191 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * exact dedup, token/quality stats, language-ID heuristic, bag-of-words
+  * fingerprinting, n-gram Jaccard near-dup pairs. All oracle-checked:
+  * set/count math is exact-integer, ratios mirror the oracle's op tree.
+  */
+object TextDocs {
+  import Tables.t
+
+  /** whitespace tokens of trimmed text (trailing-empty-safe on both engines) */
+  private def toks(c: Column): Column = split(trim(c), " +")
+
+  private val toksSql = "string_split_regex(trim(text), ' +')"
+
+  private val stopEn = Seq("the", "a", "of", "and", "in", "to")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "d1_dedup_exact",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("keep_id", "n_copies", "fp")
+          .orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS fp
+        FROM documents GROUP BY md5(text) ORDER BY keep_id"""),
+      "exact dedup: hash-groupBy, keep lowest doc_id per content hash"),
+
+    QueryDef(
+      "d2_token_stats",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks(col("text"))).cast("long").as("n_tokens"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            (octet_length(col("text")).cast("double")
+              / size(toks(col("text"))).cast("double")).as("bytes_per_token"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(octet_length(encode(text)) AS DOUBLE)
+          / CAST(len($toksSql) AS DOUBLE) AS bytes_per_token
+        FROM documents ORDER BY doc_id"""),
+      "token counting (whitespace tokenizer) + byte stats"),
+
+    QueryDef(
+      "d3_quality_score",
+      (s, dir) => {
+        val tk = toks(col("text"))
+        val nTok = size(tk).cast("double")
+        val nStop = size(filter(tk, w => w.isInCollection(stopEn))).cast("double")
+        val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("double")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            (nStop / nTok).as("stopword_ratio"),
+            (nPunct / octet_length(col("text")).cast("double")).as("punct_ratio"),
+            when(nStop / nTok >= 0.05 && nTok >= 10, lit("keep"))
+              .otherwise(lit("drop")).as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        CAST(len(list_filter($toksSql,
+            w -> w IN ('the','a','of','and','in','to'))) AS DOUBLE)
+          / CAST(len($toksSql) AS DOUBLE) AS stopword_ratio,
+        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+          / CAST(octet_length(encode(text)) AS DOUBLE) AS punct_ratio,
+        CASE WHEN CAST(len(list_filter($toksSql,
+            w -> w IN ('the','a','of','and','in','to'))) AS DOUBLE)
+          / CAST(len($toksSql) AS DOUBLE) >= 0.05
+          AND len($toksSql) >= 10 THEN 'keep' ELSE 'drop' END AS verdict
+        FROM documents ORDER BY doc_id"""),
+      "quality scoring: stopword/punctuation ratios + keep/drop verdict"),
+
+    QueryDef(
+      "d4_langid",
+      (s, dir) => {
+        val tk = toks(lower(col("text")))
+        def hits(ws: Seq[String]) = size(filter(tk, w => w.isInCollection(ws)))
+        t(s, dir, "documents")
+          .withColumn("s_en", hits(Seq("the", "a", "and")))
+          .withColumn("s_es", hits(Seq("el", "la", "los")))
+          .withColumn("s_de", hits(Seq("der", "die", "und")))
+          .withColumn("s_fr", hits(Seq("le", "les", "et")))
+          .withColumn("pred_lang",
+            when(col("s_en") === 0 && col("s_es") === 0
+              && col("s_de") === 0 && col("s_fr") === 0, lit("und"))
+              .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+                && col("s_en") >= col("s_fr"), lit("en"))
+              .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), lit("es"))
+              .when(col("s_de") >= col("s_fr"), lit("de"))
+              .otherwise(lit("fr")))
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            (col("pred_lang") === col("lang")).as("agree"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            w -> w IN ('the','a','and'))) AS s_en,
+          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            w -> w IN ('el','la','los'))) AS s_es,
+          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            w -> w IN ('der','die','und'))) AS s_de,
+          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            w -> w IN ('le','les','et'))) AS s_fr
+          FROM documents),
+        p AS (SELECT doc_id, lang,
+          CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+          FROM sc)
+        SELECT doc_id, lang, pred_lang, pred_lang = lang AS agree
+        FROM p ORDER BY doc_id"""),
+      "language-ID: stopword-marker n-gram heuristic with fixed tie order"),
+
+    QueryDef(
+      "d5_fingerprint_bow",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(array_join(array_sort(array_distinct(toks(lower(col("text"))))), " "))
+              .as("bow_fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(
+          string_split_regex(trim(lower(text)), ' +'))), ' ')) AS bow_fp
+        FROM documents ORDER BY doc_id"""),
+      "document fingerprint: canonicalized bag-of-words hash"),
+
+    QueryDef(
+      "d6_ngram_jaccard",
+      (s, dir) => {
+        def shingles(c: Column): Column = {
+          val tk = toks(c)
+          array_distinct(transform(sequence(lit(1), size(tk) - 2),
+            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+              element_at(tk, i + 2))))
+        }
+        val d = t(s, dir, "documents").filter(col("doc_id") < 150)
+          .filter(size(toks(col("text"))) >= 3)
+        val a = d.select(col("doc_id").as("id_a"), shingles(col("text")).as("sh_a"))
+        val b = d.select(col("doc_id").as("id_b"), shingles(col("text")).as("sh_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+              / size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+          .filter(col("jaccard") >= 0.02)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(string_split_regex(trim(text), ' +')) - 1),
+            i -> string_split_regex(trim(text), ' +')[i] || ' ' ||
+                 string_split_regex(trim(text), ' +')[i+1] || ' ' ||
+                 string_split_regex(trim(text), ' +')[i+2])) AS sh
+          FROM documents
+          WHERE doc_id < 150 AND len(string_split_regex(trim(text), ' +')) >= 3)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.02
+        ORDER BY id_a, id_b"""),
+      "n-gram (3-token shingle) Jaccard near-dup pairs on a bounded id slice"),
+
+    QueryDef(
+      "mm1_binary_meta",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+        FROM documents ORDER BY doc_id"""),
+      "multimodal plumbing surface: opaque-binary byte metadata")
+  )
+}

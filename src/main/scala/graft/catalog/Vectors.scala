@@ -1,0 +1,70 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * e1 is the brute-force cosine top-k baseline, fully oracle-checked:
+  * float values are exact binary; float*float products in double are exact
+  * (24+24 <= 53 mantissa bits); both engines fold the product list
+  * sequentially left-to-right, so cosines are bit-identical and the
+  * ranking (with vec_id tiebreak) matches exactly.
+  *
+  * The LSH-bucketed scale path lives in Similarity.scala (rows-only check
+  * + recall spec against this baseline).
+  */
+object Vectors {
+  import Tables.t
+
+  /** cast float array to double once */
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** sequential-fold dot product of two double arrays */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "e1_cosine_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("qv"))
+        val c = emb.select(col("vec_id").as("c_id"), dvec(col("embedding")).as("cv"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id").asc)
+        broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("cos", cosine(col("qv"), col("cv")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("q_id", "c_id", "rk", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            list_reduce(list_transform(range(1, len(q.e) + 1),
+              i -> q.e[i] * c.e[i]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(c.e, x -> x * x), (a, b) -> a + b)))
+              AS cos
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8),
+        ranked AS (
+          SELECT q_id, c_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+          FROM pairs)
+        SELECT q_id, c_id, rk, cos FROM ranked WHERE rk <= 3
+        ORDER BY q_id, rk"""),
+      "brute-force cosine top-k ANN baseline (broadcast queries x all)")
+  )
+}
