@@ -96,25 +96,39 @@ object Approx {
     QueryDef(
       "e2_ann_lsh",
       (s, dir) => {
-        val Planes = 8
+        // multi-table random-hyperplane LSH: L independent tables of P
+        // sign bits each; a candidate must share a full bucket in ANY
+        // table. Multiple tables are what buys recall — a single deep
+        // bucket almost never holds the true neighbors.
+        val NTables = 4; val Planes = 6
         val emb = t(s, dir, "embeddings")
           .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
-        // deterministic pseudo-random hyperplanes from (plane, dim) indices;
-        // bucket = packed sign bits of the plane projections
-        val bucketExpr = (0 until Planes).map { p =>
-          val plane = transform(sequence(lit(0), size(col("dv")) - 1), d =>
-            (pmod(lit(p.toLong * 1315423911L) + d * lit(2654435761L), lit(1000L))
+        // deterministic pseudo-random hyperplane component for (seed, dim)
+        def planeVec(seed: Int) =
+          transform(sequence(lit(0), size(col("dv")) - 1), d =>
+            (pmod(lit(seed.toLong * 1315423911L) + d * lit(2654435761L), lit(1000L))
               .cast("double") / 1000.0) - 0.5)
-          val proj = aggregate(zip_with(col("dv"), plane, (x, pl) => x * pl),
-            lit(0.0), (acc, x) => acc + x)
-          when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b))
-        val bucketed = emb.withColumn("bucket", bucketExpr)
+        val tableBuckets = (0 until NTables).map { tb =>
+          val bucket = (0 until Planes).map { p =>
+            val proj = aggregate(
+              zip_with(col("dv"), planeVec(tb * Planes + p), (x, pl) => x * pl),
+              lit(0.0), (acc, x) => acc + x)
+            when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+          }.reduce((a, b) => a.bitwiseOR(b))
+          struct(lit(tb).as("tbl"), bucket.as("bkt"))
+        }
+        val bucketed = emb
+          .withColumn("tb", explode(array(tableBuckets: _*)))
+          .select(col("vec_id"), col("dv"), col("tb"))
         val q = bucketed.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("dv").as("qv"), col("bucket").as("q_bucket"))
-        val c = bucketed.select(col("vec_id").as("c_id"), col("dv").as("cv"), col("bucket"))
+          .select(col("vec_id").as("q_id"), col("dv").as("qv"), col("tb").as("q_tb"))
+        val c = bucketed.select(col("vec_id").as("c_id"), col("dv").as("cv"), col("tb"))
+        val cand = broadcast(q)
+          .join(c, col("q_tb") === col("tb") && col("q_id") =!= col("c_id"))
+          .select("q_id", "qv", "c_id", "cv")
+          .dropDuplicates("q_id", "c_id") // union of tables, each pair once
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-        broadcast(q).join(c, col("q_bucket") === col("bucket") && col("q_id") =!= col("c_id"))
+        cand
           .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
@@ -122,8 +136,8 @@ object Approx {
           .orderBy("q_id", "rk")
       },
       None,
-      "LSH-bucketed ANN (random hyperplane signs): candidate set shrinks " +
-        "by 2^planes vs e1 brute force; recall spec checks vs e1"),
+      "ANN via multi-table hyperplane LSH (4 tables x 6 sign bits): " +
+        "bucket-join candidates + exact cosine re-rank; recall spec vs e1"),
 
     QueryDef(
       "d9_rolling_fp",

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Semi-join filters (reference J4/P6 — both `scripts/filter_*_by_taxid.py`).
+  *
+  * The reference probes a driver-resident string set; at scale the filter
+  * relation is a broadcast LEFT SEMI join — same semantics, no collect.
+  * taxIDs compare as strings in the reference (`filter_rrpm_by_taxid
+  * .py:29`); joining on a common cast preserves that exactly for numeric
+  * and non-numeric inputs alike.
+  */
+object FilterOps {
+
+  /** S4: taxids CSV (header, `taxID` column) → single-column DataFrame. */
+  def readTaxids(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path).select(col("taxID"))
+
+  /** `filter_rrpm_by_taxid.py`: keep rrpm rows whose taxID is in the set. */
+  def filterByTaxids(df: DataFrame, taxids: DataFrame): DataFrame =
+    df.join(
+      broadcast(taxids.select(col("taxID").cast("string").as("_t")).distinct()),
+      df("taxID").cast("string") === col("_t"), "left_semi")
+
+  /** `filter_reports_by_taxid.py`: same filter over a folder of reports,
+    * with `sampleName` = FIRST underscore token of the file name (F6 —
+    * deliberately different from the main tool's rule) prepended.
+    */
+  def filterReportsByTaxids(spark: SparkSession, reportsGlob: String,
+      taxids: DataFrame): DataFrame = {
+    val reports = spark.read
+      .option("sep", "\t").option("header", "true").option("comment", "#")
+      .schema(graft.schema.ReportSchema.schema)
+      .csv(reportsGlob)
+      .withColumn("sampleName",
+        graft.io.ReportReader.sampleIdFirstToken(input_file_name()))
+    filterByTaxids(reports, taxids)
+      .select(col("sampleName") +: graft.schema.ReportSchema.schema.fieldNames
+        .map(col).toSeq: _*)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.ReportSchema
+
+/** Report synthesis (reference `scripts/modify_reports.py`): given
+  * species-level reports and DNA/RNA total-read sidecar TSVs, emit
+  * complete reports with simulated unclassified (taxID 0) and root
+  * (taxID 1) rows.
+  */
+object Synthesize {
+
+  /** S6: headerless TSV, col 0 = sample (trimmed at last `_`), col 2 =
+    * total; the RNA file OVERRIDES DNA on sample collision
+    * (`modify_reports.py:25–40`). Expressed as a priority union +
+    * last-wins window — no driver-side dict. */
+  def totalReads(spark: SparkSession, dnaPath: String, rnaPath: String): DataFrame = {
+    def read(path: String, priority: Int) =
+      spark.read.option("sep", "\t").csv(path)
+        .select(
+          graft.io.ReportReader.sampleIdLastUnderscore(concat(lit("/"), col("_c0")))
+            .as("sample"),
+          col("_c2").cast("long").as("total_reads"),
+          lit(priority).as("_prio"))
+    val unioned = read(dnaPath, 0).unionByName(read(rnaPath, 1))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("sample")).orderBy(col("_prio").desc)
+    unioned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_prio", "_rn")
+  }
+
+  /** Per-sample classified-reads sum + kmer sum over species rows
+    * (A4/A5, `modify_reports.py:54–77, 129`). */
+  def classifiedStats(speciesReports: DataFrame): DataFrame =
+    speciesReports.filter(col(ReportSchema.Rank) === "species")
+      .groupBy(col(ReportSchema.Sample))
+      .agg(sum(col(ReportSchema.Reads)).as("classified_reads"),
+        sum(col(ReportSchema.Kmers)).as("kmer_sum"))
+
+  /** Synthesized taxID-0/taxID-1 rows per sample: unclassified =
+    * max(total − classified, 0) with a warning row marker when clamped
+    * (`modify_reports.py:81–87`); the unclassified row is omitted when 0
+    * (`:109–121`); percents are computed against total. */
+  def syntheticRows(stats: DataFrame, totals: DataFrame): DataFrame = {
+    val j = stats.join(totals, Seq("sample"), "inner")
+      .withColumn("unclassified_raw", col("total_reads") - col("classified_reads"))
+      .withColumn("clamped", col("unclassified_raw") < 0)
+      .withColumn("unclassified", greatest(col("unclassified_raw"), lit(0L)))
+    val unclassifiedRow = j.filter(col("unclassified") > 0).select(
+      col("sample"),
+      (col("unclassified").cast("double") / col("total_reads") * 100).as("pct"),
+      col("unclassified").as("reads"), col("unclassified").as("taxReads"),
+      lit(0L).as("kmers"), lit(0.0).as("dup"), lit(0.0).as("cov"),
+      lit(0L).as("taxID"), lit("unclassified").as("rank"),
+      lit("unclassified").as("taxName"), col("clamped"))
+    val rootRow = j.select(
+      col("sample"),
+      (col("classified_reads").cast("double") / col("total_reads") * 100).as("pct"),
+      col("classified_reads").as("reads"), col("classified_reads").as("taxReads"),
+      col("kmer_sum").as("kmers"), lit(0.0).as("dup"), lit(0.0).as("cov"),
+      lit(1L).as("taxID"), lit("root").as("rank"), lit("root").as("taxName"),
+      col("clamped"))
+    unclassifiedRow.unionByName(rootRow)
+  }
+
+  /** K4: write one complete TSV per sample — 2 `#` comment lines, header,
+    * unclassified row, root row, then the sample's species rows in file
+    * order (`modify_reports.py:95–140`). Per-sample files are tiny by
+    * construction; collected and written driver-side. `clock` injected
+    * for deterministic tests (F10 timestamp format).
+    */
+  def writeCompleteReports(spark: SparkSession, speciesReports: DataFrame,
+      totals: DataFrame, outputDir: String,
+      clock: () => java.util.Date = () => new java.util.Date): Seq[String] = {
+    Files.createDirectories(Paths.get(outputDir))
+    val stats = classifiedStats(speciesReports)
+    val synth = syntheticRows(stats, totals).cache()
+    val fmt = new java.text.SimpleDateFormat("EEE MMM dd HH:mm:ss yyyy",
+      java.util.Locale.US)
+    val ts = fmt.format(clock())
+
+    val species = speciesReports.filter(col(ReportSchema.Rank) === "species")
+      .orderBy(col(graft.io.ReportReader.OrderKey))
+      .select((ReportSchema.schema.fieldNames.map(col) :+ col("sample")).toSeq: _*)
+      .collect()
+      .groupBy(_.getAs[String]("sample"))
+    val synthRows = synth.collect().groupBy(_.getAs[String]("sample"))
+    val missing = species.keySet -- synthRows.keySet
+    missing.toSeq.sorted.foreach(s =>
+      System.err.println(s"Warning: No total reads data found for sample $s"))
+
+    synthRows.keys.toSeq.sorted.map { sample =>
+      val path = s"$outputDir/${sample}_species-level-report.tsv"
+      val sb = new StringBuilder
+      sb.append(s"# kraken2 --db /path/to/krakendb --threads 8 --paired " +
+        s"--output ${sample}_kraken.out --report ${sample}_species-level-report.tsv\n")
+      sb.append(s"# $ts\n")
+      sb.append("%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName\n")
+      def fmtPct(d: Double) = f"$d%.4f"
+      // synthetic rows: unclassified (if present) then root
+      val rows = synthRows(sample).sortBy(_.getAs[Long]("taxID"))
+      rows.foreach { r =>
+        if (r.getAs[Boolean]("clamped") && r.getAs[Long]("taxID") == 1L)
+          System.err.println(
+            s"Warning: Sample $sample has more classified reads than total reads!")
+        sb.append(Seq(fmtPct(r.getAs[Double]("pct")), r.getAs[Long]("reads"),
+          r.getAs[Long]("taxReads"), r.getAs[Long]("kmers"), "0", "0",
+          r.getAs[Long]("taxID"), r.getAs[String]("rank"),
+          r.getAs[String]("taxName")).mkString("\t")).append("\n")
+      }
+      species.getOrElse(sample, Array.empty).foreach { r =>
+        sb.append(Seq(r.getAs[Double]("pct"), r.getAs[Long]("reads"),
+          r.getAs[Long]("taxReads"), r.getAs[Long]("kmers"),
+          r.getAs[Double]("dup"), r.getAs[Double]("cov"),
+          r.getAs[Long]("taxID"), r.getAs[String]("rank"),
+          r.getAs[String]("taxName")).mkString("\t")).append("\n")
+      }
+      Files.writeString(Paths.get(path), sb.toString)
+      path
+    }
+  }
+}

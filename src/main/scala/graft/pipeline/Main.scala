@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI-equivalent of the reference's `bigbugdata` entry point
+  * (`bigbugdata.py:369–429`):
+  *
+  *   runMain graft.pipeline.Main -r report1.tsv report2.tsv …
+  *     [-o results] [-R species] [-t 15] [-n CONTROL GROUP]…
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    var reports = Vector.empty[String]
+    var out = "results"
+    var rank = "species"
+    var k = 15
+    var groups = Vector.empty[(String, String)]
+    var i = 0
+    def values(from: Int): (Vector[String], Int) = {
+      var j = from
+      var acc = Vector.empty[String]
+      while (j < args.length && !args(j).startsWith("-")) { acc :+= args(j); j += 1 }
+      (acc, j)
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "-r" | "--reports" =>
+          val (v, j) = values(i + 1); reports ++= v; i = j
+        case "-o" | "--output" => out = args(i + 1); i += 2
+        case "-R" | "--rank" => rank = args(i + 1); i += 2
+        case "-t" | "--tophits" => k = args(i + 1).toInt; i += 2
+        case "-n" | "--nc-group" =>
+          groups :+= (args(i + 1) -> args(i + 2)); i += 3
+        case other =>
+          throw new IllegalArgumentException(s"unknown argument: $other")
+      }
+    }
+    require(reports.nonEmpty, "-r/--reports is required")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("bigbugdata-spark")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val o = BigBugData.write(spark,
+        BigBugData.Params(reports, out, rank, k, groups))
+      println(s"[graft] wrote combined/rrpm/tophits for rank '$rank' " +
+        s"(${o.orderedSamples.size} samples) under $out")
+    } finally spark.stop()
+  }
+}

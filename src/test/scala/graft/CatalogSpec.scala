@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash
+
+/** Catalog-wide smoke + invariants at sf0.001, plus the semantics of the
+  * non-oracled (hash-based) operators that the driver only rows-checks. */
+class CatalogSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every catalog query runs at sf0.001") {
+    val failures = SparkEntry.catalog.flatMap { q =>
+      try { q.fn(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name has either oracle SQL or a documented reason") {
+    val noOracle = SparkEntry.catalog.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == Set("d7_minhash_lsh", "d8_simhash", "e2_ann_lsh",
+      "d9_rolling_fp", "q21_approx_distinct"))
+  }
+
+  test("rolling_hash: expression matches a plain-Scala reference, " +
+      "interpreted and codegen'd") {
+    def refHash(s: String): Long = {
+      val M = (1L << 61) - 1
+      s.getBytes("UTF-8").foldLeft(0L) { (h, b) =>
+        // BigInt ground truth for (h*31 + byte) mod M
+        ((BigInt(h) * 31 + (b & 0xff)) mod BigInt(M)).toLong
+      }
+    }
+    val inputs = Seq("", "a", "hello world", "ünïcødé ツ", "x" * 10000)
+    import spark.implicits._
+    // through the engine (codegen path)
+    val got = inputs.toDF("s")
+      .select(RollingHash.rolling_hash(col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == inputs.map(refHash))
+    // interpreted eval path
+    val interp = inputs.map(s => RollingHash(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      .eval(null).asInstanceOf[Long])
+    assert(interp == inputs.map(refHash))
+  }
+
+  test("d7 minhash-LSH candidates are a high-recall subset of exact " +
+      "shingle near-dups") {
+    val lsh = SparkEntry.queries("d7_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // exact ground truth at the same threshold, brute force
+    val tk = split(trim(lower(col("text"))), " +")
+    val sh = array_distinct(transform(sequence(lit(1), size(tk) - 2),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+        element_at(tk, i + 2))))
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(size(tk) >= 3).select(col("doc_id"), sh.as("sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("j", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(exact), "LSH must not emit false positives (exact-verified)")
+    assert(exact.nonEmpty && lsh.size.toDouble / exact.size >= 0.9,
+      s"recall ${lsh.size}/${exact.size} below 0.9")
+  }
+
+  test("e2 ANN recall vs e1 brute force is meaningful") {
+    val ann = SparkEntry.queries("e2_ann_lsh")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val exact = SparkEntry.queries("e1_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    // LSH with 8 hyperplanes on 64-dim data: expect partial but nonzero
+    // agreement; the point is the bucket machinery, not exact recall
+    assert(ann.nonEmpty)
+    assert((ann & exact).nonEmpty, "ANN found none of the true top-k")
+  }
+
+  test("d8 simhash: near-identical docs have small hamming distance") {
+    val sims = SparkEntry.queries("d8_simhash")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    // use a known near-dup pair from d7 at this sf
+    val pair = SparkEntry.queries("d7_minhash_lsh")(spark, sf).collect().headOption
+    pair.foreach { p =>
+      val (a, b) = (p.getAs[Long]("id_a"), p.getAs[Long]("id_b"))
+      val dist = java.lang.Long.bitCount(sims(a) ^ sims(b))
+      assert(dist <= 16, s"near-dup pair ($a,$b) hamming $dist > 16")
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.ops.{FilterOps, Synthesize}
+import graft.io.ReportReader
+
+/** Specs for the helper-script ports: semi-join filters
+  * (`scripts/filter_*_by_taxid.py`) and report synthesis
+  * (`scripts/modify_reports.py`). */
+class OpsSpec extends SparkSuite {
+
+  test("totalReads: RNA overrides DNA on sample collision (S6)") {
+    val dir = Files.createTempDirectory("graft_tot")
+    Files.writeString(dir.resolve("dna.tsv"),
+      "S1_L001\tx\t100\nS2_L001\tx\t200\n")
+    Files.writeString(dir.resolve("rna.tsv"),
+      "S2_L002\tx\t999\nS3_L001\tx\t300\n")
+    val totals = Synthesize.totalReads(spark,
+      dir.resolve("dna.tsv").toString, dir.resolve("rna.tsv").toString)
+      .collect().map(r => r.getAs[String]("sample") -> r.getAs[Long]("total_reads"))
+      .toMap
+    assert(totals == Map("S1" -> 100L, "S2" -> 999L, "S3" -> 300L))
+  }
+
+  test("synthesize: complete reports round-trip through the main pipeline") {
+    val dir = Files.createTempDirectory("graft_synth")
+    // species-only report (no totals rows), header on line 1 (S2 shape)
+    Files.writeString(dir.resolve("S1_L1_report.tsv"),
+      "%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName\n" +
+        "0.1\t30\t30\t300\t1.0\t0.5\t10\tspecies\tEcoli\n" +
+        "0.1\t20\t20\t200\t1.0\t0.5\t20\tspecies\tStaph\n")
+    Files.writeString(dir.resolve("totals_dna.tsv"), "S1_L1_x\ty\t100\n")
+    Files.writeString(dir.resolve("totals_rna.tsv"), "ZZ_x\ty\t5\n")
+
+    val species = ReportReader.readReports(spark,
+      Seq(dir.resolve("S1_L1_report.tsv").toString))
+    val totals = Synthesize.totalReads(spark,
+      dir.resolve("totals_dna.tsv").toString,
+      dir.resolve("totals_rna.tsv").toString)
+    val outDir = Files.createTempDirectory("graft_synth_out").toString
+    val written = Synthesize.writeCompleteReports(spark, species, totals, outDir,
+      clock = () => new java.util.Date(0L))
+    assert(written == Seq(s"$outDir/S1_L1_species-level-report.tsv"))
+
+    val lines = Files.readAllLines(Paths.get(written.head))
+    assert(lines.get(0).startsWith("# kraken2"))
+    assert(lines.get(1).startsWith("# Thu Jan 01"))  // injected clock
+    assert(lines.get(2).startsWith("%\treads"))
+    // total 100, classified 50 → unclassified 50 (50.0000%), root kmers 500
+    assert(lines.get(3) == "50.0000\t50\t50\t0\t0\t0\t0\tunclassified\tunclassified")
+    assert(lines.get(4) == "50.0000\t50\t50\t500\t0\t0\t1\troot\troot")
+
+    // round-trip: the synthesized report feeds the main pipeline
+    val rt = ReportReader.readReports(spark, Seq(written.head))
+    val tot = graft.ops.TaxaOps.sampleTotals(rt).collect()
+    assert(tot.head.getAs[Long]("total_reads") == 100L)
+  }
+
+  test("synthesize: clamps negative unclassified to 0 and drops the row") {
+    val dir = Files.createTempDirectory("graft_clamp")
+    Files.writeString(dir.resolve("S9_L1_report.tsv"),
+      "%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName\n" +
+        "0.1\t80\t80\t10\t1.0\t0.5\t10\tspecies\tEcoli\n")
+    Files.writeString(dir.resolve("d.tsv"), "S9_L1_x\ty\t50\n") // 80 > 50
+    Files.writeString(dir.resolve("r.tsv"), "ZZ_x\ty\t5\n")
+    val species = ReportReader.readReports(spark,
+      Seq(dir.resolve("S9_L1_report.tsv").toString))
+    val totals = Synthesize.totalReads(spark,
+      dir.resolve("d.tsv").toString, dir.resolve("r.tsv").toString)
+    val outDir = Files.createTempDirectory("graft_clamp_out").toString
+    val written = Synthesize.writeCompleteReports(spark, species, totals, outDir)
+    val lines = Files.readAllLines(Paths.get(written.head))
+    // no unclassified row (0 reads) — first data row is root
+    assert(lines.get(3).contains("\troot\t"))
+  }
+
+  test("filterByTaxids: string-keyed semi join (J4/P6)") {
+    val dir = Files.createTempDirectory("graft_taxids")
+    Files.writeString(dir.resolve("taxids.csv"), "taxID,name\n10,a\n30,c\n")
+    import spark.implicits._
+    val df = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("taxID", "v")
+    val taxids = FilterOps.readTaxids(spark, dir.resolve("taxids.csv").toString)
+    val got = FilterOps.filterByTaxids(df, taxids)
+      .collect().map(_.getAs[Long]("taxID")).sorted
+    assert(got.toSeq == Seq(10L, 30L))
+  }
+
+  test("filterReportsByTaxids: first-token sampleName + semi join") {
+    val dir = Files.createTempDirectory("graft_frep")
+    Files.writeString(dir.resolve("AB_CD_species-level-report.tsv"),
+      "%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName\n" +
+        "0.1\t30\t30\t300\t1.0\t0.5\t10\tspecies\tEcoli\n" +
+        "0.1\t20\t20\t200\t1.0\t0.5\t20\tspecies\tStaph\n")
+    Files.writeString(dir.resolve("taxids.csv"), "taxID\n10\n")
+    val got = FilterOps.filterReportsByTaxids(spark,
+      s"$dir/*_species-level-report.tsv",
+      FilterOps.readTaxids(spark, dir.resolve("taxids.csv").toString))
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("sampleName") == "AB") // first token rule
+    assert(got.head.getAs[Long]("taxID") == 10L)
+  }
+}
