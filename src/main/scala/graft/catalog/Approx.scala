@@ -150,6 +150,21 @@ object Approx {
       "document fingerprint via native codegen'd rolling-hash Expression"),
 
     QueryDef(
+      "mm2_decode_stub",
+      (s, dir) => {
+        val media = graft.functions.Multimodal.asMedia(
+          t(s, dir, "documents"), "doc_id", "text")
+        graft.functions.Multimodal.decodeFeatures(s, media)
+          .select(col("media_id"), col("format"),
+            element_at(col("features"), 1).as("f0"),
+            size(col("features")).as("n_features"))
+          .orderBy("media_id")
+      },
+      None,
+      "multimodal decode plumbing: binary payload + typed meta -> " +
+        "partition-wise stub decode -> feature vectors"),
+
+    QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")

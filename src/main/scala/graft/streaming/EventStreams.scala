@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.10 — absent in the batch-only
+  * reference, part of the engine's extension contract).
+  *
+  * Each transform takes a streaming OR batch DataFrame of the events
+  * schema — the same plan runs in both modes, which is how the batch
+  * DuckDB oracle (q19_time_window / ev_session) checks the streaming
+  * semantics, and how `EventStreams.readStream` + memory-sink tests prove
+  * the incremental path.
+  */
+object EventStreams {
+
+  /** events schema as the streaming source sees it (ts pre-converted to
+    * microsecond TimestampType by the reader). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw nanos from parquet; converted below
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** streaming twin of `Tables.events`: parquet dir → stream of typed rows */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a directory: stream the table dir with a
+    // glob pinned to the events file(s)
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** tumbling 1h window counts + value sums with a 10-minute watermark —
+    * identical aggregation to the batch q19_time_window oracle. */
+  def hourlyWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("ws"), col("n_events"), col("total_value"))
+
+  /** 30-minute-gap session windows per user (streaming-native twin of the
+    * batch islands query ev_session). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** streaming dedup on event_id within the watermark horizon */
+  def dedupe(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** custom state: running per-user totals via mapGroupsWithState — the
+    * escape hatch for aggregations Spark's built-ins can't express. */
+  def runningTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.nEvents
+          var v = prev.totalValue
+          rows.foreach { r => n += 1; v += r._2 }
+          val next = UserRunning(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (test/verification harness). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+}
