@@ -31,40 +31,57 @@ object Approx {
   private val Bands = 8     // LSH bands (K/Bands rows per band)
   private val RowsPerBand = MinhashK / Bands
 
-  /** K minhash values: seeded xxhash64 per (permutation, token) — no
-    * multiply, so safe under ANSI overflow checking */
-  private def minhashSig(tokens: Column): Column = {
-    val distinctToks = array_distinct(tokens)
-    transform(sequence(lit(0), lit(MinhashK - 1)), j =>
-      array_min(transform(distinctToks, w => xxhash64(j, w))))
-  }
+  /** K minhash values via the compiled MinHashSig expression — the
+    * interpreted-HOF formulation (K lambdas over the token array) costs
+    * seconds per 5k docs; see MinHashSig. */
+  private def minhashSig(tokens: Column): Column =
+    graft.functions.MinHashSig.min_hash_sig(array_distinct(tokens), MinhashK)
 
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef(
       "d7_minhash_lsh",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .filter(size(toks(col("text"))) >= 3)
-          .select(col("doc_id"), shingles(col("text")).as("tk"))
+        // Materialize tokens BEFORE building shingles: the shingle lambda
+        // references the token array 3x per element, and CollapseProject
+        // would inline the split() into every reference — ~750 regex
+        // splits per row (12s on 5k docs) instead of one. The cache()
+        // calls are semantic barriers against exactly that inlining.
+        val tokens = t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 3)
+          .cache()
+        val docs = tokens
+          .select(col("doc_id"), array_distinct(
+            transform(sequence(lit(1), size(col("tok")) - 2),
+              i => concat_ws(" ", element_at(col("tok"), i),
+                element_at(col("tok"), i + 1),
+                element_at(col("tok"), i + 2)))).as("tk"))
+          .cache()
+        // (doc, band, band_key) — keys ONLY: the expensive shingle arrays
+        // must not ride through the bucket join + pair dedup
+        val banded = docs
           .withColumn("sig", minhashSig(col("tk")))
-        // band keys: hash of each contiguous signature slice
-        val banded = docs.select(col("doc_id"), col("tk"),
+          .select("doc_id", "sig").cache() // barrier: sig once, not once per band
+          .select(col("doc_id"),
             posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
               xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), b))))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-        val a = banded.select(col("band").as("band_a"), col("band_key").as("key_a"),
-          col("doc_id").as("id_a"), col("tk").as("tk_a"))
-        val b = banded.select(col("band").as("band_b"), col("band_key").as("key_b"),
-          col("doc_id").as("id_b"), col("tk").as("tk_b"))
-        // bucket join: only same-band same-key pairs are candidates
-        a.join(b, col("band_a") === col("band_b")
-            && col("key_a") === col("key_b") && col("id_a") < col("id_b"))
-          .select("id_a", "id_b", "tk_a", "tk_b").distinct()
+        // bucket join on (band, key); dedup bare id pairs before any
+        // array work — a pair colliding in several bands costs one row
+        val pairs = banded.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+          .join(banded.select(col("band"), col("band_key"), col("doc_id").as("id_b")),
+            Seq("band", "band_key"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        // exact-Jaccard confirmation: attach shingles once per pair side
+        val ja = docs.select(col("doc_id").as("id_a"), col("tk").as("tk_a"))
+        val jb = docs.select(col("doc_id").as("id_b"), col("tk").as("tk_b"))
+        pairs.join(ja, Seq("id_a")).join(jb, Seq("id_b"))
           .withColumn("jaccard",
-            size(array_intersect(array_distinct(col("tk_a")), array_distinct(col("tk_b")))).cast("double")
+            size(array_intersect(col("tk_a"), col("tk_b"))).cast("double")
               / size(array_distinct(concat(col("tk_a"), col("tk_b")))).cast("double"))
-          .filter(col("jaccard") >= 0.5) // exact-Jaccard confirmation of LSH candidates
+          .filter(col("jaccard") >= 0.5)
           .select("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
@@ -86,7 +103,10 @@ object Approx {
         }.reduce((a, b) => a.bitwiseOR(b))
         t(s, dir, "documents")
           .select(col("doc_id"), toks(col("text")).as("tk"))
+          // cache barrier: stops the per-token hash array from being
+          // inlined (and recomputed) into each of the 64 bit expressions
           .withColumn("hashes", transform(array_distinct(col("tk")), w => xxhash64(w)))
+          .select("doc_id", "hashes").cache()
           .select(col("doc_id"), simhash.as("simhash"))
           .orderBy("doc_id")
       },
@@ -103,11 +123,15 @@ object Approx {
         val NTables = 4; val Planes = 6
         val emb = t(s, dir, "embeddings")
           .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
-        // deterministic pseudo-random hyperplane component for (seed, dim)
-        def planeVec(seed: Int) =
-          transform(sequence(lit(0), size(col("dv")) - 1), d =>
-            (pmod(lit(seed.toLong * 1315423911L) + d * lit(2654435761L), lit(1000L))
-              .cast("double") / 1000.0) - 0.5)
+          .select("vec_id", "dv").cache() // barrier: cast once, not per plane
+        // deterministic pseudo-random hyperplanes, built ONCE driver-side
+        // and embedded as literal arrays (row-independent values must not
+        // be re-derived per row)
+        val dims = 64 // embedding dimensionality of the corpus
+        def planeVec(seed: Int) = array((0 until dims).map { d =>
+          lit((math.floorMod(seed.toLong * 1315423911L + d * 2654435761L,
+            1000L).toDouble / 1000.0) - 0.5)
+        }: _*)
         val tableBuckets = (0 until NTables).map { tb =>
           val bucket = (0 until Planes).map { p =>
             val proj = aggregate(
