@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Backward as-of join: for each left row, attach the latest right row
+  * with the same key and `rightTime <= leftTime`.
+  *
+  * Composed from built-ins (SURVEY §7.3 preference order (a)): tag and
+  * union both sides, then a single `last_value(..., ignoreNulls)` window
+  * ordered by (time, side) — right rows sort before left rows at equal
+  * timestamps, giving the inclusive `<=` match of a standard ASOF join.
+  *
+  * Scale shape: ONE shuffle on the key (same as any windowed op), no
+  * range cross-product, no per-key driver loops — this is the formulation
+  * that survives a 1000-executor cluster, unlike a non-equi join which
+  * plans as a nested-loop.
+  */
+object AsOfJoin {
+
+  /** @param left       left (probe) rows
+    * @param right      right (reference) rows
+    * @param keyCols    equi-key column names present on both sides
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param rightVals  right columns to carry (attached as-of; null when
+    *                   no earlier right row exists)
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // side 0 = right (sorts first at equal time → inclusive match)
+    val taggedRight = right.select(
+      (keyCols.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side")) ++
+        rightVals.map(c => col(c).as(s"_r_$c")) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      (keyCols.map(col) :+ col(leftTime).as("_t") :+ lit(1).as("_side")) ++
+        rightVals.map(c => lit(null).as(s"_r_$c")) ++
+        leftCols.filterNot(keyCols.contains).map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedRight.unionByName(taggedLeft)
+      .select((keyCols.map(col) ++ Seq(col("_t"), col("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        rightVals.map(c =>
+          last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+      .filter(col("_side") === 1)
+      .drop("_t", "_side")
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.pipeline.BigBugData
+
+/** Property-based invariants (SURVEY §5.3) over generated report batches.
+  * Uses raw ScalaCheck generators with deterministic seeds (the
+  * scalatest-scalacheck bridge isn't in the offline dependency cache). */
+class PropertySpec extends SparkSuite {
+
+  private def forSamples[T](gen: Gen[T], n: Int)(f: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"generator failed for seed $i")))
+    }
+
+  private def writeReports(samples: Seq[(String, Seq[(Long, Long)])]): Seq[String] = {
+    // each sample: (name, rows of (taxID >= 10, reads >= 1))
+    val dir = Files.createTempDirectory("graft_prop")
+    samples.map { case (name, rows) =>
+      val body = rows.map { case (taxId, reads) =>
+        s"0.1\t$reads\t$reads\t${reads * 10}\t1.0\t0.5\t$taxId\tspecies\tT$taxId"
+      }
+      val total = math.max(rows.map(_._2).sum * 3, 1)
+      val p = dir.resolve(s"${name}_report.tsv")
+      Files.writeString(p, (Seq(
+        "# synthetic", "# prop",
+        "%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName",
+        s"50.0\t$total\t$total\t0\t0\t0\t0\tunclassified\tunclassified",
+        s"50.0\t$total\t$total\t10\t0\t0\t1\troot\troot") ++ body)
+        .mkString("", "\n", "\n"))
+      p.toString
+    }
+  }
+
+  private val batchGen: Gen[Seq[(String, Seq[(Long, Long)])]] = for {
+    nSamples <- Gen.choose(1, 4)
+    samples <- Gen.sequence[Seq[(String, Seq[(Long, Long)])], (String, Seq[(Long, Long)])](
+      (0 until nSamples).map { i =>
+        for {
+          nRows <- Gen.choose(1, 6)
+          rows <- Gen.listOfN(nRows, for {
+            taxId <- Gen.choose(10L, 15L)
+            reads <- Gen.choose(1L, 50L)
+          } yield (taxId, reads))
+        } yield (s"S${i}_x", rows)
+      })
+  } yield samples
+
+  test("invariants: organism totals = row sums; rpm round-trips; top-K bounds") {
+    forSamples(batchGen, 8) { batch =>
+      val out = BigBugData.build(spark, BigBugData.Params(
+        writeReports(batch), Files.createTempDirectory("graft_prop_out").toString,
+        nTophits = 3))
+      val grid = out.rrpm.collect()
+
+      // 1. per-organism grand total equals the sum of its dense row
+      grid.groupBy(_.getAs[Long]("taxID")).foreach { case (_, rows) =>
+        assert(rows.map(_.getAs[Long]("reads")).sum ==
+          rows.head.getAs[Long]("total_reads_organism"))
+      }
+      // 2. rpm * (total/1e6) round-trips to reads
+      grid.foreach { r =>
+        val back = r.getAs[Double]("rpm") * (r.getAs[Long]("total_reads") / 1e6)
+        assert(math.abs(back - r.getAs[Long]("reads")) < 1e-6)
+      }
+      // 3. z-scores per organism: mean ≈ 0, or NaN when stddev = 0
+      grid.groupBy(_.getAs[Long]("taxID")).foreach { case (_, rows) =>
+        val zs = rows.map(_.getAs[Double]("z_score"))
+        if (zs.exists(_.isNaN)) assert(zs.forall(_.isNaN))
+        else assert(math.abs(zs.sum / zs.size) < 1e-9)
+      }
+      // 4. tophits: ≤ K rows per sample, ranks strictly increasing, ≤ K
+      val tops = out.tophits.collect().groupBy(_.getAs[String]("sampleName"))
+      tops.values.foreach { rows =>
+        val ranks = rows.map(_.getAs[Int]("rank")).sorted
+        assert(ranks.length <= 3 && ranks.forall(_ <= 3))
+        assert(ranks.distinct.length == ranks.length)
+      }
+    }
+  }
+
+  test("asof join: attached time is the max right time <= left time") {
+    val tsGen = Gen.zip(Gen.listOfN(12, Gen.choose(0L, 1000L)),
+      Gen.listOfN(12, Gen.choose(0L, 1000L)))
+    forSamples(tsGen, 10) { case (leftTs, rightTs) =>
+      val s2 = spark; import s2.implicits._
+      val left = leftTs.zipWithIndex
+        .map { case (t, i) => (i.toLong, 1L, new java.sql.Timestamp(t)) }
+        .toDF("id", "k", "ts")
+      val right = rightTs.map(t => (1L, new java.sql.Timestamp(t)))
+        .toDF("k", "ts")
+      val got = graft.operators.AsOfJoin
+        .asofBackward(left, right, Seq("k"), "ts", "ts", Seq("ts"))
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.sql.Timestamp]("asof_ts")).map(_.getTime))
+        .toMap
+      leftTs.zipWithIndex.foreach { case (t, i) =>
+        val expect = rightTs.filter(_ <= t) match {
+          case Nil => None
+          case xs => Some(xs.max)
+        }
+        assert(got(i.toLong) == expect, s"left ts $t")
+      }
+    }
+  }
+}
