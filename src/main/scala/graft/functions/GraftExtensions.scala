@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for SQL callers —
+  *
+  *   spark.sql("SELECT rolling_hash(text), min_hash_sig(tokens, 32) …")
+  *
+  * Activate with
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.rollingHashDesc)
+    ext.injectFunction(GraftExtensions.minHashSigDesc)
+  }
+}
+
+object GraftExtensions {
+
+  val rollingHashDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+    (exprs: Seq[Expression]) => RollingHash(exprs.head))
+
+  val minHashSigDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("min_hash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "min_hash_sig"),
+    (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+      exprs(1).eval(null).asInstanceOf[Int]))
+
+  /** runtime registration for an existing session (tests, notebooks) */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    Seq(rollingHashDesc, minHashSigDesc).foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
+  }
+}
