@@ -139,16 +139,20 @@ object TextDocs {
     QueryDef(
       "d6_ngram_jaccard",
       (s, dir) => {
-        def shingles(c: Column): Column = {
-          val tk = toks(c)
-          array_distinct(transform(sequence(lit(1), size(tk) - 2),
-            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-              element_at(tk, i + 2))))
-        }
-        val d = t(s, dir, "documents").filter(col("doc_id") < 150)
-          .filter(size(toks(col("text"))) >= 3)
-        val a = d.select(col("doc_id").as("id_a"), shingles(col("text")).as("sh_a"))
-        val b = d.select(col("doc_id").as("id_b"), shingles(col("text")).as("sh_b"))
+        // tokens materialized before the shingle lambda (else the split()
+        // is inlined into every element_at — see SCALE.md HOF discipline);
+        // result is identical, only the plan changes
+        val tokens = t(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), toks(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 3)
+          .cache()
+        val d = tokens.select(col("doc_id"), array_distinct(
+          transform(sequence(lit(1), size(col("tok")) - 2),
+            i => concat_ws(" ", element_at(col("tok"), i),
+              element_at(col("tok"), i + 1),
+              element_at(col("tok"), i + 2)))).as("sh")).cache()
+        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         a.join(b, col("id_a") < col("id_b"))
           .withColumn("jaccard",
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")

@@ -20,9 +20,11 @@ object Vectors {
   /** cast float array to double once */
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** sequential-fold dot product of two double arrays */
+  /** sequential-fold dot product — compiled expression, bit-compatible
+    * with the `aggregate(zip_with(...))` HOF formulation AND the DuckDB
+    * `list_reduce` oracle (identical left-to-right IEEE addition) */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
