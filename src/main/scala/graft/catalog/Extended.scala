@@ -95,6 +95,44 @@ object Extended {
       "ordered list aggregation (collect_list + sort vs string_agg)"),
 
     QueryDef(
+      "q32_array_ops",
+      (s, dir) => {
+        val dv = transform(col("embedding"), x => x.cast("double"))
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            array_min(dv).as("vmin"),
+            array_max(dv).as("vmax"),
+            graft.functions.DotProduct.dot_product(dv, dv).as("sumsq"),
+            sqrt(graft.functions.DotProduct.dot_product(dv, dv)).as("norm"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, embedding,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+          FROM embeddings)
+        SELECT vec_id,
+          CAST(len(embedding) AS BIGINT) AS dim,
+          list_min(dv) AS vmin,
+          list_max(dv) AS vmax,
+          list_reduce(list_transform(dv, x -> x * x), (a, b) -> a + b) AS sumsq,
+          sqrt(list_reduce(list_transform(dv, x -> x * x), (a, b) -> a + b)) AS norm
+        FROM v ORDER BY vec_id"""),
+      "array min/max/size + fold-based norms over the embedding column"),
+
+    QueryDef(
+      "q33_median",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(median(col("l_quantity")).as("med_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, median(l_quantity) AS med_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "exact median (interpolated percentile)"),
+
+    QueryDef(
       "q29_regex_funcs",
       (s, dir) =>
         t(s, dir, "part")

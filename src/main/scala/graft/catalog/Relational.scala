@@ -190,8 +190,12 @@ object Relational {
       "q9_window_running",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
+        // l_extendedprice tiebreak: the corpus contains duplicate
+        // (l_orderkey, l_linenumber) rows, so the "natural" key is not
+        // unique and running sums would be tie-order-dependent
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             sum(d2(col("l_extendedprice"))).over(w).cast("double").as("running_rev"))
@@ -200,7 +204,7 @@ object Relational {
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
           PARTITION BY l_suppkey
-          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
         FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"""),
       "running aggregate with explicit rows frame (decimal-exact prefix sums)"),
