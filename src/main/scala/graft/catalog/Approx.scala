@@ -164,6 +164,47 @@ object Approx {
         "bucket-join candidates + exact cosine re-rank; recall spec vs e1"),
 
     QueryDef(
+      "e3_ann_ivf",
+      (s, dir) => {
+        // IVF (inverted-file) ANN: assign every vector to its nearest of
+        // C deterministic coarse centroids (the "coarse quantizer"), then
+        // search only the query's own cell + re-rank by exact cosine.
+        // At scale the cell assignment is the partition key: each probe
+        // touches 1/C of the corpus instead of all of it.
+        val C = 16
+        val emb = t(s, dir, "embeddings")
+          .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+          .select("vec_id", "dv").cache()
+        val dims = 64
+        def centroid(c: Int) = array((0 until dims).map { d =>
+          lit((math.floorMod(c.toLong * 2654435761L + d * 40503L, 1000L)
+            .toDouble / 1000.0) - 0.5)
+        }: _*)
+        // nearest centroid = argmax over a sims array — each dot product
+        // appears ONCE. (A reduce of when(struct,struct) pairs duplicates
+        // both subtrees per step → 2^C expression nodes; the analyzer
+        // never returns.)
+        val sims = array((0 until C).map(c =>
+          graft.functions.DotProduct.dot_product(col("dv"), centroid(c))): _*)
+        val cellExpr = array_position(col("_sims"), array_max(col("_sims")))
+        val cells = emb.withColumn("_sims", sims)
+          .withColumn("cell", cellExpr).drop("_sims").cache()
+        val q = cells.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("dv").as("qv"), col("cell"))
+        val cands = cells.select(col("vec_id").as("c_id"), col("dv").as("cv"), col("cell"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+        broadcast(q).join(cands, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("q_id", "c_id", "rk", "cos")
+          .orderBy("q_id", "rk")
+      },
+      None,
+      "ANN via IVF coarse quantization: nearest-centroid cells as the " +
+        "partition/probe key, exact cosine re-rank within the cell"),
+
+    QueryDef(
       "d9_rolling_fp",
       (s, dir) =>
         t(s, dir, "documents")

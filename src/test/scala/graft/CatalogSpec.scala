@@ -24,7 +24,7 @@ class CatalogSpec extends SparkSuite {
   test("every query name has either oracle SQL or a documented reason") {
     val noOracle = SparkEntry.catalog.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == Set("d7_minhash_lsh", "d8_simhash", "e2_ann_lsh",
-      "d9_rolling_fp", "q21_approx_distinct", "mm2_decode_stub"))
+      "e3_ann_ivf", "d9_rolling_fp", "q21_approx_distinct", "mm2_decode_stub"))
   }
 
   test("rolling_hash: expression matches a plain-Scala reference, " +
@@ -83,6 +83,15 @@ class CatalogSpec extends SparkSuite {
     // agreement; the point is the bucket machinery, not exact recall
     assert(ann.nonEmpty)
     assert((ann & exact).nonEmpty, "ANN found none of the true top-k")
+  }
+
+  test("e3 IVF cells partition the corpus and re-rank finds neighbors") {
+    val ivf = SparkEntry.queries("e3_ann_ivf")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    assert(ivf.nonEmpty)
+    val exact = SparkEntry.queries("e1_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    assert((ivf & exact).nonEmpty, "IVF found none of the true top-k")
   }
 
   test("d8 simhash: near-identical docs have small hamming distance") {
