@@ -63,7 +63,8 @@ object BigBugData {
 
     val groups = NcGroups.resolve(sampleIds, params.groupPatterns)
     val sampleToNc = NcGroups.sampleToControl(sampleIds, groups)
-    val rrpmGrid = Normalize.rrpm(spark, zGrid, sampleToNc)
+    // cached: the rrpm sink and the tophits window both consume this
+    val rrpmGrid = Normalize.rrpm(spark, zGrid, sampleToNc).cache()
 
     val stats = TaxaOps.sampleOrganismStats(taxa)
       .join(zGrid.select(col(Sample), col(TaxId), col("z_score")),
@@ -98,11 +99,13 @@ object BigBugData {
       pivotWide(out.rrpm, "rrpm", out.orderedSamples), header, rrpmPath)
 
     // tophits rows emit in ordered-sample order, then rank (reference
-    // iterates samples in order, `bigbugdata.py:176`)
-    val orderIdx = out.orderedSamples.zipWithIndex.toMap
-    val idxUdf = udf((s: String) => orderIdx.getOrElse(s, Int.MaxValue))
+    // iterates samples in order, `bigbugdata.py:176`); literal map
+    // instead of a UDF keeps the sort key inside codegen
+    val idxExpr = coalesce(element_at(
+      map(out.orderedSamples.zipWithIndex.flatMap { case (s, i) =>
+        Seq(lit(s), lit(i)) }: _*), col("sampleName")), lit(Int.MaxValue))
     CsvSink.writeSingleCsv(
-      out.tophits.orderBy(idxUdf(col("sampleName")), col("rank")),
+      out.tophits.orderBy(idxExpr, col("rank")),
       Seq("sampleName", TaxId, TaxName, "rank", "rRPM", "kmers", "dup",
         "reads", "cov", "e_val", "z_score"),
       tophitsPath)

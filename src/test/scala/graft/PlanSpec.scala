@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: the optimizations SCALE.md claims must
+  * actually appear in the executed plans. */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q2: both predicates and the column projection reach the parquet scan") {
+    val p = plan("q2_filter_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_shipdate")
+      && p.contains("LessThan(l_quantity,25.0)"))
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      "projection must prune unused columns from the scan")
+  }
+
+  test("q3: dimension join is broadcast, not shuffled") {
+    val p = plan("q3_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q6/q7: semi and anti joins use broadcast hash strategy") {
+    assert(plan("q6_semi_join").contains("LeftSemi"))
+    assert(plan("q7_anti_join").contains("LeftAnti"))
+  }
+
+  test("d7: no cartesian product anywhere in the LSH plan") {
+    val p = plan("d7_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "bucket join must be an equi join on (band, band_key)")
+  }
+
+  test("pivot with explicit values runs as a single aggregate pass " +
+      "(no distinct-collection job)") {
+    val q = SparkEntry.queries("q17_pivot")(spark, sf)
+    // explicit pivot values ⇒ plan is fully known before execution; a
+    // values-less pivot would have to run a collect job at plan time
+    assert(q.queryExecution.analyzed.toString.toLowerCase.contains("pivot")
+      || q.columns.toSeq == Seq("day", "click", "error", "purchase", "signup", "view"))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val s2 = spark
+    // warehouse.dir is a static conf — a per-database LOCATION keeps the
+    // bucketed tables in a temp dir without touching session statics
+    s2.sql(s"CREATE DATABASE IF NOT EXISTS graftb LOCATION '$wh/graftb'")
+    try {
+      spark.read.parquet(s"$sf/orders.parquet")
+        .write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("graftb.orders_b")
+      spark.read.parquet(s"$sf/customer.parquet")
+        .write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("graftb.customer_b")
+      val joined = spark.table("graftb.orders_b")
+        .hint("merge") // force sort-merge so bucketing (not broadcast) is exercised
+        .join(spark.table("graftb.customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      val exchangesBeforeAgg = "Exchange hashpartitioning\\((o_custkey|c_custkey)".r
+        .findAllIn(p).size
+      assert(exchangesBeforeAgg == 0,
+        s"bucketed join must not re-shuffle join keys:\n$p")
+      // result parity with the plain join
+      val plain = spark.read.parquet(s"$sf/orders.parquet")
+        .join(spark.read.parquet(s"$sf/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+        plain.collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS graftb.orders_b")
+      s2.sql("DROP TABLE IF EXISTS graftb.customer_b")
+      s2.sql("DROP DATABASE IF EXISTS graftb")
+    }
+  }
+}
