@@ -133,6 +133,85 @@ object Extended {
       "exact median (interpolated percentile)"),
 
     QueryDef(
+      "q34_global_topk",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00")))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(d2(col("l_extendedprice")) *
+            (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      "TPC-H Q3 shape: global top-K after join+agg (TakeOrderedAndProject " +
+        "— only K rows per partition survive to the driver)"),
+
+    QueryDef(
+      "q35_argmax_joinback",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val maxPerNation = c.groupBy(col("c_nationkey").as("nk"))
+          .agg(max(col("c_acctbal")).as("max_bal"))
+        c.join(broadcast(maxPerNation),
+            col("c_nationkey") === col("nk") && col("c_acctbal") === col("max_bal"))
+          .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM customer
+        JOIN (SELECT c_nationkey AS nk, MAX(c_acctbal) AS max_bal
+              FROM customer GROUP BY c_nationkey) m
+          ON c_nationkey = nk AND c_acctbal = max_bal
+        ORDER BY c_nationkey, c_custkey"""),
+      "argmax via aggregate + join-back (all ties kept — deterministic)"),
+
+    QueryDef(
+      "q37_null_funcs",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            nullif(col("c_mktsegment"), lit("AUTOMOBILE")).as("seg_or_null"),
+            coalesce(nullif(col("c_mktsegment"), lit("AUTOMOBILE")),
+              lit("SUPPRESSED")).as("seg_coalesced"),
+            when(col("c_acctbal") < 0, lit(null).cast("double"))
+              .otherwise(col("c_acctbal")).as("bal_nonneg"),
+            (col("c_acctbal") < 0).as("was_negative"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+        nullif(c_mktsegment, 'AUTOMOBILE') AS seg_or_null,
+        coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'SUPPRESSED') AS seg_coalesced,
+        CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+        c_acctbal < 0 AS was_negative
+        FROM customer ORDER BY c_custkey"""),
+      "null semantics: nullif / coalesce / CASE-to-null round-trips"),
+
+    QueryDef(
+      "q38_date_arith",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"),
+            datediff(col("o_orderdate"),
+              lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00"))).as("days_since_epoch"),
+            last_day(col("o_orderdate")).as("month_end"),
+            date_trunc("quarter", col("o_orderdate")).as("qtr"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        o_orderdate + INTERVAL 90 DAY AS due_date,
+        CAST(date_diff('day', TIMESTAMP '1994-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        date_trunc('quarter', o_orderdate) AS qtr
+        FROM orders ORDER BY o_orderkey"""),
+      "date arithmetic: interval add, day diff, last_day, quarter trunc"),
+
+    QueryDef(
       "q29_regex_funcs",
       (s, dir) =>
         t(s, dir, "part")
