@@ -52,6 +52,24 @@ object TextDocs {
       "token counting (whitespace tokenizer) + byte stats"),
 
     QueryDef(
+      "d10_bpe_tokens",
+      (s, dir) =>
+        // BPE-style pre-tokenization: word pieces OR single non-space
+        // punctuation — the usual first pass before byte-pair merging
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+              .cast("long").as("n_pieces"),
+            size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+              .cast("long").as("n_numbers"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_pieces,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+        FROM documents ORDER BY doc_id"""),
+      "BPE-ish regex token counting (word pieces + punctuation singles)"),
+
+    QueryDef(
       "d3_quality_score",
       (s, dir) => {
         val tk = toks(col("text"))

@@ -33,6 +33,41 @@ object Vectors {
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef(
+      "e4_embed_dedup",
+      (s, dir) => {
+        // embedding-cosine near-duplicate dedup: pairs with cosine >= τ,
+        // keep the lower vec_id as the representative. Brute force over a
+        // bounded id slice (the LSH/IVF variants e2/e3 are the full-corpus
+        // scale path); bit-identical cosines make the oracle exact.
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+          .select(col("vec_id"), dvec(col("embedding")).as("dv"))
+        val a = emb.select(col("vec_id").as("id_a"), col("dv").as("va"))
+        val b = emb.select(col("vec_id").as("id_b"), col("dv").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("cos", cosine(col("va"), col("vb")))
+          .filter(col("cos") >= 0.4)
+          .select(col("id_a").as("keep_id"), col("id_b").as("dup_id"), col("cos"))
+          .orderBy("keep_id", "dup_id")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE vec_id < 300)
+        SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+          list_reduce(list_transform(range(1, len(a.e) + 1),
+            i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)))
+            AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(range(1, len(a.e) + 1),
+            i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)))
+            >= 0.4
+        ORDER BY keep_id, dup_id"""),
+      "embedding-cosine near-dup dedup: threshold pairs, keep lowest id"),
+
+    QueryDef(
       "e1_cosine_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
