@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashDesc)
     ext.injectFunction(GraftExtensions.minHashSigDesc)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
 

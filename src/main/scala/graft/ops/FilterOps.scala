@@ -23,6 +23,16 @@ object FilterOps {
       broadcast(taxids.select(col("taxID").cast("string").as("_t")).distinct()),
       df("taxID").cast("string") === col("_t"), "left_semi")
 
+  /** K3: the filter scripts' stdout-CSV contract — header + rows when any
+    * row matched, NOTHING at all when none did
+    * (`filter_rrpm_by_taxid.py:33–36`: the writer is never constructed
+    * for an empty result). */
+  def writeFilteredCsv(df: DataFrame, target: String): Boolean = {
+    val any = !df.isEmpty
+    if (any) graft.io.CsvSink.writeSingleCsv(df, df.columns.toSeq, target)
+    any
+  }
+
   /** `filter_reports_by_taxid.py`: same filter over a folder of reports,
     * with `sampleName` = FIRST underscore token of the file name (F6 —
     * deliberately different from the main tool's rule) prepended.

@@ -16,6 +16,23 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.getAs[scala.collection.Seq[Long]]("sig").length == 8)
   }
 
+  test("DotProductRewrite: HOF dot-product idiom becomes the compiled " +
+      "expression with identical results") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.0, 2.5), Array(1.5, 2.0, -0.5))).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+    val expected = hof.collect().map(_.getDouble(0)).toSeq
+    // apply the rule directly to the analyzed plan
+    val rewritten = graft.plans.DotProductRewrite(hof.queryExecution.analyzed)
+    assert(rewritten.toString.contains("dot_product"),
+      s"rule did not fire:\n${hof.queryExecution.analyzed}")
+    val viaRule = org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
+    assert(viaRule.collect().map(_.getDouble(0)).toSeq == expected)
+  }
+
   test("salted aggregation equals plain aggregation on skewed data") {
     val s2 = spark; import s2.implicits._
     // 90% of rows share one hot key

@@ -85,6 +85,19 @@ class OpsSpec extends SparkSuite {
     assert(got.toSeq == Seq(10L, 30L))
   }
 
+  test("writeFilteredCsv: empty result writes nothing at all (K3)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_k3")
+    val df = Seq((10L, "x")).toDF("taxID", "v")
+    assert(FilterOps.writeFilteredCsv(df, s"$dir/some.csv"))
+    assert(Files.exists(dir.resolve("some.csv")))
+    assert(!FilterOps.writeFilteredCsv(
+      df.filter(org.apache.spark.sql.functions.col("taxID") === 999),
+      s"$dir/none.csv"))
+    assert(!Files.exists(dir.resolve("none.csv")),
+      "empty filter result must not produce a file (not even a header)")
+  }
+
   test("filterReportsByTaxids: first-token sampleName + semi join") {
     val dir = Files.createTempDirectory("graft_frep")
     Files.writeString(dir.resolve("AB_CD_species-level-report.tsv"),
