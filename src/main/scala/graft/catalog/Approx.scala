@@ -18,14 +18,15 @@ object Approx {
   /** whitespace tokens of trimmed lowercased text */
   private def toks(c: Column): Column = split(trim(lower(c)), " +")
 
-  /** distinct 3-token shingles — the dedup signal (token sets are too
-    * uniform on a small vocabulary; shingle sets separate real near-dups) */
-  private def shingles(c: Column): Column = {
-    val tk = toks(c)
-    array_distinct(transform(sequence(lit(1), size(tk) - 2),
-      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-        element_at(tk, i + 2))))
-  }
+  /** distinct 3-token shingles from a MATERIALIZED token column — the
+    * dedup signal (token sets are too uniform on a small vocabulary;
+    * shingle sets separate real near-dups). Callers must pass a cached/
+    * bound column, never an inline split expression (HOF-inlining
+    * discipline, SCALE.md). */
+  private[catalog] def shinglesOfTokens(tok: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(tok) - 2),
+      i => concat_ws(" ", element_at(tok, i), element_at(tok, i + 1),
+        element_at(tok, i + 2))))
 
   private val MinhashK = 32 // total minhash permutations
   private val Bands = 8     // LSH bands (K/Bands rows per band)
@@ -52,11 +53,7 @@ object Approx {
           .filter(size(col("tok")) >= 3)
           .cache()
         val docs = tokens
-          .select(col("doc_id"), array_distinct(
-            transform(sequence(lit(1), size(col("tok")) - 2),
-              i => concat_ws(" ", element_at(col("tok"), i),
-                element_at(col("tok"), i + 1),
-                element_at(col("tok"), i + 2)))).as("tk"))
+          .select(col("doc_id"), shinglesOfTokens(col("tok")).as("tk"))
           .cache()
         // (doc, band, band_key) — keys ONLY: the expensive shingle arrays
         // must not ride through the bucket join + pair dedup

@@ -137,7 +137,7 @@ object Extended {
       (s, dir) => {
         val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00")))
+          .filter(col("o_orderdate") < to_timestamp(lit("1996-06-01 00:00:00")))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(sum(d2(col("l_extendedprice")) *
             (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast(DecimalType(4, 2))))
@@ -199,7 +199,7 @@ object Extended {
           .select(col("o_orderkey"),
             (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"),
             datediff(col("o_orderdate"),
-              lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00"))).as("days_since_epoch"),
+              to_timestamp(lit("1994-01-01 00:00:00"))).as("days_since_epoch"),
             last_day(col("o_orderdate")).as("month_end"),
             date_trunc("quarter", col("o_orderdate")).as("qtr"))
           .orderBy("o_orderkey"),

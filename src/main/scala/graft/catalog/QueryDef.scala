@@ -34,6 +34,12 @@ object Tables {
     * to TimestampType. Read it as raw nanos (legacy long mapping) and
     * truncate to microseconds — the same ns→µs truncation DuckDB applies
     * in `CAST(ts AS TIMESTAMP)`, keeping both engines on identical values.
+    *
+    * Verify/Bench/Main set the legacy conf at session build; the set here
+    * is a fallback for caller-supplied sessions (e.g. the driver's entry()
+    * smoke session). Known tradeoff: it changes how OTHER nanos-typed
+    * parquet columns read for the rest of that session — the corpus has
+    * exactly one (events.ts).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

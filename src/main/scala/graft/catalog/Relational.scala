@@ -60,8 +60,8 @@ object Relational {
       "q2_filter_pushdown",
       (s, dir) =>
         t(s, dir, "lineitem")
-          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
-            && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+          .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00"))
+            && col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00"))
             && col("l_quantity") < 25)
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate")
           .orderBy("l_orderkey", "l_linenumber"),
@@ -94,8 +94,8 @@ object Relational {
       (s, dir) => {
         val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
-            && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+          .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00"))
+            && col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
           .groupBy(col("o_orderpriority"))
           .agg(sum(discPrice(li)).cast("double").as("revenue"), count(lit(1)).as("n"))
           .orderBy("o_orderpriority")

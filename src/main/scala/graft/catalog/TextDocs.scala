@@ -164,11 +164,8 @@ object TextDocs {
           .select(col("doc_id"), toks(col("text")).as("tok"))
           .filter(size(col("tok")) >= 3)
           .cache()
-        val d = tokens.select(col("doc_id"), array_distinct(
-          transform(sequence(lit(1), size(col("tok")) - 2),
-            i => concat_ws(" ", element_at(col("tok"), i),
-              element_at(col("tok"), i + 1),
-              element_at(col("tok"), i + 2)))).as("sh")).cache()
+        val d = tokens.select(col("doc_id"),
+          Approx.shinglesOfTokens(col("tok")).as("sh")).cache()
         val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         a.join(b, col("id_a") < col("id_b"))

@@ -33,8 +33,18 @@ object GraftExtensions {
   val minHashSigDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("min_hash_sig"),
     new ExpressionInfo(classOf[MinHashSig].getName, "min_hash_sig"),
-    (exprs: Seq[Expression]) => MinHashSig(exprs.head,
-      exprs(1).eval(null).asInstanceOf[Int]))
+    (exprs: Seq[Expression]) => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"min_hash_sig(tokens, k) takes 2 arguments, got ${exprs.length}")
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"min_hash_sig k must be an integer literal, got: ${other.sql}")
+      }
+      MinHashSig(exprs.head, k)
+    })
 
   /** runtime registration for an existing session (tests, notebooks) */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -28,9 +28,12 @@ object FilterOps {
     * (`filter_rrpm_by_taxid.py:33–36`: the writer is never constructed
     * for an empty result). */
   def writeFilteredCsv(df: DataFrame, target: String): Boolean = {
-    val any = !df.isEmpty
-    if (any) graft.io.CsvSink.writeSingleCsv(df, df.columns.toSeq, target)
-    any
+    val cached = df.cache() // one upstream execution for the probe + write
+    try {
+      val any = !cached.isEmpty
+      if (any) graft.io.CsvSink.writeSingleCsv(cached, df.columns.toSeq, target)
+      any
+    } finally cached.unpersist()
   }
 
   /** `filter_reports_by_taxid.py`: same filter over a folder of reports,

@@ -22,15 +22,19 @@ object Main {
       while (j < args.length && !args(j).startsWith("-")) { acc :+= args(j); j += 1 }
       (acc, j)
     }
+    def req(flag: String, at: Int, n: Int): Unit =
+      if (at + n > args.length || args.slice(at, at + n).exists(_.startsWith("-")))
+        throw new IllegalArgumentException(
+          s"$flag requires $n value(s); see -r -o -R -t -n usage")
     while (i < args.length) {
       args(i) match {
         case "-r" | "--reports" =>
           val (v, j) = values(i + 1); reports ++= v; i = j
-        case "-o" | "--output" => out = args(i + 1); i += 2
-        case "-R" | "--rank" => rank = args(i + 1); i += 2
-        case "-t" | "--tophits" => k = args(i + 1).toInt; i += 2
-        case "-n" | "--nc-group" =>
-          groups :+= (args(i + 1) -> args(i + 2)); i += 3
+        case f @ ("-o" | "--output") => req(f, i + 1, 1); out = args(i + 1); i += 2
+        case f @ ("-R" | "--rank") => req(f, i + 1, 1); rank = args(i + 1); i += 2
+        case f @ ("-t" | "--tophits") => req(f, i + 1, 1); k = args(i + 1).toInt; i += 2
+        case f @ ("-n" | "--nc-group") =>
+          req(f, i + 1, 2); groups :+= (args(i + 1) -> args(i + 2)); i += 3
         case other =>
           throw new IllegalArgumentException(s"unknown argument: $other")
       }
