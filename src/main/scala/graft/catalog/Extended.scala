@@ -212,6 +212,43 @@ object Extended {
       "date arithmetic: interval add, day diff, last_day, quarter trunc"),
 
     QueryDef(
+      "q39_explode",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("token"),
+      Some("""SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+              FROM documents)
+        GROUP BY token ORDER BY token"""),
+      "explode/unnest a tokenized column + re-aggregate"),
+
+    QueryDef(
+      "q40_rank_family",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+        percent_rank() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal, c_custkey) AS pr,
+        cume_dist() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal, c_custkey) AS cd,
+        ntile(4) OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer ORDER BY c_nationkey, c_custkey"""),
+      "percent_rank / cume_dist / ntile over a fully-deterministic order"),
+
+    QueryDef(
       "q29_regex_funcs",
       (s, dir) =>
         t(s, dir, "part")
