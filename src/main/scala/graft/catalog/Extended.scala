@@ -249,6 +249,29 @@ object Extended {
       "percent_rank / cume_dist / ntile over a fully-deterministic order"),
 
     QueryDef(
+      "q41_sql_grouping_sets",
+      (s, dir) => {
+        // the engine's SQL entry path: Catalyst parses/plans the statement
+        // (GROUPING SETS has no DataFrame-API equivalent)
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+            CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY g_status, g_prio,
+            o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio,
+          o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
+      "raw SQL entry path: GROUPING SETS + GROUPING() markers"),
+
+    QueryDef(
       "q29_regex_funcs",
       (s, dir) =>
         t(s, dir, "part")
