@@ -31,20 +31,19 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType. Read it as raw nanos (legacy long mapping) and
-    * truncate to microseconds — the same ns→µs truncation DuckDB applies
-    * in `CAST(ts AS TIMESTAMP)`, keeping both engines on identical values.
-    *
-    * Verify/Bench/Main set the legacy conf at session build; the set here
-    * is a fallback for caller-supplied sessions (e.g. the driver's entry()
-    * smoke session). Known tradeoff: it changes how OTHER nanos-typed
-    * parquet columns read for the rest of that session — the corpus has
-    * exactly one (events.ts).
+    * to TimestampType under schema inference. Supplying the read schema
+    * explicitly (ts as BIGINT raw nanos) sidesteps inference entirely — no
+    * session conf is touched, so caller-supplied sessions keep their own
+    * behavior for every other nanos-typed parquet column. The nanos are
+    * then truncated to microseconds — the same ns→µs truncation DuckDB
+    * applies in `CAST(ts AS TIMESTAMP)`, keeping both engines on identical
+    * values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/events.parquet")
+    spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

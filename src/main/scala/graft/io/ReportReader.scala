@@ -31,19 +31,37 @@ object ReportReader {
     * exact within a file; a single file large enough to split across tasks
     * makes within-file order best-effort — documented limitation.
     */
+  /** prefix of the verbatim-text twin each report column keeps alongside
+    * its typed value (K4 sink fidelity: the reference echoes raw
+    * DictReader strings — `modify_reports.py:95–140` — so `0.10` must
+    * round-trip as `0.10`, not `0.1`) */
+  val RawPrefix = "_raw_"
+
   def readReports(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val argIdx = paths.map(sampleIdOf).distinct.zipWithIndex
     val idxExpr = coalesce(
       element_at(map(argIdx.flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*),
         col(ReportSchema.Sample)),
       lit(Int.MaxValue))
+    // Scan as strings, then cast: each column exists both typed (canonical
+    // name, for all computation) and verbatim (RawPrefix twin, for sinks
+    // that must echo the input text). try_cast nulls malformed cells, the
+    // same behavior the PERMISSIVE typed scan had.
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      ReportSchema.schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name,
+          org.apache.spark.sql.types.StringType)))
     spark.read
       .option("sep", "\t")
       .option("header", "true")
       .option("comment", "#")
       .option("mode", "PERMISSIVE")
-      .schema(ReportSchema.schema)
+      .schema(rawSchema)
       .csv(paths: _*)
+      .select(ReportSchema.schema.fields.flatMap { f =>
+        Seq(col(f.name).try_cast(f.dataType).as(f.name),
+          col(f.name).as(s"$RawPrefix${f.name}"))
+      }.toSeq: _*)
       .withColumn(ReportSchema.Sample, sampleIdLastUnderscore(input_file_name()))
       .withColumn(RowId, monotonically_increasing_id())
       .withColumn(ArgIdx, idxExpr)

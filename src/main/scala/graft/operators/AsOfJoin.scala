@@ -39,8 +39,14 @@ object AsOfJoin {
       (keyCols.map(col) :+ col(leftTime).as("_t") :+ lit(1).as("_side")) ++
         rightVals.map(c => lit(null).as(s"_r_$c")) ++
         leftCols.filterNot(keyCols.contains).map(col): _*)
+    // (_t, _side) alone is not a total order: two right rows tied on
+    // (key, time) would make the carried values nondeterministic run to
+    // run. Break ties by the carried values themselves — the winner is the
+    // lexicographically-greatest (by rightVals order) of the tied right
+    // rows, deterministically. Left rows hold null in _r_* so their
+    // relative order among themselves stays irrelevant to the result.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t") +: col("_side") +: rightVals.map(c => col(s"_r_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .select((keyCols.map(col) ++ Seq(col("_t"), col("_side")) ++

@@ -81,9 +81,17 @@ object Synthesize {
       java.util.Locale.US)
     val ts = fmt.format(clock())
 
+    // Echo species rows VERBATIM when the scan kept raw-text twins
+    // (ReportReader.RawPrefix): the reference re-emits DictReader strings
+    // untouched (`modify_reports.py:95–140`), so `0.10` must not become
+    // `0.1`. Typed values are the fallback for caller-built frames.
+    val rawFirst = ReportSchema.schema.fieldNames.map { n =>
+      val raw = s"${graft.io.ReportReader.RawPrefix}$n"
+      if (speciesReports.columns.contains(raw)) col(raw).as(n) else col(n)
+    }
     val species = speciesReports.filter(col(ReportSchema.Rank) === "species")
       .orderBy(col(graft.io.ReportReader.OrderKey))
-      .select((ReportSchema.schema.fieldNames.map(col) :+ col("sample")).toSeq: _*)
+      .select((rawFirst :+ col("sample")).toSeq: _*)
       .collect()
       .groupBy(_.getAs[String]("sample"))
     val synthRows = synth.collect().groupBy(_.getAs[String]("sample"))
@@ -111,11 +119,10 @@ object Synthesize {
           r.getAs[String]("taxName")).mkString("\t")).append("\n")
       }
       species.getOrElse(sample, Array.empty).foreach { r =>
-        sb.append(Seq(r.getAs[Double]("pct"), r.getAs[Long]("reads"),
-          r.getAs[Long]("taxReads"), r.getAs[Long]("kmers"),
-          r.getAs[Double]("dup"), r.getAs[Double]("cov"),
-          r.getAs[Long]("taxID"), r.getAs[String]("rank"),
-          r.getAs[String]("taxName")).mkString("\t")).append("\n")
+        // raw-text rows echo verbatim; typed fallback rows stringify
+        sb.append(ReportSchema.schema.fieldNames
+          .map(n => String.valueOf(r.getAs[Any](n)))
+          .mkString("\t")).append("\n")
       }
       Files.writeString(Paths.get(path), sb.toString)
       path

@@ -28,7 +28,11 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
             Seq(accDef: NamedLambdaVariable, vDef: NamedLambdaVariable), _),
           finish)
-        if zero == 0.0 &&
+        // Bit-exact zero check: IEEE `==` accepts -0.0, but DotProduct folds
+        // from +0.0, and a fold seeded with -0.0 differs on the empty array
+        // (and flips the sign of an all-negative-zero sum). Only rewrite the
+        // literal +0.0 seed.
+        if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
           mx.exprId == zx.exprId && my.exprId == zy.exprId &&
           acc.exprId == accDef.exprId && v.exprId == vDef.exprId &&
           isIdentityFinish(finish) =>

@@ -28,7 +28,8 @@ object EventStreams {
 
   /** streaming twin of `Tables.events`: parquet dir → stream of typed rows */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The explicit LongType schema below bypasses nanos-timestamp schema
+    // inference, so no legacy session conf is needed.
     // FileStreamSource requires a directory: stream the table dir with a
     // glob pinned to the events file(s)
     spark.readStream

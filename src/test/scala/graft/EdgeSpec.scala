@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** Edge-case specs for the round-3 hardening fixes: DotProductRewrite
+  * seed-sign legality, AsOfJoin tie determinism, Tables.events conf
+  * isolation, raw-text sink fidelity. */
+class EdgeSpec extends SparkSuite {
+
+  test("DotProductRewrite does NOT fire on a -0.0 seed (sign-bit legality)") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq((Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(-0.0), (acc, v) => acc + v).as("dot"))
+    val rewritten = graft.plans.DotProductRewrite(hof.queryExecution.analyzed)
+    assert(!rewritten.toString.contains("dot_product"),
+      "rule must not rewrite a fold seeded with -0.0")
+    // the HOF itself keeps the negative zero: 1/-0.0 = -Inf
+    val v = hof.collect().head.getDouble(0)
+    assert(1.0 / v == Double.NegativeInfinity)
+  }
+
+  test("DotProductRewrite on empty arrays returns +0.0, same as the HOF") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq((Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+    val rewritten = graft.plans.DotProductRewrite(hof.queryExecution.analyzed)
+    assert(rewritten.toString.contains("dot_product"), "rule should fire on +0.0")
+    val viaRule = org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
+      .collect().head.getDouble(0)
+    val direct = hof.collect().head.getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(viaRule) ==
+      java.lang.Double.doubleToRawLongBits(direct), "must be bit-identical (+0.0)")
+  }
+
+  test("AsOfJoin: right rows tied on (key, time) resolve deterministically") {
+    val s2 = spark; import s2.implicits._
+    val left = Seq(("k", 5L, "probe")).toDF("key", "lt", "payload")
+    // two right rows at the SAME (key, time) but different carried values;
+    // shuffled input order must not change the winner
+    val right = Seq(("k", 5L, "beta"), ("k", 5L, "alpha"), ("k", 3L, "old"))
+      .toDF("key", "rt", "v").repartition(4)
+    val results = (1 to 5).map { _ =>
+      AsOfJoin.asofBackward(left, right, Seq("key"), "lt", "rt", Seq("v"))
+        .collect().head.getAs[String]("asof_v")
+    }
+    // lexicographically-greatest tied value wins, every run
+    assert(results.toSet == Set("beta"), s"nondeterministic tie: $results")
+  }
+
+  test("Tables.events reads nanos without mutating the session conf") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    val before = spark.conf.getOption(key) // registered default ("false")
+    val df = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.count() > 0)
+    assert(spark.conf.getOption(key) == before,
+      "events read must not flip the legacy nanos conf on the session")
+  }
+
+  test("synthesized reports echo species-row text VERBATIM (K4 fidelity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_raw")
+    // trailing-zero decimals that a double round-trip would mangle
+    java.nio.file.Files.writeString(dir.resolve("RW_L1_report.tsv"),
+      "%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName\n" +
+        "0.10\t30\t30\t300\t1.50\t0.50\t10\tspecies\tEcoli\n")
+    java.nio.file.Files.writeString(dir.resolve("d.tsv"), "RW_L1_x\ty\t100\n")
+    java.nio.file.Files.writeString(dir.resolve("r.tsv"), "ZZ_x\ty\t5\n")
+    val species = graft.io.ReportReader.readReports(spark,
+      Seq(dir.resolve("RW_L1_report.tsv").toString))
+    val totals = graft.ops.Synthesize.totalReads(spark,
+      dir.resolve("d.tsv").toString, dir.resolve("r.tsv").toString)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_raw_out").toString
+    val written = graft.ops.Synthesize.writeCompleteReports(
+      spark, species, totals, outDir)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(written.head))
+    val speciesLine = (0 until lines.size).map(lines.get)
+      .find(_.endsWith("\tEcoli")).get
+    assert(speciesLine == "0.10\t30\t30\t300\t1.50\t0.50\t10\tspecies\tEcoli",
+      s"species row not verbatim: $speciesLine")
+  }
+}
