@@ -74,24 +74,49 @@ class CatalogSpec extends SparkSuite {
       s"recall ${lsh.size}/${exact.size} below 0.9")
   }
 
-  test("e2 ANN recall vs e1 brute force is meaningful") {
-    val ann = SparkEntry.queries("e2_ann_lsh")(spark, sf)
+  private def recallVsExact(name: String, dir: String): Double = {
+    val ann = SparkEntry.queries(name)(spark, dir)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
-    val exact = SparkEntry.queries("e1_cosine_topk")(spark, sf)
+    val exact = SparkEntry.queries("e1_cosine_topk")(spark, dir)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
-    // LSH with 8 hyperplanes on 64-dim data: expect partial but nonzero
-    // agreement; the point is the bucket machinery, not exact recall
-    assert(ann.nonEmpty)
-    assert((ann & exact).nonEmpty, "ANN found none of the true top-k")
+    assert(exact.nonEmpty)
+    (ann & exact).size.toDouble / exact.size
   }
 
-  test("e3 IVF cells partition the corpus and re-rank finds neighbors") {
-    val ivf = SparkEntry.queries("e3_ann_ivf")(spark, sf)
-      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
-    assert(ivf.nonEmpty)
-    val exact = SparkEntry.queries("e1_cosine_topk")(spark, sf)
-      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
-    assert((ivf & exact).nonEmpty, "IVF found none of the true top-k")
+  test("e2 ANN recall vs e1 brute force >= pinned floor at two scales") {
+    // measured 0.458 at both sf0.001 and sf0.01 with 8 tables x 6 planes
+    // (splitmix64 hyperplanes); floor set with margin so an LSH regression
+    // (correlated planes, broken bucketing) fails loudly
+    assert(recallVsExact("e2_ann_lsh", sf) >= 0.30)
+    assert(recallVsExact("e2_ann_lsh", "/root/testdata/sf0.01") >= 0.30)
+  }
+
+  test("e3 IVF multi-probe recall vs e1 >= pinned floor at two scales") {
+    // measured 0.583 (sf0.001) and 0.292 (sf0.01) with C=16, nprobe=4.
+    // The corpus embeddings are ~uniform random — no cluster structure —
+    // so IVF recall tends toward nprobe/C as n grows; the floors pin the
+    // machinery (cell assignment + multi-probe + re-rank), not the data.
+    assert(recallVsExact("e3_ann_ivf", sf) >= 0.40)
+    assert(recallVsExact("e3_ann_ivf", "/root/testdata/sf0.01") >= 0.20)
+  }
+
+  test("q21 HLL estimate is within 2x the default rsd of the exact count") {
+    // approx_count_distinct default rsd = 0.05; measured rel err ~0.026
+    // at sf0.001 and sf0.01
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val approx = SparkEntry.queries("q21_approx_distinct")(spark, dir)
+        .collect().map(r => r.getAs[String]("l_returnflag")
+          -> r.getAs[Long]("approx_parts")).toMap
+      val exact = graft.catalog.Tables.t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact"))
+        .collect().map(r => r.getAs[String]("l_returnflag")
+          -> r.getAs[Long]("exact")).toMap
+      exact.foreach { case (flag, ex) =>
+        val relErr = math.abs(approx(flag).toDouble / ex - 1.0)
+        assert(relErr <= 0.10, s"$dir flag=$flag relErr=$relErr > 0.10")
+      }
+    }
   }
 
   test("d8 simhash: near-identical docs have small hamming distance") {
