@@ -285,6 +285,29 @@ object Extended {
         regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
         FROM part WHERE regexp_matches(p_type, '^(ECONOMY|SMALL)')
         ORDER BY p_partkey"""),
-      "regex predicate + extract + global replace (P4 generalization)")
+      "regex predicate + extract + global replace (P4 generalization)"),
+
+    QueryDef(
+      "q42_salted_skew_agg",
+      (s, dir) => {
+        // l_returnflag has 3 values over the whole table — the textbook
+        // hot-key aggregation. The two-phase salted plan bounds every
+        // reducer at ~|table|/nSalts rows where a plain groupBy sends a
+        // third of the table to one reducer. DECIMAL partials keep the
+        // two-phase sum exact (associative), so the result is bit-equal
+        // to the single-phase oracle.
+        val src = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast(DecimalType(12, 2)).as("_q"))
+        graft.operators.SaltedAgg.saltedSum(
+            src, Seq("l_returnflag"), "_q", "qty_sum", nSalts = 32)
+          .select(col("l_returnflag"), col("qty_sum").cast("double").as("qty_sum"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "two-phase salted aggregation over a 3-value hot key, oracle-equal " +
+        "to the plain sum (skew mitigation AQE does not cover)")
   )
 }

@@ -36,6 +36,26 @@ object FilterOps {
     } finally cached.unpersist()
   }
 
+  /** K3, stdout channel: the reference writes the filtered CSV to STDOUT
+    * (`filter_rrpm_by_taxid.py:33–36` — "where it can be directed into a
+    * file"), emitting nothing at all on an empty result. Routed through
+    * the same single-CSV sink so quoting/stringification stay identical,
+    * then streamed to `out`. Returns true iff anything was emitted. */
+  def printFilteredCsv(df: DataFrame, out: java.io.PrintStream = System.out): Boolean = {
+    val cached = df.cache()
+    try {
+      val any = !cached.isEmpty
+      if (any) {
+        val tmp = java.nio.file.Files.createTempFile("graft_k3_stdout", ".csv")
+        try {
+          graft.io.CsvSink.writeSingleCsv(cached, df.columns.toSeq, tmp.toString)
+          java.nio.file.Files.lines(tmp).forEach(l => out.println(l))
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+      any
+    } finally cached.unpersist()
+  }
+
   /** `filter_reports_by_taxid.py`: same filter over a folder of reports,
     * with `sampleName` = FIRST underscore token of the file name (F6 —
     * deliberately different from the main tool's rule) prepended.

@@ -9,7 +9,16 @@ import org.apache.spark.sql.SparkSession
   *     [-o results] [-R species] [-t 15] [-n CONTROL GROUP]…
   */
 object Main {
+
+  /** engine version, reported by -v/--version (`bigbugdata.py:413–418`) */
+  val Version = "0.3.0"
+
   def main(args: Array[String]): Unit = {
+    // argparse's version action fires before any other validation
+    if (args.contains("-v") || args.contains("--version")) {
+      println(s"bigbugdata-spark $Version")
+      return
+    }
     var reports = Vector.empty[String]
     var out = "results"
     var rank = "species"

@@ -98,6 +98,35 @@ class OpsSpec extends SparkSuite {
       "empty filter result must not produce a file (not even a header)")
   }
 
+  test("printFilteredCsv: stdout channel emits header+rows, or nothing (K3)") {
+    import spark.implicits._
+    val df = Seq((10L, "x"), (30L, "z")).toDF("taxID", "v")
+    val buf = new java.io.ByteArrayOutputStream()
+    val out = new java.io.PrintStream(buf, true, "UTF-8")
+    assert(FilterOps.printFilteredCsv(df, out))
+    assert(buf.toString("UTF-8") == "taxID,v\n10,x\n30,z\n")
+    val empty = new java.io.ByteArrayOutputStream()
+    assert(!FilterOps.printFilteredCsv(
+      df.filter(org.apache.spark.sql.functions.col("taxID") === 999),
+      new java.io.PrintStream(empty, true, "UTF-8")))
+    assert(empty.size() == 0, "empty result must emit nothing, not even a header")
+  }
+
+  test("CLI -v/--version prints the version and exits cleanly") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      graft.pipeline.Main.main(Array("--version"))
+    }
+    assert(buf.toString("UTF-8").trim ==
+      s"bigbugdata-spark ${graft.pipeline.Main.Version}")
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2, true, "UTF-8")) {
+      graft.pipeline.Main.main(Array("-v"))
+    }
+    assert(buf2.toString("UTF-8").trim ==
+      s"bigbugdata-spark ${graft.pipeline.Main.Version}")
+  }
+
   test("filterReportsByTaxids: first-token sampleName + semi join") {
     val dir = Files.createTempDirectory("graft_frep")
     Files.writeString(dir.resolve("AB_CD_species-level-report.tsv"),
