@@ -98,27 +98,19 @@ object Approx {
 
     QueryDef(
       "d8_simhash",
-      (s, dir) => {
-        // 64-bit simhash: bit j is set iff the sum over tokens of
-        // (+1 if token-hash bit j set, else -1) is positive. The per-bit
-        // expressions are generated at plan-build time (j is a Scala Int),
-        // so the whole signature stays one codegen'd projection.
-        val simhash = (0 until 64).map { j =>
-          val bitSum = aggregate(col("hashes"), lit(0L), (cnt, h) =>
-            cnt + (shiftrightunsigned(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-          when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b))
+      (s, dir) =>
+        // 64-bit simhash: bit j is set iff the sum over distinct tokens of
+        // (+1 if token-hash bit j set, else -1) is positive — computed by
+        // the compiled SimHashSig expression in one pass per document
+        // (the 64-HOF formulation needed a cache barrier and still cost
+        // 2.6 s at sf0.1; see SimHashSig).
         t(s, dir, "documents")
-          .select(col("doc_id"), toks(col("text")).as("tk"))
-          // cache barrier: stops the per-token hash array from being
-          // inlined (and recomputed) into each of the 64 bit expressions
-          .withColumn("hashes", transform(array_distinct(col("tk")), w => xxhash64(w)))
-          .select("doc_id", "hashes").cache()
-          .select(col("doc_id"), simhash.as("simhash"))
-          .orderBy("doc_id")
-      },
+          .select(col("doc_id"),
+            graft.functions.SimHashSig.sim_hash_sig(
+              array_distinct(toks(col("text")))).as("simhash"))
+          .orderBy("doc_id"),
       None,
-      "SimHash 64-bit signature per document"),
+      "SimHash 64-bit signature per document (compiled one-pass Expression)"),
 
     QueryDef(
       "e2_ann_lsh",

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashDesc)
     ext.injectFunction(GraftExtensions.minHashSigDesc)
+    ext.injectFunction(GraftExtensions.simHashSigDesc)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
@@ -46,11 +47,16 @@ object GraftExtensions {
       MinHashSig(exprs.head, k)
     })
 
+  val simHashSigDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sim_hash_sig"),
+    new ExpressionInfo(classOf[SimHashSig].getName, "sim_hash_sig"),
+    (exprs: Seq[Expression]) => SimHashSig(exprs.head))
+
   /** runtime registration for an existing session (tests, notebooks) */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(rollingHashDesc, minHashSigDesc).foreach { case (id, info, builder) =>
-      reg.registerFunction(id, info, builder)
+    Seq(rollingHashDesc, minHashSigDesc, simHashSigDesc).foreach {
+      case (id, info, builder) => reg.registerFunction(id, info, builder)
     }
   }
 }

@@ -6,14 +6,20 @@ import graft.operators.SaltedAgg
 
 class ExtensionsSpec extends SparkSuite {
 
-  test("SQL callers can use rolling_hash / min_hash_sig after registration") {
+  test("SQL callers can use rolling_hash / min_hash_sig / sim_hash_sig " +
+      "after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT rolling_hash('hello') AS h,
-                min_hash_sig(array('a','b','c'), 8) AS sig""").collect().head
+                min_hash_sig(array('a','b','c'), 8) AS sig,
+                sim_hash_sig(array('a','b','c')) AS sh""").collect().head
     val direct = graft.functions.RollingHash.hashBytes("hello".getBytes("UTF-8"))
     assert(r.getAs[Long]("h") == direct)
     assert(r.getAs[scala.collection.Seq[Long]]("sig").length == 8)
+    val viaCol = spark.sql("SELECT array('a','b','c') AS t")
+      .select(graft.functions.SimHashSig.sim_hash_sig(col("t")))
+      .collect().head.getLong(0)
+    assert(r.getAs[Long]("sh") == viaCol)
   }
 
   test("DotProductRewrite: HOF dot-product idiom becomes the compiled " +
@@ -31,6 +37,27 @@ class ExtensionsSpec extends SparkSuite {
       s"rule did not fire:\n${hof.queryExecution.analyzed}")
     val viaRule = org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
     assert(viaRule.collect().map(_.getDouble(0)).toSeq == expected)
+  }
+
+  test("SimHashSig matches the per-bit HOF reference formulation exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        array_distinct(split(trim(lower(col("text"))), " +")).as("tk"))
+      .withColumn("hashes", transform(col("tk"), w => xxhash64(w)))
+      .cache()
+    val hofSim = (0 until 64).map { j =>
+      val bitSum = aggregate(col("hashes"), lit(0L), (cnt, h) =>
+        cnt + (shiftrightunsigned(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val both = docs.select(col("doc_id"),
+      hofSim.as("ref"),
+      graft.functions.SimHashSig.sim_hash_sig(col("tk")).as("got"))
+      .collect()
+    docs.unpersist()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: ref=${r.getLong(1)} got=${r.getLong(2)}"))
   }
 
   test("salted aggregation equals plain aggregation on skewed data") {
