@@ -19,6 +19,47 @@ object TextDocs {
 
   private val stopEn = Seq("the", "a", "of", "and", "in", "to")
 
+  /** shared by d6 (pairs) and d11 (clusters): exact 3-shingle Jaccard
+    * near-dup pairs over the bounded doc_id slice, with their shingle
+    * universe (`d`) for singleton handling */
+  private def ngramPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // tokens materialized before the shingle lambda (else the split()
+    // is inlined into every element_at — see SCALE.md HOF discipline);
+    // result is identical, only the plan changes
+    val tokens = t(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id"), toks(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .cache()
+    val d = tokens.select(col("doc_id"),
+      Approx.shinglesOfTokens(col("tok")).as("sh")).cache()
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+      .filter(col("jaccard") >= 0.02)
+      .select("id_a", "id_b", "jaccard")
+    (d, pairs)
+  }
+
+  /** d6's oracle CTE, shared verbatim by d11's oracle */
+  private val ngramPairsSql = """WITH d AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(string_split_regex(trim(text), ' +')) - 1),
+            i -> string_split_regex(trim(text), ' +')[i] || ' ' ||
+                 string_split_regex(trim(text), ' +')[i+1] || ' ' ||
+                 string_split_regex(trim(text), ' +')[i+2])) AS sh
+          FROM documents
+          WHERE doc_id < 150 AND len(string_split_regex(trim(text), ' +')) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.02)"""
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -156,42 +197,40 @@ object TextDocs {
 
     QueryDef(
       "d6_ngram_jaccard",
-      (s, dir) => {
-        // tokens materialized before the shingle lambda (else the split()
-        // is inlined into every element_at — see SCALE.md HOF discipline);
-        // result is identical, only the plan changes
-        val tokens = t(s, dir, "documents").filter(col("doc_id") < 150)
-          .select(col("doc_id"), toks(col("text")).as("tok"))
-          .filter(size(col("tok")) >= 3)
-          .cache()
-        val d = tokens.select(col("doc_id"),
-          Approx.shinglesOfTokens(col("tok")).as("sh")).cache()
-        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        a.join(b, col("id_a") < col("id_b"))
-          .withColumn("jaccard",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-              / size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
-          .filter(col("jaccard") >= 0.02)
-          .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
-      },
-      Some("""WITH d AS (
-          SELECT doc_id, list_distinct(list_transform(
-            range(1, len(string_split_regex(trim(text), ' +')) - 1),
-            i -> string_split_regex(trim(text), ' +')[i] || ' ' ||
-                 string_split_regex(trim(text), ' +')[i+1] || ' ' ||
-                 string_split_regex(trim(text), ' +')[i+2])) AS sh
-          FROM documents
-          WHERE doc_id < 150 AND len(string_split_regex(trim(text), ' +')) >= 3)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-        FROM d a JOIN d b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.02
-        ORDER BY id_a, id_b"""),
+      (s, dir) => ngramPairs(s, dir)._2.orderBy("id_a", "id_b"),
+      Some(s"""$ngramPairsSql
+        SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"""),
       "n-gram (3-token shingle) Jaccard near-dup pairs on a bounded id slice"),
+
+    QueryDef(
+      "d11_dedup_clusters",
+      (s, dir) => {
+        // pairs → components → cluster id = min doc_id, representative =
+        // the min itself. This is the step that turns pairwise near-dup
+        // evidence into "keep one doc per cluster" (see
+        // operators/ConnectedComponents for the iteration).
+        val (d, pairs) = ngramPairs(s, dir)
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        val nodes = d.select(col("doc_id").as("node"))
+        graft.operators.ConnectedComponents.minLabel(nodes, edges)
+          .select(col("node").as("doc_id"), col("cluster").as("cluster_id"),
+            (col("cluster") === col("node")).as("is_rep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${ngramPairsSql.stripPrefix("WITH ")},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+          (MIN(lbl) = node) AS is_rep
+        FROM reach GROUP BY node ORDER BY doc_id"""),
+      "near-dup clusters: min-label connected components over the d6 " +
+        "pair graph (the pairs->clusters->representative dedup step)"),
 
     QueryDef(
       "mm1_binary_meta",

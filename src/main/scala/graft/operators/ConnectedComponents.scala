@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by minimum-label propagation — the step AFTER
+  * pairwise near-dup detection in a dedup pipeline: pairs → clusters →
+  * one representative per cluster.
+  *
+  * Each iteration every node takes the minimum label among itself and its
+  * neighbors; convergence is reached in O(component diameter) iterations.
+  * Near-dup components are shallow (dups of a common source), so the
+  * iteration count stays small even at corpus scale. All per-iteration
+  * work is distributed (join + groupBy on the edge list); the driver only
+  * steers the loop and checks the changed-row count. `localCheckpoint`
+  * truncates the lineage each round — without it the plan doubles per
+  * iteration.
+  *
+  * At 100 TB with adversarial (high-diameter) graphs, the alternating
+  * large-star/small-star algorithm (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond") converges in O(log²) rounds with the same
+  * join-shaped building blocks; min-label propagation is the right
+  * default for the shallow components dedup actually produces.
+  */
+object ConnectedComponents {
+
+  /** @param nodes single column `node` — every vertex (singletons kept)
+    * @param edges columns `src`, `dst` — undirected (symmetrized here)
+    * @return columns `node`, `cluster` (= min node id reachable)
+    */
+  def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = nodes.select(col("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("_nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(labels("node"),
+          least(col("cluster"), coalesce(col("_nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster", "_old"), Seq("node"))
+        .filter(col("cluster") =!= col("_old")).count()
+      labels = next
+      done = changed == 0L
+      it += 1
+    }
+    require(done, s"connected components did not converge in $maxIter iterations")
+    labels
+  }
+}

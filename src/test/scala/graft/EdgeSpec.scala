@@ -64,6 +64,18 @@ class EdgeSpec extends SparkSuite {
       "events read must not flip the legacy nanos conf on the session")
   }
 
+  test("ConnectedComponents: chain, pair, and singleton resolve to min labels") {
+    val s2 = spark; import s2.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 iteration), pair 10-11,
+    // singleton 20 (no edges at all)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("node")
+    val got = graft.operators.ConnectedComponents.minLabel(nodes, edges)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("synthesized reports echo species-row text VERBATIM (K4 fidelity)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_raw")
     // trailing-zero decimals that a double round-trip would mangle

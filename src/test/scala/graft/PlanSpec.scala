@@ -37,6 +37,27 @@ class PlanSpec extends SparkSuite {
       "bucket join must be an equi join on (band, band_key)")
   }
 
+  test("q42: salted aggregation plans as two aggregate exchanges, " +
+      "neither keyed on the hot key alone") {
+    val p = plan("q42_salted_skew_agg")
+    // phase 1 shuffles on (l_returnflag, _salt) — 3×32 reducers; phase 2
+    // merges the 96 partials. A plain groupBy would put a third of the
+    // table on one reducer.
+    assert(p.contains("_salt"), "salt column must appear in the plan")
+    val saltedShuffles = "hashpartitioning\\([^)]*_salt".r.findAllIn(p).size
+    val plainShuffles = "hashpartitioning\\(l_returnflag[^,]*, \\d".r.findAllIn(p).size
+    assert(saltedShuffles >= 1, s"phase-1 shuffle must carry the salt:\n$p")
+    assert(plainShuffles >= 1, s"phase-2 shuffle merges per hot key:\n$p")
+  }
+
+  test("e2/e3: ANN candidate joins are hash joins, never nested loops") {
+    for (q <- Seq("e2_ann_lsh", "e3_ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q candidate generation must be an equi join:\n$p")
+    }
+  }
+
   test("pivot with explicit values runs as a single aggregate pass " +
       "(no distinct-collection job)") {
     val q = SparkEntry.queries("q17_pivot")(spark, sf)
