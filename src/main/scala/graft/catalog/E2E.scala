@@ -46,8 +46,9 @@ object E2E {
 
   /** fixed output dir for the sink round-trip queries: Verify runs the
     * Spark side (which writes the CSVs here) before the driver evaluates
-    * the oracle SQL, so the path only needs to be stable within a run */
-  private val sinkDir = "/tmp/graft_e2e_sink"
+    * the oracle SQL, so the path must survive until the DuckDB compare —
+    * the repo's gitignored target/ is safer than /tmp */
+  private val sinkDir = "/root/repo/target/graft_e2e_sink"
 
   /** run the REAL sink path (K1/K2/F9: pivot wide, fixed header, single
     * CSV file) and read the produced file back as all-string columns —
