@@ -67,6 +67,25 @@ class PlanSpec extends SparkSuite {
       || q.columns.toSeq == Seq("day", "click", "error", "purchase", "signup", "view"))
   }
 
+  test("partitioned layout: a partition-key predicate prunes at plan time " +
+      "and never reaches the row filter") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    graft.catalog.Tables.t(spark, sf, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"partition predicate must prune directories, not filter rows:\n$p")
+    // the scan must touch only the one matching partition directory
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(1), s"expected 1 selected partition, got $scanned")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
     val wh = Files.createTempDirectory("graft_wh")
     val s2 = spark

@@ -82,6 +82,35 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("asof join with carried value: tied right rows yield the " +
+      "lexicographically-greatest value, deterministically") {
+    val rowsGen = Gen.zip(Gen.listOfN(8, Gen.choose(0L, 20L)),
+      Gen.listOfN(16, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0, 5))))
+    forSamples(rowsGen, 10) { case (leftTs, rightRows) =>
+      val s2 = spark; import s2.implicits._
+      val left = leftTs.zipWithIndex
+        .map { case (t, i) => (i.toLong, 1L, t) }.toDF("id", "k", "lt")
+      val right = rightRows.map { case (t, v) => (1L, t, s"v$v") }
+        .toDF("k", "rt", "v").repartition(4)
+      val got = graft.operators.AsOfJoin
+        .asofBackward(left, right, Seq("k"), "lt", "rt", Seq("v"))
+        .collect()
+        .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("asof_v")))
+        .toMap
+      leftTs.zipWithIndex.foreach { case (t, i) =>
+        val eligible = rightRows.filter(_._1 <= t)
+        val expect =
+          if (eligible.isEmpty) None
+          else {
+            val tMax = eligible.map(_._1).max
+            // deterministic tie resolution: greatest carried value wins
+            Some(eligible.filter(_._1 == tMax).map(r => s"v${r._2}").max)
+          }
+        assert(got(i.toLong) == expect, s"left ts $t: got ${got(i.toLong)}")
+      }
+    }
+  }
+
   test("asof join: attached time is the max right time <= left time") {
     val tsGen = Gen.zip(Gen.listOfN(12, Gen.choose(0L, 1000L)),
       Gen.listOfN(12, Gen.choose(0L, 1000L)))
