@@ -11,34 +11,45 @@ import graft.pipeline.BigBugData
   */
 object StressPipeline {
   def main(args: Array[String]): Unit = {
-    val nSamples = if (args.length > 0) args(0).toInt else 100
-    val nTaxa = if (args.length > 1) args(1).toInt else 2000
+    // either "N_SAMPLES N_TAXA" (self-generated corpus) or a directory of
+    // *_report.tsv files (shared corpus from tools/gen_stress_corpus.py,
+    // for the engine-vs-reference head-to-head)
+    val fromDir = args.headOption.filter(a => new java.io.File(a).isDirectory)
+    val nSamples = if (fromDir.isEmpty && args.length > 0) args(0).toInt else 100
+    val nTaxa = if (fromDir.isEmpty && args.length > 1) args(1).toInt else 2000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = Files.createTempDirectory("graft_stress")
-    val rnd = new scala.util.Random(42)
-    val t0 = System.nanoTime()
-    val paths = (0 until nSamples).map { i =>
-      val sb = new StringBuilder
-      sb.append("# synthetic\n# stress\n")
-      sb.append("%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName\n")
-      sb.append(s"40.0\t4000000\t4000000\t0\t0\t0\t0\tunclassified\tunclassified\n")
-      sb.append(s"60.0\t6000000\t6000000\t100\t0\t0\t1\troot\troot\n")
-      // each sample sees ~60% of the taxa universe
-      (10 until 10 + nTaxa).foreach { taxId =>
-        if (rnd.nextDouble() < 0.6) {
-          val reads = rnd.nextInt(5000) + 1
-          sb.append(s"0.1\t$reads\t$reads\t${reads * 7}\t1.0\t0.5\t$taxId\tspecies\tTax $taxId\n")
+    val paths = fromDir match {
+      case Some(d) =>
+        new java.io.File(d).listFiles()
+          .map(_.getPath).filter(_.endsWith("_report.tsv")).sorted.toSeq
+      case None =>
+        val dir = Files.createTempDirectory("graft_stress")
+        val rnd = new scala.util.Random(42)
+        val t0 = System.nanoTime()
+        val ps = (0 until nSamples).map { i =>
+          val sb = new StringBuilder
+          sb.append("# synthetic\n# stress\n")
+          sb.append("%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName\n")
+          sb.append(s"40.0\t4000000\t4000000\t0\t0\t0\t0\tunclassified\tunclassified\n")
+          sb.append(s"60.0\t6000000\t6000000\t100\t0\t0\t1\troot\troot\n")
+          // each sample sees ~60% of the taxa universe
+          (10 until 10 + nTaxa).foreach { taxId =>
+            if (rnd.nextDouble() < 0.6) {
+              val reads = rnd.nextInt(5000) + 1
+              sb.append(s"0.1\t$reads\t$reads\t${reads * 7}\t1.0\t0.5\t$taxId\tspecies\tTax $taxId\n")
+            }
+          }
+          val p = dir.resolve(f"SAMPLE_${i}%04d_report.tsv")
+          Files.writeString(p, sb.toString)
+          p.toString
         }
-      }
-      val p = dir.resolve(f"SAMPLE_${i}%04d_report.tsv")
-      Files.writeString(p, sb.toString)
-      p.toString
+        println(f"[stress] wrote $nSamples reports in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        ps
     }
-    println(f"[stress] wrote $nSamples reports in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     val outDir = Files.createTempDirectory("graft_stress_out").toString
     val t1 = System.nanoTime()
@@ -48,7 +59,8 @@ object StressPipeline {
     val dt = (System.nanoTime() - t1) / 1e9
     val gridRows = out.combined.count()
     val topRows = out.tophits.count()
-    println(f"[stress] pipeline: $nSamples samples x $nTaxa taxa -> " +
+    val sActual = out.orderedSamples.size
+    println(f"[stress] pipeline: $sActual samples x ${gridRows / sActual} taxa -> " +
       f"$gridRows dense cells, $topRows tophits, 3 CSVs in $dt%.1f s")
     val combinedSize = Files.size(Paths.get(s"$outDir/combined_species.csv"))
     println(f"[stress] combined_species.csv = ${combinedSize / 1024} KiB")
