@@ -111,6 +111,45 @@ object TextDocs {
       "BPE-ish regex token counting (word pieces + punctuation singles)"),
 
     QueryDef(
+      "d12_seq_pack",
+      (s, dir) => {
+        // sequence packing for LLM training: assign each document wholly
+        // to a fixed-token-budget pack. Scale shape: documents are first
+        // sharded (pmod of doc_id — at 100 TB this is the partition key),
+        // then packed INDEPENDENTLY per shard with a windowed running
+        // token total — no global window, no single-reducer sort. A doc
+        // lands in the pack its predecessor total points at
+        // (concat-and-assign semantics; docs are never split).
+        val Budget = 512L; val Shards = 8L
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            pmod(col("doc_id"), lit(Shards)).as("shard"),
+            size(toks(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            (col("shard") * 1000000L + floor(col("tok_before") / Budget))
+              .as("pack_id"),
+            pmod(col("tok_before"), lit(Budget)).as("pack_offset"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, doc_id % 8 AS shard,
+          CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          (doc_id % 8) * 1000000 + CAST(FLOOR(CAST(COALESCE(SUM(len($toksSql))
+              OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            / 512) AS BIGINT) AS pack_id,
+          CAST(COALESCE(SUM(len($toksSql)) OVER (PARTITION BY doc_id % 8
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            % 512 AS pack_offset
+        FROM documents ORDER BY doc_id"""),
+      "sequence packing: shard -> windowed running token total -> " +
+        "fixed-budget pack assignment (concat-and-assign, docs unsplit)"),
+
+    QueryDef(
       "d3_quality_score",
       (s, dir) => {
         val tk = toks(col("text"))
