@@ -31,7 +31,9 @@ object E2E {
   val reportsDir = "/root/repo/data/e2e_reports"
 
   private def reportPaths: Seq[String] = {
-    val files = new java.io.File(reportsDir).listFiles()
+    val files = Option(new java.io.File(reportsDir).listFiles())
+      .getOrElse(throw new IllegalStateException(
+        s"e2e corpus not found at $reportsDir (checked into the repo)"))
     files.map(_.getPath).filter(_.endsWith("_report.tsv")).sorted.toSeq
   }
 

@@ -49,7 +49,8 @@ object FilterOps {
         val tmp = java.nio.file.Files.createTempFile("graft_k3_stdout", ".csv")
         try {
           graft.io.CsvSink.writeSingleCsv(cached, df.columns.toSeq, tmp.toString)
-          java.nio.file.Files.lines(tmp).forEach(l => out.println(l))
+          val lines = java.nio.file.Files.lines(tmp)
+          try lines.forEach(l => out.println(l)) finally lines.close()
         } finally java.nio.file.Files.deleteIfExists(tmp)
       }
       any
