@@ -52,10 +52,19 @@ object StressPipeline {
     }
 
     val outDir = Files.createTempDirectory("graft_stress_out").toString
-    val t1 = System.nanoTime()
-    val out = BigBugData.write(spark, BigBugData.Params(
+    val params = BigBugData.Params(
       paths, outDir, nTophits = 15,
-      groupPatterns = Seq(("SAMPLE_0000", "SAMPLE_00"))))
+      groupPatterns = Seq(("SAMPLE_0000", "SAMPLE_00")))
+    // split timing: distributed pipeline (through the noop sink, so every
+    // stage executes) vs the single-file wide-CSV sink concession
+    val tB = System.nanoTime()
+    val built = BigBugData.build(spark, params)
+    built.rrpm.write.format("noop").mode("overwrite").save()
+    built.tophits.write.format("noop").mode("overwrite").save()
+    val dtBuild = (System.nanoTime() - tB) / 1e9
+    println(f"[stress] distributed stages (noop-materialized): $dtBuild%.1f s")
+    val t1 = System.nanoTime()
+    val out = BigBugData.write(spark, params)
     val dt = (System.nanoTime() - t1) / 1e9
     val gridRows = out.combined.count()
     val topRows = out.tophits.count()
