@@ -150,6 +150,32 @@ object TextDocs {
         "fixed-budget pack assignment (concat-and-assign, docs unsplit)"),
 
     QueryDef(
+      "d13_source_quota",
+      (s, dir) => {
+        // corpus balancing: cap each source's contribution at Q documents,
+        // keeping the longest first (deterministic doc_id tiebreak). One
+        // window per source partition — the shuffle key is `source`, group
+        // size is a single source's documents, and only Q survivors per
+        // source leave the stage.
+        val Q = 40
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("pick_rank", row_number().over(w).cast("long"))
+          .filter(col("pick_rank") <= Q)
+          .orderBy("source", "pick_rank")
+      },
+      Some("""SELECT doc_id, source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) AS pick_rank
+        FROM documents QUALIFY pick_rank <= 40
+        ORDER BY source, pick_rank"""),
+      "per-source quota sampling: keep top-Q docs per source by length " +
+        "(corpus balancing for training mixes)"),
+
+    QueryDef(
       "d3_quality_score",
       (s, dir) => {
         val tk = toks(col("text"))
