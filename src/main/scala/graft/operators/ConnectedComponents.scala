@@ -39,16 +39,16 @@ object ConnectedComponents {
     while (!done && it < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("cluster")).as("_nbr_min"))
+      // carry the previous label through the checkpoint so convergence
+      // detection is a filter over the materialized frame, not another join
       val next = labels
         .join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(labels("node"),
+        .select(labels("node"), col("cluster").as("_old"),
           least(col("cluster"), coalesce(col("_nbr_min"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("cluster", "_old"), Seq("node"))
-        .filter(col("cluster") =!= col("_old")).count()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("_old")).count()
+      labels = next.drop("_old")
       done = changed == 0L
       it += 1
     }
