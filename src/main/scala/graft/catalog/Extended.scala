@@ -308,6 +308,41 @@ object Extended {
         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       "two-phase salted aggregation over a 3-value hot key, oracle-equal " +
-        "to the plain sum (skew mitigation AQE does not cover)")
+        "to the plain sum (skew mitigation AQE does not cover)"),
+
+    QueryDef(
+      "q44_native_topk",
+      (s, dir) => {
+        // the engine's whole-operator extension tier (§7.3 (c)): a custom
+        // LogicalPlan + SparkStrategy + physical bounded-heap operator,
+        // same query shape and oracle as q8's window formulation. The
+        // strategy is registered per-session here so caller-supplied
+        // sessions (Verify/Bench) get it without builder config.
+        if (!s.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+          s.experimental.extraStrategies =
+            s.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+        import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+        val o = Tables.t(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+        val plan = o.queryExecution.analyzed
+        def a(n: String) = plan.output.find(_.name == n).get
+        val topk = graft.plans.TopKPerKey(
+          keys = Seq(a("o_custkey")),
+          order = Seq(SortOrder(a("o_totalprice"), Descending),
+            SortOrder(a("o_orderkey"), Ascending)),
+          k = 3, child = plan)
+        org.apache.spark.sql.GraftBridge.ofRows(s, topk)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders) WHERE rk <= 3
+        ORDER BY o_custkey, rk"""),
+      "native per-key top-K: custom LogicalPlan + Strategy + bounded-heap " +
+        "SparkPlan — O(k) memory per key instead of a full partition sort, " +
+        "bit-equal to the q8 window formulation")
   )
 }

@@ -58,6 +58,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q44: the custom TopKPerKeyExec node plans with one exchange and " +
+      "no per-group full sort") {
+    val q = SparkEntry.queries("q44_native_topk")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the exec node's nodeName strips the Exec suffix
+    assert(p.contains("TopKPerKey "), s"custom strategy did not fire:\n$p")
+    // the only Sort allowed is the final presentation orderBy ABOVE the
+    // operator; below it the bounded heaps replace the window sort
+    val below = p.substring(p.indexOf("TopKPerKey "))
+    assert(!below.contains("Sort "), s"no sort may feed the heap operator:\n$p")
+    assert(below.contains("Exchange hashpartitioning"),
+      s"EnsureRequirements must insert the key shuffle:\n$p")
+  }
+
   test("pivot with explicit values runs as a single aggregate pass " +
       "(no distinct-collection job)") {
     val q = SparkEntry.queries("q17_pivot")(spark, sf)
