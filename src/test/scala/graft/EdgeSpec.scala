@@ -64,6 +64,32 @@ class EdgeSpec extends SparkSuite {
       "events read must not flip the legacy nanos conf on the session")
   }
 
+  test("TopKPerKey: nulls in the order column and k > group size match " +
+      "the window formulation exactly") {
+    val s2 = spark; import s2.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val df = Seq((1L, 10L, Some(5.0)), (1L, 11L, None), (1L, 12L, Some(7.0)),
+      (1L, 13L, Some(7.0)), (2L, 20L, None), (3L, 30L, Some(1.0)))
+      .toDF("k", "id", "v").repartition(3)
+    val plan = df.queryExecution.analyzed
+    def a(n: String) = plan.output.find(_.name == n).get
+    val native = org.apache.spark.sql.GraftBridge.ofRows(spark,
+      graft.plans.TopKPerKey(Seq(a("k")),
+        Seq(SortOrder(a("v"), Descending), SortOrder(a("id"), Ascending)),
+        2, plan))
+      .select("k", "id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      .orderBy(col("v").desc, col("id").asc)
+    val windowed = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2).select("k", "id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == windowed, s"native=$native windowed=$windowed")
+  }
+
   test("ConnectedComponents: chain, pair, and singleton resolve to min labels") {
     val s2 = spark; import s2.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 iteration), pair 10-11,
