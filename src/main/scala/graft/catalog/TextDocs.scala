@@ -60,6 +60,45 @@ object TextDocs {
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.02)"""
 
+  /** shared by d4 (per-doc prediction) and d14 (confusion matrix):
+    * stopword-marker language heuristic with a FIXED tie order
+    * (en > es > de > fr; no markers at all → und) */
+  private def langidDf(s: SparkSession, dir: String): DataFrame = {
+    val tk = toks(lower(col("text")))
+    def hits(ws: Seq[String]) = size(filter(tk, w => w.isInCollection(ws)))
+    t(s, dir, "documents")
+      .withColumn("s_en", hits(Seq("the", "a", "and")))
+      .withColumn("s_es", hits(Seq("el", "la", "los")))
+      .withColumn("s_de", hits(Seq("der", "die", "und")))
+      .withColumn("s_fr", hits(Seq("le", "les", "et")))
+      .withColumn("pred_lang",
+        when(col("s_en") === 0 && col("s_es") === 0
+          && col("s_de") === 0 && col("s_fr") === 0, lit("und"))
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+            && col("s_en") >= col("s_fr"), lit("en"))
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), lit("es"))
+          .when(col("s_de") >= col("s_fr"), lit("de"))
+          .otherwise(lit("fr")))
+  }
+
+  private val langidSql = """WITH sc AS (SELECT doc_id, lang,
+          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            w -> w IN ('the','a','and'))) AS s_en,
+          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            w -> w IN ('el','la','los'))) AS s_es,
+          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            w -> w IN ('der','die','und'))) AS s_de,
+          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            w -> w IN ('le','les','et'))) AS s_fr
+          FROM documents),
+        p AS (SELECT doc_id, lang,
+          CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+          FROM sc)"""
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -205,46 +244,26 @@ object TextDocs {
 
     QueryDef(
       "d4_langid",
-      (s, dir) => {
-        val tk = toks(lower(col("text")))
-        def hits(ws: Seq[String]) = size(filter(tk, w => w.isInCollection(ws)))
-        t(s, dir, "documents")
-          .withColumn("s_en", hits(Seq("the", "a", "and")))
-          .withColumn("s_es", hits(Seq("el", "la", "los")))
-          .withColumn("s_de", hits(Seq("der", "die", "und")))
-          .withColumn("s_fr", hits(Seq("le", "les", "et")))
-          .withColumn("pred_lang",
-            when(col("s_en") === 0 && col("s_es") === 0
-              && col("s_de") === 0 && col("s_fr") === 0, lit("und"))
-              .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
-                && col("s_en") >= col("s_fr"), lit("en"))
-              .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), lit("es"))
-              .when(col("s_de") >= col("s_fr"), lit("de"))
-              .otherwise(lit("fr")))
-          .select(col("doc_id"), col("lang"), col("pred_lang"),
-            (col("pred_lang") === col("lang")).as("agree"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH sc AS (SELECT doc_id, lang,
-          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
-            w -> w IN ('the','a','and'))) AS s_en,
-          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
-            w -> w IN ('el','la','los'))) AS s_es,
-          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
-            w -> w IN ('der','die','und'))) AS s_de,
-          len(list_filter(string_split_regex(trim(lower(text)), ' +'),
-            w -> w IN ('le','les','et'))) AS s_fr
-          FROM documents),
-        p AS (SELECT doc_id, lang,
-          CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
-            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-            WHEN s_de >= s_fr THEN 'de'
-            ELSE 'fr' END AS pred_lang
-          FROM sc)
+      (s, dir) => langidDf(s, dir)
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          (col("pred_lang") === col("lang")).as("agree"))
+        .orderBy("doc_id"),
+      Some(s"""$langidSql
         SELECT doc_id, lang, pred_lang, pred_lang = lang AS agree
         FROM p ORDER BY doc_id"""),
       "language-ID: stopword-marker n-gram heuristic with fixed tie order"),
+
+    QueryDef(
+      "d14_langid_confusion",
+      (s, dir) => langidDf(s, dir)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang"),
+      Some(s"""$langidSql
+        SELECT lang, pred_lang, COUNT(*) AS n FROM p
+        GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""),
+      "language-ID evaluation: gold-vs-predicted confusion matrix " +
+        "(the QA step of the langid pipeline)"),
 
     QueryDef(
       "d5_fingerprint_bow",

@@ -102,6 +102,24 @@ class EdgeSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("readReports: malformed numeric cells null the typed column but " +
+      "keep the verbatim raw twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_malformed")
+    java.nio.file.Files.writeString(dir.resolve("MB_L1_report.tsv"),
+      "%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName\n" +
+        "0.1\tnot_a_number\t30\t300\t1.0\t0.5\t10\tspecies\tEcoli\n" +
+        "0.2\t20\t20\t200\t1.0\t0.5\t20\tspecies\tStaph\n")
+    val df = graft.io.ReportReader.readReports(spark,
+      Seq(dir.resolve("MB_L1_report.tsv").toString))
+    val rows = df.orderBy("taxID").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("reads")),
+      "malformed long must null, not crash (ANSI try_cast)")
+    assert(rows(0).getAs[String]("_raw_reads") == "not_a_number",
+      "raw twin keeps the original text")
+    assert(rows(1).getAs[Long]("reads") == 20L)
+  }
+
   test("synthesized reports echo species-row text VERBATIM (K4 fidelity)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_raw")
     // trailing-zero decimals that a double round-trip would mangle
