@@ -28,7 +28,10 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** fused one-pass cosine — bit-identical to dot/(norm·norm) (see
+    * CosineSim), 3× fewer array traversals in the ANN/dedup inner loops */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   val queries: Seq[QueryDef] = Seq(
 

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingHashDesc)
     ext.injectFunction(GraftExtensions.minHashSigDesc)
     ext.injectFunction(GraftExtensions.simHashSigDesc)
+    ext.injectFunction(GraftExtensions.cosineSimDesc)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
@@ -53,10 +54,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHashSig].getName, "sim_hash_sig"),
     (exprs: Seq[Expression]) => SimHashSig(exprs.head))
 
+  val cosineSimDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1)))
+
   /** runtime registration for an existing session (tests, notebooks) */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(rollingHashDesc, minHashSigDesc, simHashSigDesc).foreach {
+    Seq(rollingHashDesc, minHashSigDesc, simHashSigDesc, cosineSimDesc).foreach {
       case (id, info, builder) => reg.registerFunction(id, info, builder)
     }
   }

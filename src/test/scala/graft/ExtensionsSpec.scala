@@ -60,6 +60,36 @@ class ExtensionsSpec extends SparkSuite {
       s"doc ${r.getLong(0)}: ref=${r.getLong(1)} got=${r.getLong(2)}"))
   }
 
+  test("CosineSim is bit-identical to the composed dot/(norm*norm) form, " +
+      "including null/length edges") {
+    val s2 = spark; import s2.implicits._
+    import graft.catalog.Vectors
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("dv"))
+      .limit(50).cache()
+    val a = emb.select(col("vec_id").as("ia"), col("dv").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("dv").as("vb"))
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(
+        graft.functions.CosineSim.cosine_sim(col("va"), col("vb")).as("fused"),
+        (Vectors.dot(col("va"), col("vb"))
+          / (Vectors.norm(col("va")) * Vectors.norm(col("vb")))).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // null element and unequal length both yield NULL, like the HOF idiom
+    val edges = Seq(
+      (Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)),
+      (Array[java.lang.Double](1.0), Array[java.lang.Double](1.0, 2.0)))
+      .toDF("x", "y")
+      .select(graft.functions.CosineSim.cosine_sim(col("x"), col("y")).as("c"))
+      .collect()
+    assert(edges.forall(_.isNullAt(0)))
+  }
+
   test("salted aggregation equals plain aggregation on skewed data") {
     val s2 = spark; import s2.implicits._
     // 90% of rows share one hot key
