@@ -41,6 +41,30 @@ object Extended {
         "range cross-product (operators/AsOfJoin)"),
 
     QueryDef(
+      "q45_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"))
+        graft.operators.AsOfJoin.asofForward(
+          errors, signups, Seq("user_id"), "ts", "ts", Seq("ts"))
+          .select(col("event_id"), col("user_id"), col("asof_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, s.ts AS asof_ts
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN
+             (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'signup') s
+          ON e.user_id = s.user_id AND e.ts <= s.ts
+        ORDER BY e.event_id"""),
+      "forward as-of join (earliest signup at or after each error) — " +
+        "the reversed-ordering twin of q30, vs DuckDB native ASOF"),
+
+    QueryDef(
       "q31_range_join",
       (s, dir) => {
         val s2 = s; import s2.implicits._

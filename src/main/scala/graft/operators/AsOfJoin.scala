@@ -56,4 +56,35 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .drop("_t", "_side")
   }
+
+  /** Forward as-of join: for each left row, attach the EARLIEST right row
+    * with the same key and `rightTime >= leftTime`. Same union+window
+    * shape as [[asofBackward]] with the time ordering reversed: in
+    * descending time order, the last non-null right value before the
+    * current left row is the nearest right row at-or-after it. Same
+    * deterministic tie resolution (greatest carried values win).
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val taggedRight = right.select(
+      (keyCols.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side")) ++
+        rightVals.map(c => col(c).as(s"_r_$c")) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      (keyCols.map(col) :+ col(leftTime).as("_t") :+ lit(1).as("_side")) ++
+        rightVals.map(c => lit(null).as(s"_r_$c")) ++
+        leftCols.filterNot(keyCols.contains).map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").desc +: col("_side").asc +:
+        rightVals.map(c => col(s"_r_$c").asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedRight.unionByName(taggedLeft)
+      .select((keyCols.map(col) ++ Seq(col("_t"), col("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        rightVals.map(c =>
+          last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+      .filter(col("_side") === 1)
+      .drop("_t", "_side")
+  }
 }

@@ -111,6 +111,32 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("forward asof join: attached time is the min right time >= left time") {
+    val tsGen = Gen.zip(Gen.listOfN(12, Gen.choose(0L, 1000L)),
+      Gen.listOfN(12, Gen.choose(0L, 1000L)))
+    forSamples(tsGen, 10) { case (leftTs, rightTs) =>
+      val s2 = spark; import s2.implicits._
+      val left = leftTs.zipWithIndex
+        .map { case (t, i) => (i.toLong, 1L, new java.sql.Timestamp(t)) }
+        .toDF("id", "k", "ts")
+      val right = rightTs.map(t => (1L, new java.sql.Timestamp(t)))
+        .toDF("k", "ts")
+      val got = graft.operators.AsOfJoin
+        .asofForward(left, right, Seq("k"), "ts", "ts", Seq("ts"))
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.sql.Timestamp]("asof_ts")).map(_.getTime))
+        .toMap
+      leftTs.zipWithIndex.foreach { case (t, i) =>
+        val expect = rightTs.filter(_ >= t) match {
+          case Nil => None
+          case xs => Some(xs.min)
+        }
+        assert(got(i.toLong) == expect, s"left ts $t")
+      }
+    }
+  }
+
   test("asof join: attached time is the max right time <= left time") {
     val tsGen = Gen.zip(Gen.listOfN(12, Gen.choose(0L, 1000L)),
       Gen.listOfN(12, Gen.choose(0L, 1000L)))
