@@ -65,6 +65,37 @@ object Extended {
         "the reversed-ordering twin of q30, vs DuckDB native ASOF"),
 
     QueryDef(
+      "q46_range_frame",
+      (s, dir) => {
+        // RANGE frame over event time: per-user trailing-1-hour event
+        // count and value sum. Ordering by integer epoch seconds keeps
+        // the frame bounds exact on both engines; rows tied on the order
+        // value are PEERS (range-frame semantics), so no tiebreak column
+        // is needed for determinism.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("es"))
+          .rangeBetween(-3600L, 0L)
+        t(s, dir, "events")
+          .withColumn("es", (unix_micros(col("ts")) / 1000000L).cast("long"))
+          .select(col("event_id"), col("user_id"), col("es"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(d2(col("value"))).over(w).cast("double").as("value_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, es, n_1h, value_1h FROM (
+          SELECT event_id, user_id,
+            CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+            COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h,
+            CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id
+              ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_1h
+          FROM events)
+        ORDER BY event_id"""),
+      "RANGE window frame: trailing-1-hour per-user aggregates over " +
+        "integer event-time (peers share frames — no tiebreak needed)"),
+
+    QueryDef(
       "q31_range_join",
       (s, dir) => {
         val s2 = s; import s2.implicits._
