@@ -96,6 +96,22 @@ object Extended {
         "integer event-time (peers share frames — no tiebreak needed)"),
 
     QueryDef(
+      "q47_percentiles",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+            expr("percentile(l_quantity, 0.5)").as("q50"),
+            expr("percentile(l_quantity, 0.75)").as("q75"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.5) AS q50,
+        quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "exact interpolated percentiles (quartiles per group)"),
+
+    QueryDef(
       "q31_range_join",
       (s, dir) => {
         val s2 = s; import s2.implicits._

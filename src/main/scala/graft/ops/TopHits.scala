@@ -18,11 +18,19 @@ object TopHits {
     * (0-filled grid cell) is dropped but its ordinal stays consumed —
     * rank gaps are part of the contract (`:183–188` + TODO comment).
     */
-  def tophits(rrpmGrid: DataFrame, stats: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col(Sample))
-      .orderBy(col("rrpm").desc, col(TaxId).asc)
-    val topk = rrpmGrid
-      .withColumn("rank", row_number().over(w))
+  /** @param native use the bounded-heap [[graft.plans.TopKPerKey]]
+    *   physical operator instead of the window formulation — identical
+    *   output (PipelineSpec parity test), O(k) memory per sample instead
+    *   of a full per-sample sort; the right choice when the organism
+    *   universe (per-sample group size) is large. */
+  def tophits(rrpmGrid: DataFrame, stats: DataFrame, k: Int,
+      native: Boolean = false): DataFrame = {
+    val topk = (if (native) nativeTopK(rrpmGrid, k)
+      else {
+        val w = Window.partitionBy(col(Sample))
+          .orderBy(col("rrpm").desc, col(TaxId).asc)
+        rrpmGrid.withColumn("rank", row_number().over(w))
+      })
       .filter(col("rank") <= k)
       // stats carry the authoritative kmers/dup/reads/cov columns
       .select(col(Sample), col(TaxId), col(TaxName), col("rank"), col("rrpm"))
@@ -31,5 +39,21 @@ object TopHits {
         col("rank"), col("rrpm").as("rRPM"),
         col("kmers"), col("dup"), col("reads"), col("cov"),
         col("e_val"), col("z_score"))
+  }
+
+  private def nativeTopK(rrpmGrid: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val s = rrpmGrid.sparkSession
+    if (!s.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val plan = rrpmGrid.queryExecution.analyzed
+    def a(n: String) = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not in rrpm grid"))
+    org.apache.spark.sql.GraftBridge.ofRows(s,
+      graft.plans.TopKPerKey(Seq(a(Sample)),
+        Seq(SortOrder(a("rrpm"), Descending), SortOrder(a(TaxId), Ascending)),
+        k, plan))
+      .withColumn("rank", col("rk").cast("int")).drop("rk")
   }
 }

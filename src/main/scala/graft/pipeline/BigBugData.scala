@@ -28,7 +28,10 @@ object BigBugData {
       resultsDir: String,
       rank: String = "species",
       nTophits: Int = 15,
-      groupPatterns: Seq[(String, String)] = Nil)
+      groupPatterns: Seq[(String, String)] = Nil,
+      /** plan tophits with the bounded-heap TopKPerKey operator instead of
+        * the window — identical output, O(k) memory per sample */
+      nativeTopK: Boolean = false)
 
   final case class Outputs(
       combined: DataFrame,   // long: taxID, taxName, total, sample, reads
@@ -69,7 +72,8 @@ object BigBugData {
     val stats = TaxaOps.sampleOrganismStats(taxa)
       .join(zGrid.select(col(Sample), col(TaxId), col("z_score")),
         Seq(Sample, TaxId), "left")
-    val tops = TopHits.tophits(rrpmGrid, stats, params.nTophits)
+    val tops = TopHits.tophits(rrpmGrid, stats, params.nTophits,
+      native = params.nativeTopK)
 
     Outputs(grid, rrpmGrid, tops, ordered)
   }

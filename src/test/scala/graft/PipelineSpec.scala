@@ -143,6 +143,23 @@ class PipelineSpec extends SparkSuite {
     assert(r.getAs[Double]("e_val") == (50.0 / 5) * 0.4)
   }
 
+  test("nativeTopK: the bounded-heap operator produces the identical " +
+      "tophits rows as the window formulation") {
+    val params = BigBugData.Params(
+      reportPaths = fixture._2,
+      resultsDir = Files.createTempDirectory("graft_native_out").toString,
+      rank = "species", nTophits = 2,
+      groupPatterns = Seq(("Negative", "CF_DNA")),
+      nativeTopK = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("sampleName"),
+        r.getAs[Long]("taxID"), r.getAs[Int]("rank"),
+        r.getAs[Double]("rRPM"), r.getAs[Long]("kmers"))).toSet
+    val native = rows(BigBugData.build(spark, params).tophits)
+    val windowed = rows(fixture._1.tophits)
+    assert(native == windowed && native.nonEmpty)
+  }
+
   test("single-sample batch: zero stddev yields NaN z-score like scipy (trap 4)") {
     val dir = Files.createTempDirectory("graft_single")
     val p = writeReport(dir, "SOLO_1_report.tsv", Seq(
