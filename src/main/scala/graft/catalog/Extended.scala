@@ -112,6 +112,29 @@ object Extended {
       "exact interpolated percentiles (quartiles per group)"),
 
     QueryDef(
+      "q48_string_funcs",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            lpad(col("p_type"), 30, ".").as("padded"),
+            translate(col("p_brand"), "AEIOU", "aeiou").as("xlated"),
+            expr("split_part(p_type, ' ', 2)").as("type_mid"),
+            instr(col("p_name"), "a").cast("long").as("first_a"),
+            expr("levenshtein(p_brand, p_type)").cast("long").as("edit_dist"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        upper(p_name) AS uname,
+        lpad(p_type, 30, '.') AS padded,
+        translate(p_brand, 'AEIOU', 'aeiou') AS xlated,
+        split_part(p_type, ' ', 2) AS type_mid,
+        CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist
+        FROM part ORDER BY p_partkey"""),
+      "string-function breadth: case, padding, translate, split_part, " +
+        "position, edit distance (F surface generalization)"),
+
+    QueryDef(
       "q31_range_join",
       (s, dir) => {
         val s2 = s; import s2.implicits._
