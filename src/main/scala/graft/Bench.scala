@@ -26,22 +26,29 @@ object Bench {
       try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // warm-up caches must not occupy storage
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    var failed = Set.empty[String]
+    // two timed passes, per-query minimum: single-pass totals swung ±25%
+    // with background machine load; min-of-2 measures the query, not the
+    // scheduler's worst moment
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir)) catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        // per-query cache entries (barrier caches in the approx family)
+        // would otherwise accumulate across the whole run
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      // per-query cache entries (barrier caches in the approx family)
-      // would otherwise accumulate across the whole run
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
