@@ -48,6 +48,90 @@ object Approx {
     (z >>> 11).toDouble / (1L << 53).toDouble
   }
 
+  // ---- oracle-SQL builders for the ANN queries -------------------------
+  // The "Spark-native" part of e2/e3 is only the deterministic plane/
+  // centroid constants — which are plain doubles, renderable as DuckDB
+  // list literals (shortest-repr text parses back to the identical
+  // double). That makes the FULL pipelines SQL-expressible, so both ANN
+  // queries carry exact oracles instead of rows-only checks.
+
+  /** sequential-fold dot of a column vector against a literal plane —
+    * same left-to-right order as the Spark HOF/DotProduct fold */
+  private def dotLitSql(vec: String, lit: Seq[Double]): String = {
+    val l = lit.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"list_reduce(list_transform(range(1, ${lit.size + 1}), i -> $vec[i] * ($l)[i]), (a, b) -> a + b)"
+  }
+
+  /** e1's exact cosine formula between two column vectors */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)
+       / (sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))
+        * sqrt(list_reduce(list_transform($b, x -> x * x), (x, y) -> x + y)))"""
+
+  private def e2OracleSql: String = {
+    val dims = 64
+    def plane(seed: Int): Seq[Double] =
+      (0 until dims).map(d => mixToUnit(seed.toLong * dims + d) - 0.5)
+    val tableSelects = (0 until 8).map { tb =>
+      val bkt = (0 until 6).map { p =>
+        s"(CASE WHEN ${dotLitSql("dv", plane(tb * 6 + p))} > 0.0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $tb AS tb, $bkt AS bkt FROM v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings),
+      b AS ($tableSelects),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM b q JOIN b c ON q.tb = c.tb AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 8),
+      rer AS (
+        SELECT cand.q_id, cand.c_id, ${cosineSql("qv.dv", "cv.dv")} AS cos
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.q_id
+        JOIN v cv ON cv.vec_id = cand.c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
+        FROM rer)
+      SELECT q_id, c_id, rk, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  private def e3OracleSql: String = {
+    val dims = 64
+    def centroid(c: Int): Seq[Double] =
+      (0 until dims).map(d => mixToUnit(0x49564600L + c.toLong * dims + d) - 0.5)
+    val simsList = (0 until 16).map(c => dotLitSql("dv", centroid(c)))
+      .mkString("list_value(", ",\n ", ")")
+    s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings),
+      sims AS (SELECT vec_id, dv, $simsList AS sims FROM v),
+      cells AS (
+        SELECT vec_id, dv, sims, list_position(sims, list_max(sims)) AS cell
+        FROM sims),
+      probes AS (
+        SELECT vec_id AS q_id, i AS pcell
+        FROM cells, range(1, 17) t(i)
+        WHERE vec_id < 8
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sims[i] DESC, i ASC) <= 4),
+      cand AS (
+        SELECT p.q_id, c.vec_id AS c_id
+        FROM probes p JOIN cells c ON c.cell = p.pcell AND c.vec_id <> p.q_id),
+      rer AS (
+        SELECT cand.q_id, cand.c_id, ${cosineSql("qv.dv", "cv.dv")} AS cos
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.q_id
+        JOIN v cv ON cv.vec_id = cand.c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
+        FROM rer)
+      SELECT q_id, c_id, rk, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -162,9 +246,10 @@ object Approx {
           .select("q_id", "c_id", "rk", "cos")
           .orderBy("q_id", "rk")
       },
-      None,
-      "ANN via multi-table hyperplane LSH (4 tables x 6 sign bits): " +
-        "bucket-join candidates + exact cosine re-rank; recall spec vs e1"),
+      Some(e2OracleSql),
+      "ANN via multi-table hyperplane LSH (8 tables x 6 sign bits): " +
+        "bucket-join candidates + exact cosine re-rank; full oracle (the " +
+        "splitmix64 planes embed as SQL literals) + recall floor vs e1"),
 
     QueryDef(
       "e3_ann_ivf",
@@ -213,9 +298,10 @@ object Approx {
           .select("q_id", "c_id", "rk", "cos")
           .orderBy("q_id", "rk")
       },
-      None,
-      "ANN via IVF coarse quantization: nearest-centroid cells as the " +
-        "partition/probe key, exact cosine re-rank within the cell"),
+      Some(e3OracleSql),
+      "ANN via IVF coarse quantization with multi-probe: nearest-centroid " +
+        "cells as the partition/probe key, exact cosine re-rank; full " +
+        "oracle (centroids embed as SQL literals) + recall floor vs e1"),
 
     QueryDef(
       "d9_rolling_fp",
