@@ -310,8 +310,20 @@ object Approx {
           .select(col("doc_id"),
             graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
           .orderBy("doc_id"),
-      None,
-      "document fingerprint via native codegen'd rolling-hash Expression"),
+      // Oracle validity: RollingHash is defined over UTF-8 BYTES; the SQL
+      // folds CHARACTERS, identical only because the documents corpus is
+      // pure ASCII (verified: 0 multi-byte docs). The unicode byte path
+      // is pinned by CatalogSpec's BigInt reference instead. HUGEINT
+      // arithmetic keeps (h*31 + b) exact before the Mersenne modulo.
+      Some("""SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(range(1, length(text) + 1),
+              i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
+          (h, b) -> (h * 31 + b) % 2305843009213693951) AS BIGINT) AS fp
+        FROM documents ORDER BY doc_id"""),
+      "document fingerprint via native codegen'd rolling-hash Expression " +
+        "(HUGEINT character-fold oracle, exact on the ASCII corpus)"),
 
     QueryDef(
       "mm2_decode_stub",
