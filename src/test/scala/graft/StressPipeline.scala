@@ -54,7 +54,8 @@ object StressPipeline {
     val outDir = Files.createTempDirectory("graft_stress_out").toString
     val params = BigBugData.Params(
       paths, outDir, nTophits = 15,
-      groupPatterns = Seq(("SAMPLE_0000", "SAMPLE_00")))
+      groupPatterns = Seq(("SAMPLE_0000", "SAMPLE_00")),
+      nativeTopK = sys.env.get("SPARK_GRAFT_NATIVE_TOPK").contains("1"))
     // split timing: distributed pipeline (through the noop sink, so every
     // stage executes) vs the single-file wide-CSV sink concession
     val tB = System.nanoTime()
