@@ -135,6 +135,36 @@ object Extended {
         "position, edit distance (F surface generalization)"),
 
     QueryDef(
+      "q49_exists_subquery",
+      (s, dir) => {
+        // correlated EXISTS / NOT EXISTS through the SQL entry path:
+        // Catalyst rewrites them to left-semi and left-anti joins — the
+        // subquery surface of the P6/J4 filters
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT c_custkey, c_nationkey FROM customer_v c
+          WHERE EXISTS (SELECT 1 FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 300000)
+            AND NOT EXISTS (SELECT 1 FROM orders_v o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'F'
+                              AND o.o_totalprice < 1000)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_nationkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 1000)
+        ORDER BY c_custkey"""),
+      "correlated EXISTS + NOT EXISTS subqueries (semi/anti rewrite via " +
+        "the SQL entry path)"),
+
+    QueryDef(
       "q31_range_join",
       (s, dir) => {
         val s2 = s; import s2.implicits._
