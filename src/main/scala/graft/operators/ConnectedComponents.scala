@@ -39,12 +39,23 @@ object ConnectedComponents {
     while (!done && it < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("cluster")).as("_nbr_min"))
-      // carry the previous label through the checkpoint so convergence
-      // detection is a filter over the materialized frame, not another join
-      val next = labels
+      val stepped = labels
         .join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(labels("node"), col("cluster").as("_old"),
           least(col("cluster"), coalesce(col("_nbr_min"), col("cluster")))
+            .as("cluster"))
+      // pointer doubling: also take the label OF the current label, so the
+      // distance to the component minimum halves each round — convergence
+      // in O(log diameter) instead of O(diameter), which is what keeps a
+      // long near-dup chain (a deep path component) inside maxIter
+      val asMap = stepped.select(col("node").as("_m_node"),
+        col("cluster").as("_m_cluster"))
+      // carry the previous label through the checkpoint so convergence
+      // detection is a filter over the materialized frame, not another join
+      val next = stepped
+        .join(asMap, stepped("cluster") === col("_m_node"), "left")
+        .select(stepped("node"), col("_old"),
+          least(stepped("cluster"), coalesce(col("_m_cluster"), stepped("cluster")))
             .as("cluster"))
         .localCheckpoint()
       val changed = next.filter(col("cluster") =!= col("_old")).count()

@@ -90,6 +90,17 @@ class EdgeSpec extends SparkSuite {
     assert(native == windowed, s"native=$native windowed=$windowed")
   }
 
+  test("ConnectedComponents: a 100-deep chain converges within maxIter " +
+      "(pointer doubling gives O(log diameter) rounds)") {
+    val s2 = spark; import s2.implicits._
+    val edges = (0L until 99L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L to 99L).toDF("node")
+    val got = graft.operators.ConnectedComponents.minLabel(nodes, edges)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster"))
+    assert(got.length == 100 && got.forall(_._2 == 0L),
+      "every chain node must resolve to the minimum label 0")
+  }
+
   test("ConnectedComponents: chain, pair, and singleton resolve to min labels") {
     val s2 = spark; import s2.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 iteration), pair 10-11,
