@@ -27,24 +27,37 @@ object Bench {
     }
     spark.catalog.clearCache() // warm-up caches must not occupy storage
     var failed = Set.empty[String]
-    // two timed passes, per-query minimum: single-pass totals swung ±25%
-    // with background machine load; min-of-2 measures the query, not the
-    // scheduler's worst moment
-    def timedPass(): Map[String, Double] =
+    // two timed passes, per-query minimum over SUCCESSFUL passes:
+    // single-pass totals swung ±25% with background machine load, and a
+    // pass that crashed must not contribute its time-to-crash as a
+    // "measurement" (a failed-then-succeeded query reports the successful
+    // pass's time; a twice-failed query reports the slower attempt)
+    def timedPass(): Map[String, (Double, Boolean)] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir)) catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         // per-query cache entries (barrier caches in the approx family)
         // would otherwise accumulate across the whole run
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, (t1v, ok1)) =>
+      val (t2v, ok2) = p2(k)
+      k -> ((ok1, ok2) match {
+        case (true, true) => math.min(t1v, t2v)
+        case (true, false) => t1v
+        case (false, true) => t2v
+        case (false, false) => math.max(t1v, t2v)
+      })
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

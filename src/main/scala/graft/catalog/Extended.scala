@@ -76,7 +76,14 @@ object Extended {
           .partitionBy(col("user_id")).orderBy(col("es"))
           .rangeBetween(-3600L, 0L)
         t(s, dir, "events")
-          .withColumn("es", (unix_micros(col("ts")) / 1000000L).cast("long"))
+          // floor, not integer division: long division truncates toward
+          // zero, which diverges from the oracle's FLOOR for pre-epoch
+          // timestamps (latent here — corpus is epoch-positive). The
+          // double quotient cannot mis-floor: micros are exact integers
+          // < 2^53 and the nearest non-multiple of 1e6 is 1 µs away,
+          // beyond the quotient's half-ulp.
+          .withColumn("es",
+            floor(unix_micros(col("ts")).cast("double") / 1000000.0).cast("long"))
           .select(col("event_id"), col("user_id"), col("es"),
             count(lit(1)).over(w).as("n_1h"),
             sum(d2(col("value"))).over(w).cast("double").as("value_1h"))
@@ -439,23 +446,12 @@ object Extended {
       (s, dir) => {
         // the engine's whole-operator extension tier (§7.3 (c)): a custom
         // LogicalPlan + SparkStrategy + physical bounded-heap operator,
-        // same query shape and oracle as q8's window formulation. The
-        // strategy is registered per-session here so caller-supplied
-        // sessions (Verify/Bench) get it without builder config.
-        if (!s.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
-          s.experimental.extraStrategies =
-            s.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
-        import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-        val o = Tables.t(s, dir, "orders")
-          .select("o_custkey", "o_orderkey", "o_totalprice")
-        val plan = o.queryExecution.analyzed
-        def a(n: String) = plan.output.find(_.name == n).get
-        val topk = graft.plans.TopKPerKey(
-          keys = Seq(a("o_custkey")),
-          order = Seq(SortOrder(a("o_totalprice"), Descending),
-            SortOrder(a("o_orderkey"), Ascending)),
-          k = 3, child = plan)
-        org.apache.spark.sql.GraftBridge.ofRows(s, topk)
+        // same query shape and oracle as q8's window formulation
+        graft.plans.TopKPerKey.of(
+            Tables.t(s, dir, "orders")
+              .select("o_custkey", "o_orderkey", "o_totalprice"),
+            Seq("o_custkey"),
+            Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
           .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
           .orderBy("o_custkey", "rk")
       },

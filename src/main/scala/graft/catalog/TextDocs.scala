@@ -17,7 +17,19 @@ object TextDocs {
 
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
-  private val stopEn = Seq("the", "a", "of", "and", "in", "to")
+  /** English stopword markers — shared with the streaming quality filter
+    * (DocStreams) so the two surfaces cannot drift */
+  val stopEn: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  /** d3's keep verdict as a reusable predicate: stopword ratio ≥ 0.05 and
+    * ≥ 10 tokens. The SINGLE definition behind both the batch catalog
+    * query (oracle-checked) and DocStreams.qualityFilter. */
+  def qualityKeep(text: Column): Column = {
+    val tk = split(trim(text), " +")
+    val nTok = size(tk).cast("double")
+    val nStop = size(filter(tk, w => w.isInCollection(stopEn))).cast("double")
+    nStop / nTok >= 0.05 && nTok >= 10
+  }
 
   /** shared by d6 (pairs) and d11 (clusters): exact 3-shingle Jaccard
     * near-dup pairs over the bounded doc_id slice, with their shingle
@@ -225,7 +237,7 @@ object TextDocs {
           .select(col("doc_id"),
             (nStop / nTok).as("stopword_ratio"),
             (nPunct / octet_length(col("text")).cast("double")).as("punct_ratio"),
-            when(nStop / nTok >= 0.05 && nTok >= 10, lit("keep"))
+            when(qualityKeep(col("text")), lit("keep"))
               .otherwise(lit("drop")).as("verdict"))
           .orderBy("doc_id")
       },

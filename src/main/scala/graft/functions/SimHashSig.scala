@@ -32,15 +32,20 @@ case class SimHashSig(child: Expression)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes(), 42L)
-        var j = 0
-        while (j < 64) {
-          counts(j) += (((h >>> j) & 1L).toInt << 1) - 1
-          j += 1
+      // null element: Spark's xxhash64 returns the seed unchanged for a
+      // null input, and the HOF formulation this expression replaces still
+      // counted that hash's votes — match it exactly, don't skip
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes(), 42L)
         }
+      var j = 0
+      while (j < 64) {
+        counts(j) += (((h >>> j) & 1L).toInt << 1) - 1
+        j += 1
       }
       i += 1
     }

@@ -39,19 +39,24 @@ object ConnectedComponents {
     while (!done && it < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("cluster")).as("_nbr_min"))
+      // materialize: the pointer-doubling join below reads stepped TWICE
+      // (as probe and as map) — without the checkpoint the edge join +
+      // groupBy would run twice per iteration
       val stepped = labels
         .join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(labels("node"), col("cluster").as("_old"),
           least(col("cluster"), coalesce(col("_nbr_min"), col("cluster")))
             .as("cluster"))
+        .localCheckpoint()
       // pointer doubling: also take the label OF the current label, so the
       // distance to the component minimum halves each round — convergence
       // in O(log diameter) instead of O(diameter), which is what keeps a
       // long near-dup chain (a deep path component) inside maxIter
       val asMap = stepped.select(col("node").as("_m_node"),
         col("cluster").as("_m_cluster"))
-      // carry the previous label through the checkpoint so convergence
-      // detection is a filter over the materialized frame, not another join
+      // checkpoint next too: it becomes the next round's `labels`, which
+      // is referenced twice (edge join + stepped base) — materializing
+      // keeps per-iteration plans constant-depth
       val next = stepped
         .join(asMap, stepped("cluster") === col("_m_node"), "left")
         .select(stepped("node"), col("_old"),

@@ -119,9 +119,15 @@ object Synthesize {
           r.getAs[String]("taxName")).mkString("\t")).append("\n")
       }
       species.getOrElse(sample, Array.empty).foreach { r =>
-        // raw-text rows echo verbatim; typed fallback rows stringify
+        // raw-text rows echo verbatim; typed fallback rows stringify. A
+        // null cell means the input row was SHORT (missing trailing
+        // columns) — the reference's DictReader/DictWriter round-trip
+        // emits an empty cell there, never the string "null"
         sb.append(ReportSchema.schema.fieldNames
-          .map(n => String.valueOf(r.getAs[Any](n)))
+          .map { n =>
+            val v = r.getAs[Any](n)
+            if (v == null) "" else v.toString
+          }
           .mkString("\t")).append("\n")
       }
       Files.writeString(Paths.get(path), sb.toString)

@@ -41,19 +41,8 @@ object TopHits {
         col("e_val"), col("z_score"))
   }
 
-  private def nativeTopK(rrpmGrid: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-    val s = rrpmGrid.sparkSession
-    if (!s.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
-    val plan = rrpmGrid.queryExecution.analyzed
-    def a(n: String) = plan.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(s"column $n not in rrpm grid"))
-    org.apache.spark.sql.GraftBridge.ofRows(s,
-      graft.plans.TopKPerKey(Seq(a(Sample)),
-        Seq(SortOrder(a("rrpm"), Descending), SortOrder(a(TaxId), Ascending)),
-        k, plan))
+  private def nativeTopK(rrpmGrid: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey.of(rrpmGrid, Seq(Sample),
+      Seq("rrpm" -> false, TaxId -> true), k)
       .withColumn("rank", col("rk").cast("int")).drop("rk")
-  }
 }

@@ -41,6 +41,32 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
+object TopKPerKey {
+
+  /** Wrap `df` with the native operator: registers the strategy on the
+    * DataFrame's session (caller-supplied sessions don't carry the
+    * GraftExtensions builder config), resolves key/order attributes by
+    * name, and exposes the rank as column `rk` (long). `order` entries are
+    * (columnName, ascending). */
+  def of(df: org.apache.spark.sql.DataFrame, keyNames: Seq[String],
+      orderSpec: Seq[(String, Boolean)], k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    val s = df.sparkSession
+    if (!s.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val plan = df.queryExecution.analyzed
+    def a(n: String) = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${plan.output.map(_.name).mkString(", ")}"))
+    org.apache.spark.sql.GraftBridge.ofRows(s,
+      TopKPerKey(keyNames.map(a),
+        orderSpec.map { case (n, asc) =>
+          SortOrder(a(n), if (asc) Ascending else Descending) },
+        k, plan))
+  }
+}
+
 /** planner strategy: logical TopKPerKey → physical TopKPerKeyExec */
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -71,11 +97,17 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    val outputLocal = output
     val kLocal = k
     val orderLocal = order
     val keysLocal = keys
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keysLocal, childOutput)
+      // k <= 0 means "keep nothing" — the window formulation returns an
+      // empty frame for it, so the heap path must too (the else-branch
+      // below would otherwise peek an empty heap)
+      if (kLocal <= 0) Iterator.empty
+      else {
+        val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val ordering = GenerateOrdering.generate(orderLocal, childOutput)
       // max-heap under the rank ordering: head = worst kept row
       val heaps = scala.collection.mutable.LinkedHashMap
@@ -91,7 +123,7 @@ case class TopKPerKeyExec(
           heap.enqueue(row.copy())
         }
       }
-      val outProj = UnsafeProjection.create(output, output)
+      val outProj = UnsafeProjection.create(outputLocal, outputLocal)
       val joined = new JoinedRow
       heaps.iterator.flatMap { case (_, heap) =>
         // dequeueAll yields worst→best; reverse for rank 1..m
@@ -100,6 +132,7 @@ case class TopKPerKeyExec(
           val rankRow = new GenericInternalRow(Array[Any]((i + 1).toLong))
           outProj(joined(row, rankRow))
         }
+      }
       }
     }
   }

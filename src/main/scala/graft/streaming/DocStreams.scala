@@ -30,15 +30,11 @@ object DocStreams {
 
   private def toks(c: org.apache.spark.sql.Column) = split(trim(c), " +")
 
-  /** d3's keep/drop verdict as a stateless streaming filter (stopword
-    * ratio ≥ 0.05 and ≥ 10 tokens) */
-  def qualityFilter(docs: DataFrame): DataFrame = {
-    val tk = toks(col("text"))
-    val nTok = size(tk).cast("double")
-    val nStop = size(filter(tk,
-      w => w.isInCollection(Seq("the", "a", "of", "and", "in", "to")))).cast("double")
-    docs.filter(nStop / nTok >= 0.05 && nTok >= 10)
-  }
+  /** d3's keep/drop verdict as a stateless streaming filter — the SAME
+    * `TextDocs.qualityKeep` predicate the oracle-checked batch query uses,
+    * so the two surfaces cannot drift */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    docs.filter(graft.catalog.TextDocs.qualityKeep(col("text")))
 
   /** d2's per-document token stats, stateless (append-mode safe) */
   def tokenStats(docs: DataFrame): DataFrame =
