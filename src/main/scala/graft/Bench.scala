@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -62,7 +63,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The driver captures only a TAIL of stdout: with 75+ queries the
+    // single JSON line grows past the capture window and the leading
+    // "value" is lost (round-3 BENCH artifact had parsed:null). Persist
+    // the full JSON to a file and close stdout with a short final line
+    // carrying the total, so truncation can never lose the headline.
+    val benchFile = Paths.get("target/bench.json")
+    if (benchFile.getParent != null) Files.createDirectories(benchFile.getParent)
+    Files.writeString(benchFile, json + "\n")
+    println(json)
+    println(s"TOTAL $total sec (full per-query JSON: target/bench.json)")
     spark.stop()
   }
 }
