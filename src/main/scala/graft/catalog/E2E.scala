@@ -30,7 +30,7 @@ object E2E {
 
   val reportsDir = "/root/repo/data/e2e_reports"
 
-  private def reportPaths: Seq[String] = {
+  private[catalog] def reportPaths: Seq[String] = {
     val files = Option(new java.io.File(reportsDir).listFiles())
       .getOrElse(throw new IllegalStateException(
         s"e2e corpus not found at $reportsDir (checked into the repo)"))
@@ -66,7 +66,7 @@ object E2E {
   /** corpus sample columns in ordered-sample (lexicographic) order */
   private val sampleCols = Seq("CF_1", "CF_2", "CF_Negative1", "OTHER_X")
 
-  private def pivotSql(source: String, valueExpr: String): String = {
+  private[catalog] def pivotSql(source: String, valueExpr: String): String = {
     val cells = sampleCols.map(sc =>
       s"""CAST(MAX(CASE WHEN sample = '$sc' THEN $valueExpr END) AS VARCHAR) AS "$sc"""")
       .mkString(",\n          ")
@@ -80,7 +80,7 @@ object E2E {
     * skip=3), derive the sample id exactly like ReportReader (basename
     * minus last `_`-suffix), then replay A1 totals → P1/P2 taxa → A2/A3
     * dense grid → F2 rpm → W2 z-score → J2/F3 rrpm. */
-  private val prelude =
+  private[catalog] val prelude =
     s"""WITH raw AS (
       SELECT *, regexp_replace(regexp_replace(filename, '.*/', ''), '_[^_]*$$', '') AS sample
       FROM read_csv('$reportsDir/*_report.tsv',

@@ -34,7 +34,15 @@ object CsvSink {
   def writeSingleCsv(df: DataFrame, fieldnames: Seq[String], target: String): Unit = {
     val tmp = Files.createTempDirectory("graft_csv")
     df.select(fieldnames.map(col): _*)
-      .write.mode("overwrite").option("header", "false").csv(tmp.toString)
+      .write.mode("overwrite").option("header", "false")
+      // Spark's CSV writer TRIMS cell whitespace by default; the
+      // reference's csv.DictWriter emits values verbatim (`  name  `
+      // stays padded — filter_reports passthrough), so trimming is
+      // disabled here and any trim the pipeline wants (F4) happens
+      // upstream as an explicit expression.
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(tmp.toString)
     val parts = Files.list(tmp).iterator().asScala
       .filter(_.getFileName.toString.startsWith("part-"))
       .toSeq.sortBy(_.getFileName.toString)

@@ -60,12 +60,22 @@ object FilterOps {
   /** `filter_reports_by_taxid.py`: same filter over a folder of reports,
     * with `sampleName` = FIRST underscore token of the file name (F6 —
     * deliberately different from the main tool's rule) prepended.
+    *
+    * Columns stay STRINGS end-to-end: the reference is a DictReader →
+    * DictWriter passthrough (`filter_reports_by_taxid.py:31–41`) that
+    * never parses a value, so `0.10` must reach the output as `0.10`.
+    * Typing here would reformat on emit; callers that need typed values
+    * cast at their use site, exactly like the reference does.
     */
   def filterReportsByTaxids(spark: SparkSession, reportsGlob: String,
       taxids: DataFrame): DataFrame = {
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      graft.schema.ReportSchema.schema.fieldNames.map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType)))
     val reports = spark.read
       .option("sep", "\t").option("header", "true").option("comment", "#")
-      .schema(graft.schema.ReportSchema.schema)
+      .schema(rawSchema)
       .csv(reportsGlob)
       .withColumn("sampleName",
         graft.io.ReportReader.sampleIdFirstToken(input_file_name()))

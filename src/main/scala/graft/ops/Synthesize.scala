@@ -32,12 +32,20 @@ object Synthesize {
   }
 
   /** Per-sample classified-reads sum + kmer sum over species rows
-    * (A4/A5, `modify_reports.py:54–77, 129`). */
-  def classifiedStats(speciesReports: DataFrame): DataFrame =
-    speciesReports.filter(col(ReportSchema.Rank) === "species")
-      .groupBy(col(ReportSchema.Sample))
-      .agg(sum(col(ReportSchema.Reads)).as("classified_reads"),
-        sum(col(ReportSchema.Kmers)).as("kmer_sum"))
+    * (A4/A5, `modify_reports.py:54–77, 129`). Grouped over ALL rows with
+    * conditional sums, not over a pre-filter: a report whose rows are all
+    * non-species still yields its sample (classified = 0), matching the
+    * reference, which writes a complete report with a 0-read root row for
+    * such files. */
+  def classifiedStats(speciesReports: DataFrame): DataFrame = {
+    val isSpecies = col(ReportSchema.Rank) === "species"
+    speciesReports.groupBy(col(ReportSchema.Sample))
+      .agg(
+        coalesce(sum(when(isSpecies, col(ReportSchema.Reads))), lit(0L))
+          .as("classified_reads"),
+        coalesce(sum(when(isSpecies, col(ReportSchema.Kmers))), lit(0L))
+          .as("kmer_sum"))
+  }
 
   /** Synthesized taxID-0/taxID-1 rows per sample: unclassified =
     * max(total − classified, 0) with a warning row marker when clamped

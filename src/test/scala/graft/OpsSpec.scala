@@ -56,6 +56,27 @@ class OpsSpec extends SparkSuite {
     assert(tot.head.getAs[Long]("total_reads") == 100L)
   }
 
+  test("synthesize: all-non-species report still gets a file (0-read root)") {
+    val dir = Files.createTempDirectory("graft_zerospec")
+    Files.writeString(dir.resolve("Z1_L1_report.tsv"),
+      "%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName\n" +
+        "0.1\t80\t80\t10\t1.0\t0.5\t10\tgenus\tEnterobacteriaceae\n")
+    Files.writeString(dir.resolve("d.tsv"), "Z1_L1_x\ty\t40\n")
+    Files.writeString(dir.resolve("r.tsv"), "ZZ_x\ty\t5\n")
+    val species = ReportReader.readReports(spark,
+      Seq(dir.resolve("Z1_L1_report.tsv").toString))
+    val totals = Synthesize.totalReads(spark,
+      dir.resolve("d.tsv").toString, dir.resolve("r.tsv").toString)
+    val outDir = Files.createTempDirectory("graft_zerospec_out").toString
+    val written = Synthesize.writeCompleteReports(spark, species, totals, outDir)
+    val lines = Files.readAllLines(Paths.get(written.head))
+    // reference writes the file anyway: full unclassified + 0-read root,
+    // and the genus row is NOT echoed (`modify_reports.py:77–140`)
+    assert(lines.get(3) == "100.0000\t40\t40\t0\t0\t0\t0\tunclassified\tunclassified")
+    assert(lines.get(4) == "0.0000\t0\t0\t0\t0\t0\t1\troot\troot")
+    assert(lines.size == 5)
+  }
+
   test("synthesize: clamps negative unclassified to 0 and drops the row") {
     val dir = Files.createTempDirectory("graft_clamp")
     Files.writeString(dir.resolve("S9_L1_report.tsv"),
@@ -140,6 +161,8 @@ class OpsSpec extends SparkSuite {
       .collect()
     assert(got.length == 1)
     assert(got.head.getAs[String]("sampleName") == "AB") // first token rule
-    assert(got.head.getAs[Long]("taxID") == 10L)
+    // string passthrough: the tool never types a value (DictReader →
+    // DictWriter), so taxID comes back as the verbatim input text
+    assert(got.head.getAs[String]("taxID") == "10")
   }
 }
