@@ -90,6 +90,30 @@ class EdgeSpec extends SparkSuite {
     assert(native == windowed, s"native=$native windowed=$windowed")
   }
 
+  test("TopKPerKey: adversarial key cardinality (every row its own key) " +
+      "stays O(k)-resident and matches the window formulation") {
+    val s2 = spark; import s2.implicits._
+    // 200k distinct keys in a handful of partitions: the round-3 design
+    // (a LinkedHashMap of per-key heaps) held all 200k heaps at once;
+    // the streaming design holds ONE — correctness must be unchanged
+    val n = 200000
+    val df = spark.range(n)
+      .select((col("id") % n).as("k"), col("id").as("id"),
+        (col("id") % 97).cast("double").as("v"))
+      .repartition(4)
+    val native = graft.plans.TopKPerKey.of(df, Seq("k"),
+        Seq("v" -> false, "id" -> true), 2)
+      .agg(count(lit(1)), sum(col("rk")), sum(col("id")))
+      .collect().head
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      .orderBy(col("v").desc, col("id").asc)
+    val windowed = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .agg(count(lit(1)), sum(col("rk")), sum(col("id")))
+      .collect().head
+    assert(native == windowed, s"native=$native windowed=$windowed")
+  }
+
   test("ConnectedComponents: a 100-deep chain converges within maxIter " +
       "(pointer doubling gives O(log diameter) rounds)") {
     val s2 = spark; import s2.implicits._

@@ -59,17 +59,42 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q44: the custom TopKPerKeyExec node plans with one exchange and " +
-      "no per-group full sort") {
+      "a KEYS-ONLY sort (never the window's keys ++ order sort)") {
     val q = SparkEntry.queries("q44_native_topk")(spark, sf)
     val p = q.queryExecution.executedPlan.toString
     // the exec node's nodeName strips the Exec suffix
     assert(p.contains("TopKPerKey "), s"custom strategy did not fire:\n$p")
-    // the only Sort allowed is the final presentation orderBy ABOVE the
-    // operator; below it the bounded heaps replace the window sort
+    // below the operator EnsureRequirements inserts the key shuffle and
+    // the keys-only sort that makes groups contiguous (the O(k)-memory
+    // streaming contract); the ORDER columns must not appear in it —
+    // ranking happens in the bounded heap, not the sorter
     val below = p.substring(p.indexOf("TopKPerKey "))
-    assert(!below.contains("Sort "), s"no sort may feed the heap operator:\n$p")
     assert(below.contains("Exchange hashpartitioning"),
       s"EnsureRequirements must insert the key shuffle:\n$p")
+    val sortLine = below.linesIterator.find(_.contains("Sort ")).getOrElse(
+      fail(s"keys-only sort must feed the streaming operator:\n$p"))
+    assert(sortLine.contains("o_custkey") && !sortLine.contains("o_totalprice"),
+      s"sort below the operator must cover the keys only:\n$sortLine")
+  }
+
+  test("dot_product and cosine_sim run INSIDE WholeStageCodegen " +
+      "(no CodegenFallback break in the ANN inner loop)") {
+    // non-literal input — a literal would constant-fold to LocalTableScan
+    val arrs = spark.range(8).select(
+      transform(sequence(lit(0L), col("id") + 2), x => x.cast("double")).as("a"),
+      transform(sequence(lit(0L), col("id") + 2),
+        x => (x * 2).cast("double")).as("b"))
+    val df = arrs.select(
+        graft.functions.DotProduct.dot_product(col("a"), col("b")).as("d"),
+        graft.functions.CosineSim.cosine_sim(col("a"), col("b")).as("c"))
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator
+      .find(l => l.contains("dot_product") || l.contains("cosine_sim"))
+      .getOrElse(fail(s"expressions not found in plan:\n$p"))
+    // a codegen'd operator prints with the `*(stageId)` prefix; a
+    // fallback expression forces the interpreted Project
+    assert(projLine.trim.startsWith("*"),
+      s"expressions must sit in a WholeStageCodegen stage:\n$p")
   }
 
   test("pivot with explicit values runs as a single aggregate pass " +
