@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -23,15 +23,35 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * or any null element yield NULL.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cosineOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** full whole-stage codegen (round-3 review item): one shared kernel
+    * for both paths, boxed null for the mismatch/null-element cases. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosRes")
+      s"""
+        java.lang.Double $tmp = graft.functions.CosineSim.cosineOrNull($a, $b);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+
+  /** shared interpreted + codegen kernel; boxed so NULL is expressible */
+  def cosineOrNull(x: ArrayData, y: ArrayData): java.lang.Double = {
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
     var dot = 0.0
@@ -47,14 +67,9 @@ case class CosineSim(left: Expression, right: Expression)
       nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
-}
-
-object CosineSim {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -22,6 +22,44 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.getAs[Long]("sh") == viaCol)
   }
 
+  test("dot_product / cosine_sim: codegen and interpreted paths agree on " +
+      "values AND null edges (length mismatch, null element)") {
+    val s2 = spark; import s2.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val cases: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(1.0, 2.0), Seq(4.0, 5.0, 6.0)),          // length mismatch -> null
+      (Seq(1.0, null, 3.0), Seq(4.0, 5.0, 6.0)),    // null element -> null
+      (Seq.empty, Seq.empty),                        // 0/0 -> NaN cosine
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)))                // 0-norm -> NaN cosine
+    val df = cases.toDF("a", "b")
+    val codegen = df.select(
+        graft.functions.DotProduct.dot_product(col("a"), col("b")).as("d"),
+        graft.functions.CosineSim.cosine_sim(col("a"), col("b")).as("c"))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    def lit(xs: Seq[java.lang.Double]) = Literal(
+      ArrayData.toArrayData(xs.map(x =>
+        if (x == null) null else x.doubleValue()).toArray[Any]),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    val interp = cases.map { case (a, b) =>
+      (Option(graft.functions.DotProduct(lit(a), lit(b)).eval(null)),
+        Option(graft.functions.CosineSim(lit(a), lit(b)).eval(null)))
+    }
+    // NaN == NaN for this comparison (both paths must produce it)
+    def same(x: Option[Any], y: Option[Any]) = (x, y) match {
+      case (Some(a: Double), Some(b: Double)) =>
+        (a.isNaN && b.isNaN) || a == b
+      case _ => x == y
+    }
+    codegen.zip(interp).foreach { case ((cd, cc), (id, ic)) =>
+      assert(same(cd, id) && same(cc, ic),
+        s"codegen=($cd,$cc) interpreted=($id,$ic)")
+    }
+  }
+
   test("DotProductRewrite: HOF dot-product idiom becomes the compiled " +
       "expression with identical results") {
     val s2 = spark; import s2.implicits._
