@@ -463,6 +463,102 @@ object Extended {
         ORDER BY o_custkey, rk"""),
       "native per-key top-K: custom LogicalPlan + Strategy + bounded-heap " +
         "SparkPlan — O(k) memory per key instead of a full partition sort, " +
-        "bit-equal to the q8 window formulation")
+        "bit-equal to the q8 window formulation"),
+
+    QueryDef(
+      "q50_sql_cte",
+      (s, dir) => {
+        // SQL entry path, CTE statement: Catalyst inlines the CTE and
+        // plans the same two-phase aggregate + join a DataFrame twin
+        // would; money math stays DECIMAL until the final cast
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""WITH cust_rev AS (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev,
+              COUNT(*) AS n_orders
+            FROM orders_v GROUP BY o_custkey)
+          SELECT c.c_mktsegment,
+            CAST(SUM(r.rev) AS DOUBLE) AS segment_rev,
+            CAST(SUM(r.n_orders) AS BIGINT) AS orders_cnt,
+            COUNT(*) AS customers
+          FROM cust_rev r JOIN customer_v c ON c.c_custkey = r.o_custkey
+          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+      },
+      Some("""WITH cust_rev AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev,
+            COUNT(*) AS n_orders
+          FROM orders GROUP BY o_custkey)
+        SELECT c.c_mktsegment,
+          CAST(SUM(r.rev) AS DOUBLE) AS segment_rev,
+          CAST(SUM(r.n_orders) AS BIGINT) AS orders_cnt,
+          COUNT(*) AS customers
+        FROM cust_rev r JOIN customer c ON c.c_custkey = r.o_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""),
+      "raw SQL entry path: CTE statement — per-customer revenue rolled up " +
+        "to market segment, decimal-exact"),
+
+    QueryDef(
+      "q51_sql_window_subquery",
+      (s, dir) => {
+        // SQL entry path, window function inside a derived table with an
+        // outer rank predicate (the q8 shape, statement form). The order
+        // key carries value tiebreaks: the corpus has duplicate
+        // (l_orderkey, l_linenumber) rows (SURVEY §7.4), so rank must be
+        // total over every emitted column
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_orderkey, l_linenumber, l_quantity, rk FROM (
+            SELECT l_orderkey, l_linenumber,
+              CAST(l_quantity AS DOUBLE) AS l_quantity,
+              CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                  l_quantity) AS BIGINT) AS rk
+            FROM lineitem_v) t
+          WHERE rk <= 20 ORDER BY rk, l_orderkey, l_linenumber""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, rk FROM (
+          SELECT l_orderkey, l_linenumber,
+            CAST(l_quantity AS DOUBLE) AS l_quantity,
+            CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                l_quantity) AS BIGINT) AS rk
+          FROM lineitem) t
+        WHERE rk <= 20 ORDER BY rk, l_orderkey, l_linenumber"""),
+      "raw SQL entry path: windowed derived table + outer rank filter"),
+
+    QueryDef(
+      "q52_sql_setops",
+      (s, dir) => {
+        // SQL entry path, chained set operators with explicit grouping —
+        // the q11 family as one statement
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+        s.sql("""SELECT k FROM (
+            ((SELECT c_custkey AS k FROM customer_v
+                WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT o_custkey AS k FROM orders_v
+                WHERE o_totalprice > 100000)
+             UNION
+             SELECT s_suppkey + 1000000 AS k FROM supplier_v
+               WHERE s_acctbal < 0)
+            EXCEPT
+            SELECT c_custkey AS k FROM customer_v WHERE c_acctbal < 0) t
+          ORDER BY k""")
+      },
+      Some("""SELECT k FROM (
+          ((SELECT c_custkey AS k FROM customer
+              WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS k FROM orders
+              WHERE o_totalprice > 100000)
+           UNION
+           SELECT s_suppkey + 1000000 AS k FROM supplier
+             WHERE s_acctbal < 0)
+          EXCEPT
+          SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0) t
+        ORDER BY k"""),
+      "raw SQL entry path: INTERSECT / UNION / EXCEPT chained with " +
+        "explicit grouping")
   )
 }
