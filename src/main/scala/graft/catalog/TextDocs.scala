@@ -308,8 +308,17 @@ object TextDocs {
         val (d, pairs) = ngramPairs(s, dir)
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         val nodes = d.select(col("doc_id").as("node"))
-        graft.operators.ConnectedComponents.minLabel(nodes, edges)
-          .select(col("node").as("doc_id"), col("cluster").as("cluster_id"),
+        // algorithm flag: min-label + pointer doubling by default (right
+        // for the shallow components dedup produces); `stars` switches to
+        // large-star/small-star for adversarial high-diameter graphs —
+        // identical output either way, so the oracle pins both
+        val cc = s.conf.getOption("spark.graft.cc.algorithm") match {
+          case Some("stars") =>
+            graft.operators.ConnectedComponents.largeSmallStar(nodes, edges)
+          case _ =>
+            graft.operators.ConnectedComponents.minLabel(nodes, edges)
+        }
+        cc.select(col("node").as("doc_id"), col("cluster").as("cluster_id"),
             (col("cluster") === col("node")).as("is_rep"))
           .orderBy("doc_id")
       },

@@ -71,4 +71,63 @@ object ConnectedComponents {
     require(done, s"connected components did not converge in $maxIter iterations")
     labels
   }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * adversarial-graph fallback the min-label scaladoc above points at.
+    * Converges in O(log² n) rounds on ANY graph shape, including the
+    * deep-chain components that stress propagation approaches; every
+    * round is two groupBy-join passes over the edge list (no state
+    * besides the edges themselves, so memory is edge-bounded).
+    *
+    * large-star: every node u links its LARGER neighbors to
+    * m = min(Γ(u) ∪ u); small-star (on larger→smaller oriented edges)
+    * collapses each node's smaller neighborhood onto its minimum. At the
+    * fixpoint the edges form stars rooted at component minima.
+    *
+    * Same contract as [[minLabel]]: `nodes(node)`, `edges(src,dst)` →
+    * `(node, cluster = component minimum)`, singletons kept.
+    */
+  def largeSmallStar(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    // canonical edge set, oriented larger → smaller, self-loops dropped
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+    var it = 0
+    var done = e.isEmpty
+    while (!done && it < maxIter) {
+      // LARGE-STAR over the symmetric neighborhood: m = min(Γ(a) ∪ a);
+      // emit (v, m) for every neighbor v > a
+      val symm = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      val minsL = symm.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      val large = symm.join(minsL, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      // SMALL-STAR on the (u > v)-oriented output: collapse each node's
+      // smaller neighborhood (and itself) onto its minimum neighbor
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(minsS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minsS.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      // fixpoint when the edge SET is unchanged (both sides distinct:
+      // equal counts + empty one-way difference ⇔ equality)
+      done = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      it += 1
+    }
+    require(done, s"large/small-star did not converge in $maxIter iterations")
+    val lab = e.groupBy(col("u")).agg(min(col("v")).as("cluster"))
+      .select(col("u").as("node"), col("cluster"))
+    nodes.select(col("node")).distinct()
+      .join(lab, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
+  }
 }

@@ -125,6 +125,51 @@ class EdgeSpec extends SparkSuite {
       "every chain node must resolve to the minimum label 0")
   }
 
+  test("ConnectedComponents.largeSmallStar: a 2000-deep path (adversarial " +
+      "diameter) converges in O(log^2) rounds and matches minLabel") {
+    val s2 = spark; import s2.implicits._
+    // a path graph is the worst case for plain (non-doubled) propagation:
+    // diameter 1999 would exhaust any reasonable maxIter. The star
+    // algorithm's per-round collapse is shape-independent. Node ids are
+    // SHUFFLED (i*1117 mod 2003, a bijection mod the prime 2003) so the
+    // minimum sits mid-chain, not at an end.
+    val p = 2003L
+    def perm(i: Long): Long = (i * 1117L) % p
+    val edges = (0L until p - 1).map(i => (perm(i), perm(i + 1)))
+      .toDF("src", "dst").repartition(8)
+    val nodes = (0L until p).map(perm).toDF("node")
+    val got = graft.operators.ConnectedComponents
+      .largeSmallStar(nodes, edges, maxIter = 25)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("cluster")))
+    assert(got.length == p && got.forall(_._2 == 0L),
+      "every path node must resolve to the component minimum 0")
+
+    // cross-check the two algorithms on a mixed random graph: several
+    // components, singletons, and a triangle
+    val rnd = new scala.util.Random(7)
+    val mixed = ((0 until 300).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (a, b)
+    } ++ Seq((200L, 201L), (201L, 202L), (202L, 200L))).toDF("src", "dst")
+    val mixedNodes = ((0L until 120L) ++ Seq(200L, 201L, 202L, 999L))
+      .toDF("node")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = m(graft.operators.ConnectedComponents.minLabel(mixedNodes, mixed))
+    val b = m(graft.operators.ConnectedComponents.largeSmallStar(mixedNodes, mixed))
+    assert(a == b, s"algorithms disagree: ${a.toSet.diff(b.toSet)}")
+  }
+
+  test("d11 under spark.graft.cc.algorithm=stars matches the default") {
+    val sf = "/root/testdata/sf0.001"
+    val dflt = SparkEntry.queries("d11_dedup_clusters")(spark, sf).collect()
+    spark.conf.set("spark.graft.cc.algorithm", "stars")
+    try {
+      val stars = SparkEntry.queries("d11_dedup_clusters")(spark, sf).collect()
+      assert(dflt.toSeq == stars.toSeq)
+    } finally spark.conf.unset("spark.graft.cc.algorithm")
+  }
+
   test("ConnectedComponents: chain, pair, and singleton resolve to min labels") {
     val s2 = spark; import s2.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 iteration), pair 10-11,
