@@ -52,14 +52,31 @@ object E2E {
     * the repo's gitignored target/ is safer than /tmp */
   private val sinkDir = "/root/repo/target/graft_e2e_sink"
 
+  /** one BigBugData.write per SESSION for the three sink queries (the
+    * round-3 review point: three catalog entries each re-ran the full
+    * pipeline and rewrote all three CSVs). The first sink query in a
+    * session writes; the other two verify the SAME written files — which
+    * is also the stronger check, since all three files come from one
+    * pipeline run exactly as the reference produces them. Weak keys keep
+    * retired sessions collectable; a missing file (external cleanup)
+    * forces a rewrite. */
+  private val writtenBy = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** run the REAL sink path (K1/K2/F9: pivot wide, fixed header, single
     * CSV file) and read the produced file back as all-string columns —
     * the oracle recomputes the expected file content independently from
     * the TSVs, so equality proves the written bytes, not just the frame */
   private def writeAndRead(s: SparkSession, which: String): DataFrame = {
-    BigBugData.write(s, BigBugData.Params(
-      reportPaths, resultsDir = sinkDir, rank = "species", nTophits = 3,
-      groupPatterns = Seq(("Negative", "CF_"))))
+    val filesPresent = Seq("combined", "rrpm", "tophits").forall(w =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$sinkDir/${w}_species.csv")))
+    if (writtenBy.get(s) == null || !filesPresent) {
+      BigBugData.write(s, BigBugData.Params(
+        reportPaths, resultsDir = sinkDir, rank = "species", nTophits = 3,
+        groupPatterns = Seq(("Negative", "CF_"))))
+      writtenBy.put(s, java.lang.Boolean.TRUE)
+    }
     s.read.option("header", "true").csv(s"$sinkDir/${which}_species.csv")
   }
 
