@@ -66,8 +66,10 @@ object E2E {
   /** run the REAL sink path (K1/K2/F9: pivot wide, fixed header, single
     * CSV file) and read the produced file back as all-string columns —
     * the oracle recomputes the expected file content independently from
-    * the TSVs, so equality proves the written bytes, not just the frame */
-  private def writeAndRead(s: SparkSession, which: String): DataFrame = {
+    * the TSVs, so equality proves the written bytes, not just the frame.
+    * Shared with Scripts.bb_e2e_filter_rrpm, which re-scans the written
+    * rrpm CSV through the filter tool (S5 on real produced bytes). */
+  private[catalog] def writeAndRead(s: SparkSession, which: String): DataFrame = {
     val filesPresent = Seq("combined", "rrpm", "tophits").forall(w =>
       java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$sinkDir/${w}_species.csv")))

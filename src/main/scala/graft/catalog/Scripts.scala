@@ -36,7 +36,6 @@ object Scripts {
   private val synthDir = "/root/repo/data/e2e_synth"
   private val filterDir = "/root/repo/data/e2e_filter"
   private val synthOut = "/root/repo/target/graft_e2e_synth"
-  private val filterSinkDir = "/root/repo/target/graft_e2e_filter_sink"
 
   /** deterministic clock for F10: local midnight, Jan 1 2026 — formats as
     * `Thu Jan 01 00:00:00 2026` in EVERY system timezone, so the oracle
@@ -216,14 +215,11 @@ object Scripts {
     QueryDef(
       "bb_e2e_filter_rrpm",
       (s, _) => {
-        // regenerate the REAL rrpm CSV with the main pipeline sink, then
-        // feed it to the filter tool — S5's re-scan consumes actual
-        // produced bytes, not a synthetic fixture
-        graft.pipeline.BigBugData.write(s, graft.pipeline.BigBugData.Params(
-          E2E.reportPaths, resultsDir = filterSinkDir, rank = "species",
-          nTophits = 3, groupPatterns = Seq(("Negative", "CF_"))))
-        val rrpm = s.read.option("header", "true")
-          .csv(s"$filterSinkDir/rrpm_species.csv")
+        // the REAL rrpm CSV written by the main pipeline sink (shared,
+        // once-per-session, with the bb_e2e_sink_* family) fed to the
+        // filter tool — S5's re-scan consumes actual produced bytes, not
+        // a synthetic fixture
+        val rrpm = E2E.writeAndRead(s, "rrpm")
         val taxids = FilterOps.readTaxids(s, s"$filterDir/rrpm_taxids.csv")
         val filtered = FilterOps.filterByTaxids(rrpm, taxids)
           .orderBy(col("taxID").cast("long"))

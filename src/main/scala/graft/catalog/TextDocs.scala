@@ -349,6 +349,93 @@ object TextDocs {
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
         FROM documents ORDER BY doc_id"""),
-      "multimodal plumbing surface: opaque-binary byte metadata")
+      "multimodal plumbing surface: opaque-binary byte metadata"),
+
+    QueryDef(
+      "d15_tfidf_topterms",
+      (s, dir) => {
+        // distributed tf-idf shape: term counts per doc, document
+        // frequency per term, corpus size broadcast as a 1-row frame —
+        // two groupBys + a broadcast join + a per-doc window, no driver
+        // data paths. The idf is the RATIONAL proxy tf·(N/df): ln() is
+        // not correctly-rounded across engines, but *, / are, so this
+        // scoring (same ranking for fixed N) is bit-reproducible against
+        // the oracle.
+        import org.apache.spark.sql.expressions.Window
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = tf.agg(countDistinct(col("doc_id")).as("n"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score", col("tf").cast("double")
+            * (col("n").cast("double") / col("df").cast("double")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"), col("rk"))
+          .orderBy("doc_id", "rk")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tk
+          WHERE term <> '' GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+        scored AS (
+          SELECT f.doc_id, f.term, f.tf, d.df,
+            CAST(f.tf AS DOUBLE)
+              * (CAST((SELECT n FROM n) AS DOUBLE) / CAST(d.df AS DOUBLE))
+              AS score
+          FROM tf f JOIN dfreq d USING (term)),
+        top AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+          CAST(df AS BIGINT) AS df, score, CAST(rk AS BIGINT) AS rk
+        FROM top WHERE rk <= 5 ORDER BY doc_id, rk"""),
+      "tf-idf top-5 terms per document (rational N/df idf proxy — " +
+        "bit-reproducible scoring; tf/df/window all distributed)"),
+
+    QueryDef(
+      "d16_chunking",
+      (s, dir) => {
+        // sliding-window token chunking (window 64, stride 48 — the RAG /
+        // training-sample preparation step): one explode over per-doc
+        // start offsets, chunk text and length via slice — embarrassingly
+        // parallel, no shuffle at all beyond the final presentation sort
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tok"))
+        base
+          .select(col("doc_id"), col("tok"),
+            explode(sequence(lit(0),
+              greatest(size(col("tok")) - 1, lit(0)), lit(48))).as("start"))
+          .select(col("doc_id"),
+            expr("start div 48").as("chunk_id"),
+            array_join(slice(col("tok"), col("start") + 1, lit(64)), " ")
+              .as("chunk"),
+            size(slice(col("tok"), col("start") + 1, lit(64))).cast("long")
+              .as("chunk_tokens"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, $toksSql AS tok FROM documents),
+        st AS (
+          SELECT doc_id, tok,
+            unnest(range(0, GREATEST(len(tok), 1), 48)) AS start
+          FROM base)
+        SELECT doc_id, start // 48 AS chunk_id,
+          array_to_string(list_slice(tok, start + 1, start + 64), ' ')
+            AS chunk,
+          CAST(len(list_slice(tok, start + 1, start + 64)) AS BIGINT)
+            AS chunk_tokens
+        FROM st ORDER BY doc_id, chunk_id"""),
+      "sliding-window token chunking (64-token windows, stride 48) — " +
+        "the training-sample / RAG chunk-preparation operator")
   )
 }
