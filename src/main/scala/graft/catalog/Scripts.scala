@@ -54,8 +54,11 @@ object Scripts {
     * a sample removed from the corpus can never leave a stale file behind. */
   private def runSynth(s: SparkSession): DataFrame = {
     val out = Paths.get(synthOut)
-    if (Files.exists(out))
-      Files.list(out).iterator().asScala.foreach(Files.deleteIfExists(_))
+    if (Files.exists(out)) {
+      val stream = Files.list(out)
+      try stream.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally stream.close()
+    }
     val reportFiles = Option(new java.io.File(synthDir).listFiles())
       .getOrElse(Array.empty).map(_.getPath).filter(_.endsWith("_report.tsv"))
       .sorted.toSeq

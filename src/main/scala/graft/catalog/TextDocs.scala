@@ -436,6 +436,214 @@ object TextDocs {
             AS chunk_tokens
         FROM st ORDER BY doc_id, chunk_id"""),
       "sliding-window token chunking (64-token windows, stride 48) — " +
-        "the training-sample / RAG chunk-preparation operator")
+        "the training-sample / RAG chunk-preparation operator"),
+
+    QueryDef(
+      "d17_repetition_quality",
+      (s, dir) => {
+        // Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
+        // a doc is boilerplate-suspect when one token dominates
+        // (top_word_frac) or adjacent 2-grams repeat (dup_2gram_frac).
+        // Both are exact-integer ratios, so the oracle is bit-identical.
+        // Shape: one explode + two per-doc groupBys, no cross-doc state —
+        // linear at any corpus size. Thresholds (0.10 / 0.03) split the
+        // synthetic corpus roughly in half; real pipelines tune them.
+        val tokens = t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 2)
+        val tw = tokens
+          .select(col("doc_id"), explode(col("tok")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max(col("c")).as("topc"), sum(col("c")).as("n_tok"))
+        // 2-grams materialized from the bound token array (HOF-inlining
+        // discipline, SCALE.md)
+        val gs = tokens
+          .select(col("doc_id"),
+            transform(sequence(lit(1), size(col("tok")) - 1), i =>
+              concat_ws(" ", element_at(col("tok"), i),
+                element_at(col("tok"), i + 1))).as("g"))
+          .select(col("doc_id"), size(col("g")).cast("long").as("tot"),
+            size(array_distinct(col("g"))).cast("long").as("dis"))
+        val topFrac = col("topc").cast("double") / col("n_tok").cast("double")
+        val dupFrac = lit(1.0) - col("dis").cast("double") / col("tot").cast("double")
+        tw.join(gs, "doc_id")
+          .select(col("doc_id"), col("n_tok"),
+            topFrac.as("top_word_frac"),
+            dupFrac.as("dup_2gram_frac"),
+            (topFrac <= 0.10 && dupFrac <= 0.03).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $toksSql AS tok FROM documents),
+        tk2 AS (SELECT * FROM tk WHERE len(tok) >= 2),
+        tc AS (
+          SELECT doc_id, w, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(tok) AS w FROM tk2)
+          GROUP BY doc_id, w),
+        tw AS (
+          SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS n_tok
+          FROM tc GROUP BY doc_id),
+        g AS (
+          SELECT doc_id, list_transform(range(1, len(tok)),
+            i -> tok[i] || ' ' || tok[i + 1]) AS gg
+          FROM tk2),
+        gs AS (
+          SELECT doc_id, CAST(len(gg) AS BIGINT) AS tot,
+            CAST(len(list_distinct(gg)) AS BIGINT) AS dis
+          FROM g)
+        SELECT t.doc_id, t.n_tok,
+          CAST(t.topc AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS top_word_frac,
+          1.0 - CAST(s.dis AS DOUBLE) / CAST(s.tot AS DOUBLE) AS dup_2gram_frac,
+          (CAST(t.topc AS DOUBLE) / CAST(t.n_tok AS DOUBLE) <= 0.10
+            AND 1.0 - CAST(s.dis AS DOUBLE) / CAST(s.tot AS DOUBLE) <= 0.03)
+            AS keep
+        FROM tw t JOIN gs s USING (doc_id) ORDER BY doc_id"""),
+      "Gopher-style repetition quality rules: top-word fraction + " +
+        "duplicate-2-gram fraction per doc, exact-integer ratios"),
+
+    QueryDef(
+      "d18_decontaminate",
+      (s, dir) => {
+        // benchmark decontamination (the GPT-3 §C / PaLM recipe): drop
+        // training docs sharing n-gram windows with the eval set. The
+        // eval split here is doc_id % 50 == 0; window n = 3 because the
+        // synthetic vocab is ~40 words (real pipelines use 8–13). Shape:
+        // explode shingles → broadcast semi-join against the (small) eval
+        // shingle universe → per-doc counts. The eval side is always
+        // broadcast-able by construction — benchmarks are tiny next to a
+        // 100 TB corpus — so the train side streams map-side, no shuffle
+        // besides its own groupBy.
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 3)
+          .select(col("doc_id"),
+            explode(Approx.shinglesOfTokens(col("tok"))).as("sh"))
+        val evalSh = sh.filter(col("doc_id") % 50 === 0)
+          .select(col("sh")).distinct()
+        val train = sh.filter(col("doc_id") % 50 =!= 0)
+        val totals = train.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"))
+        val hits = train.join(broadcast(evalSh), "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+        totals.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            (coalesce(col("n_contaminated"), lit(0L)).cast("double")
+              / col("n_shingles").cast("double")).as("contaminated_frac"),
+            (coalesce(col("n_contaminated"), lit(0L)) === 0L).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $toksSql AS tok FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(tok) - 1),
+            i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]))) AS sh
+          FROM tk WHERE len(tok) >= 3),
+        ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        totals AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+          FROM train GROUP BY doc_id),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+          FROM train JOIN ev USING (sh) GROUP BY doc_id)
+        SELECT t.doc_id, t.n_shingles,
+          COALESCE(h.n_contaminated, 0) AS n_contaminated,
+          CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+            / CAST(t.n_shingles AS DOUBLE) AS contaminated_frac,
+          COALESCE(h.n_contaminated, 0) = 0 AS keep
+        FROM totals t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"""),
+      "benchmark decontamination: train docs sharing 3-gram windows with " +
+        "the eval split (doc_id % 50 == 0) are flagged; eval shingle " +
+        "universe broadcast (tiny vs corpus at any scale)"),
+
+    QueryDef(
+      "d19_pii_redact",
+      (s, dir) => {
+        // PII scrub (the C4 / CCNet hygiene pass): regex redaction of
+        // emails and phone numbers with per-doc match counts. The corpus
+        // text carries no PII (synthetic word salad), so the query first
+        // affixes a DETERMINISTIC synthetic footer derived from doc_id —
+        // the redactor under test is the regex pass, which is the real
+        // operator and runs inside codegen (regexp_replace/regexp_count
+        // are built-ins, no UDF). Patterns stay in the RE2 ∩ Java-regex
+        // common dialect so both engines compile them identically.
+        val footer = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"))
+        val email = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+        val phone = "\\d{3}-\\d{3}-\\d{4}"
+        t(s, dir, "documents")
+          .select(col("doc_id"), footer.as("t"))
+          .select(col("doc_id"),
+            // the Scala-API regexp functions take the pattern verbatim —
+            // expr("regexp_count(...)") would re-process backslashes in
+            // the SQL string literal and corrupt the regex
+            regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+            regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+              phone, "<PHONE>").as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+          SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com or call 555-'
+            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+            '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t,
+            '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(t,
+            '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        FROM p ORDER BY doc_id"""),
+      "PII redaction: regex email/phone scrub with per-doc match counts " +
+        "over a deterministic synthetic footer (corpus carries no PII)"),
+
+    QueryDef(
+      "d20_source_stats",
+      (s, dir) => {
+        // per-source corpus report (the mixture-weights input every
+        // training run starts from): doc/token/char totals, mean and
+        // exact interpolated token percentiles, language spread. One
+        // groupBy over 20 sources — the aggregate is partial-combined
+        // map-side, percentiles shuffle only (source, n_tok) pairs.
+        t(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            size(toks(col("text"))).cast("long").as("n_tok"), col("n_chars"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            (sum(col("n_tok")).cast("double")
+              / count(lit(1)).cast("double")).as("mean_tokens"),
+            expr("percentile(n_tok, 0.5)").as("p50_tokens"),
+            expr("percentile(n_tok, 0.95)").as("p95_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH b AS (
+          SELECT source, lang,
+            CAST(len($toksSql) AS BIGINT) AS n_tok, n_chars
+          FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+          CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS mean_tokens,
+          quantile_cont(n_tok, 0.5) AS p50_tokens,
+          quantile_cont(n_tok, 0.95) AS p95_tokens,
+          COUNT(DISTINCT lang) AS n_langs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM b GROUP BY source ORDER BY source"""),
+      "per-source corpus statistics: doc/token/char totals, mean + exact " +
+        "interpolated percentiles, language spread — the mixture-weights " +
+        "report")
   )
 }

@@ -43,9 +43,12 @@ object CsvSink {
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(tmp.toString)
-    val parts = Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val partStream = Files.list(tmp)
+    val parts =
+      try partStream.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally partStream.close()
     val dest = Paths.get(target)
     if (dest.getParent != null) Files.createDirectories(dest.getParent)
     val out = Files.newOutputStream(dest, StandardOpenOption.CREATE,
@@ -59,8 +62,10 @@ object CsvSink {
   }
 
   private def deleteRecursively(root: Path): Unit = {
-    Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+    val walk = Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally walk.close()
   }
 
   /** K2: output layout `{out}/combined_{rank}.csv` etc.

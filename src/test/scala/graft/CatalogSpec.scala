@@ -119,6 +119,58 @@ class CatalogSpec extends SparkSuite {
     }
   }
 
+  test("d17/d18/d19/d20 edge semantics on a crafted corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_edge").toString
+    val s2 = spark; import s2.implicits._
+    Seq(
+      // doc 0 is the eval split (doc_id % 50 == 0); doc 1 copies it
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "s0", 35L),
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s0", 35L),
+      (2L, "totally different words with no shared windows here", "en", "s1", 52L),
+      (3L, "spam spam spam spam spam spam spam spam spam spam", "en", "s1", 49L),
+      (4L, "one", "en", "s2", 3L),
+      (5L, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j10 k11 l12", "en", "s2", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // d17: the single-token doc has no 2-grams and is excluded; a
+    // one-word doc is all top-word and all duplicate 2-grams
+    val rep = SparkEntry.queries("d17_repetition_quality")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!rep.contains(4L))
+    assert(rep(3L).getAs[Double]("top_word_frac") == 1.0)
+    assert(!rep(3L).getAs[Boolean]("keep"))
+    assert(rep(5L).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(rep(5L).getAs[Boolean]("keep"))
+
+    // d18: eval docs never appear; an exact copy of an eval doc is 100%
+    // contaminated; a disjoint doc is clean; <3-token docs are excluded
+    val dec = SparkEntry.queries("d18_decontaminate")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!dec.contains(0L) && !dec.contains(4L))
+    assert(dec(1L).getAs[Double]("contaminated_frac") == 1.0)
+    assert(!dec(1L).getAs[Boolean]("keep"))
+    assert(dec(2L).getAs[Long]("n_contaminated") == 0L)
+    assert(dec(2L).getAs[Boolean]("keep"))
+
+    // d19: the synthetic footer plants exactly one email + one phone per
+    // doc; redaction must count them and leave no residual match
+    SparkEntry.queries("d19_pii_redact")(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L && r.getAs[Long]("n_phones") == 1L)
+      val red = r.getAs[String]("redacted")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+      assert(!red.contains("@") && !red.matches(".*\\d{3}-\\d{3}-\\d{4}.*"))
+    }
+
+    // d20: per-source doc and token totals
+    val st = SparkEntry.queries("d20_source_stats")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(st.keySet == Set("s0", "s1", "s2"))
+    assert(st.values.map(_.getAs[Long]("n_docs")).sum == 6L)
+    assert(st("s2").getAs[Long]("total_tokens") == 13L)
+    assert(st("s0").getAs[Double]("mean_tokens") == 6.0)
+  }
+
   test("d8 simhash: near-identical docs have small hamming distance") {
     val sims = SparkEntry.queries("d8_simhash")(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
