@@ -559,6 +559,52 @@ object Extended {
           SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0) t
         ORDER BY k"""),
       "raw SQL entry path: INTERSECT / UNION / EXCEPT chained with " +
-        "explicit grouping")
+        "explicit grouping"),
+
+    QueryDef(
+      "q53_schema_evolution",
+      (s, dir) => {
+        // schema-drift source semantics — the 100 TB-lake reality that
+        // yesterday's files lack today's columns. Two deterministic
+        // batches are written with DIFFERENT schemas (batch a carries
+        // o_totalprice, batch b instead adds o_orderpriority), then read
+        // back as ONE table via mergeSchema; absent columns surface as
+        // NULL. The aggregate proves both directions of the merge. The
+        // oracle replays the SAME files through DuckDB union_by_name —
+        // equality checks the merged schema, null-fill, and values.
+        val root = "/root/repo/target/graft_schema_evo"
+        val orders = t(s, dir, "orders")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$root/a")
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$root/b")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$root/a", s"$root/b")
+          .groupBy((col("o_custkey") % 7).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_totalprice")).as("n_priced"),
+            count(col("o_orderpriority")).as("n_prioritized"),
+            sum(d2(col("o_totalprice"))).cast("double").as("sum_price"),
+            countDistinct(col("o_orderpriority")).as("n_prio_kinds"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT o_custkey % 7 AS bucket,
+          COUNT(*) AS n_rows,
+          COUNT(o_totalprice) AS n_priced,
+          COUNT(o_orderpriority) AS n_prioritized,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+          COUNT(DISTINCT o_orderpriority) AS n_prio_kinds
+        FROM read_parquet(
+          ['/root/repo/target/graft_schema_evo/a/*.parquet',
+           '/root/repo/target/graft_schema_evo/b/*.parquet'],
+          union_by_name=true)
+        GROUP BY bucket ORDER BY bucket"""),
+      "schema-evolution source: two parquet batches with drifted schemas " +
+        "merged at scan (mergeSchema ↔ union_by_name), null-fill proven " +
+        "both directions")
   )
 }

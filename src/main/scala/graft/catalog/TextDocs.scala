@@ -448,27 +448,33 @@ object TextDocs {
         // Shape: one explode + two per-doc groupBys, no cross-doc state —
         // linear at any corpus size. Thresholds (0.10 / 0.03) split the
         // synthetic corpus roughly in half; real pipelines tune them.
-        val tokens = t(s, dir, "documents")
+        // 2-gram stats are per-ROW array math (no shuffle), so they ride
+        // the token explode as constant-per-doc columns and fold through
+        // the two aggregation levels with min() — JOIN-FREE: a naive
+        // two-aggregate-plus-join formulation would self-join two
+        // doc-cardinality tables, a real shuffle at corpus scale. The
+        // 2-grams come from the bound token array (HOF-inlining
+        // discipline, SCALE.md).
+        val g = transform(sequence(lit(1), size(col("tok")) - 1), i =>
+          concat_ws(" ", element_at(col("tok"), i),
+            element_at(col("tok"), i + 1)))
+        val tw = t(s, dir, "documents")
           .select(col("doc_id"), toks(col("text")).as("tok"))
           .filter(size(col("tok")) >= 2)
-        val tw = tokens
-          .select(col("doc_id"), explode(col("tok")).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .select(col("doc_id"), col("tok"),
+            size(g).cast("long").as("tot"),
+            size(array_distinct(g)).cast("long").as("dis"))
+          .select(col("doc_id"), explode(col("tok")).as("w"),
+            col("tot"), col("dis"))
+          .groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("c"), min(col("tot")).as("tot"),
+            min(col("dis")).as("dis"))
           .groupBy("doc_id")
-          .agg(max(col("c")).as("topc"), sum(col("c")).as("n_tok"))
-        // 2-grams materialized from the bound token array (HOF-inlining
-        // discipline, SCALE.md)
-        val gs = tokens
-          .select(col("doc_id"),
-            transform(sequence(lit(1), size(col("tok")) - 1), i =>
-              concat_ws(" ", element_at(col("tok"), i),
-                element_at(col("tok"), i + 1))).as("g"))
-          .select(col("doc_id"), size(col("g")).cast("long").as("tot"),
-            size(array_distinct(col("g"))).cast("long").as("dis"))
+          .agg(max(col("c")).as("topc"), sum(col("c")).as("n_tok"),
+            min(col("tot")).as("tot"), min(col("dis")).as("dis"))
         val topFrac = col("topc").cast("double") / col("n_tok").cast("double")
         val dupFrac = lit(1.0) - col("dis").cast("double") / col("tot").cast("double")
-        tw.join(gs, "doc_id")
-          .select(col("doc_id"), col("n_tok"),
+        tw.select(col("doc_id"), col("n_tok"),
             topFrac.as("top_word_frac"),
             dupFrac.as("dup_2gram_frac"),
             (topFrac <= 0.10 && dupFrac <= 0.03).as("keep"))

@@ -54,4 +54,37 @@ object DocStreams {
     * `source` is a low-cardinality dimension, so state is tiny) */
   def sourceCounts(docs: DataFrame): DataFrame =
     docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+
+  /** 3-shingles of the whitespace tokens (shared shape with
+    * d18/Approx.shinglesOfTokens; docs under 3 tokens shingle to empty) */
+  private def shingles(text: org.apache.spark.sql.Column) = {
+    val tk = toks(text)
+    when(size(tk) >= 3,
+      array_distinct(transform(sequence(lit(1), size(tk) - 2), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** the eval-set shingle universe for [[decontaminate]], built once from
+    * the BATCH documents table (the benchmark corpus is static reference
+    * data, not part of the stream). Sorted for determinism. */
+  def evalShingles(spark: SparkSession, dir: String): Seq[String] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(shingles(col("text"))).as("sh"))
+      .distinct().orderBy("sh")
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** d18's decontamination verdict as a STATELESS streaming filter: keep
+    * docs sharing no 3-gram window with the eval set. The eval universe
+    * is a benchmark — tiny next to any corpus — so it travels as a
+    * literal array (a broadcast in cluster terms) and the check is a
+    * per-row arrays_overlap: no join state, no watermark, append-safe.
+    * Docs too short to shingle are clean by definition. Batch parity with
+    * d18's `keep` column is pinned by DocStreamSpec. */
+  def decontaminate(docs: DataFrame, evalSh: Seq[String]): DataFrame =
+    docs.filter(!arrays_overlap(shingles(col("text")),
+      typedlit(evalSh).cast("array<string>")))
 }

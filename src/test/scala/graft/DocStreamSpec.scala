@@ -33,6 +33,32 @@ class DocStreamSpec extends SparkSuite {
     assert(gotFps == d1Fps)
   }
 
+  test("streaming decontamination == d18's keep verdict on shingle-able " +
+      "train docs; short docs pass; eval docs drop") {
+    val evalSh = DocStreams.evalShingles(spark, sf)
+    assert(evalSh.nonEmpty)
+    val stream = DocStreams.decontaminate(DocStreams.readStream(spark, sf), evalSh)
+    val kept = EventStreams.runToMemory(spark, stream, "doc_decon")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch twin: same function, same result
+    val keptBatch = DocStreams.decontaminate(batchDocs, evalSh)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == keptBatch)
+    // d18 parity on its own domain (train docs with >= 3 tokens)
+    val d18 = SparkEntry.queries("d18_decontaminate")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    d18.foreach { case (id, keep) =>
+      assert(kept.contains(id) == keep, s"doc $id: stream=${kept.contains(id)} d18=$keep")
+    }
+    // eval docs self-overlap and drop; sub-3-token docs have no shingles
+    // and pass (none of either in this corpus would otherwise be pinned)
+    val evalIds = batchDocs.filter(col("doc_id") % 50 === 0)
+      .filter(size(split(trim(col("text")), " +")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(evalIds.nonEmpty && evalIds.forall(!kept.contains(_)))
+  }
+
   test("streaming per-source counts == batch groupBy") {
     val stream = DocStreams.sourceCounts(DocStreams.readStream(spark, sf))
     val got = EventStreams.runToMemory(spark, stream, "doc_sources",
