@@ -605,6 +605,45 @@ object Extended {
         GROUP BY bucket ORDER BY bucket"""),
       "schema-evolution source: two parquet batches with drifted schemas " +
         "merged at scan (mergeSchema ↔ union_by_name), null-fill proven " +
-        "both directions")
+        "both directions"),
+
+    QueryDef(
+      "q54_scalable_rownum",
+      (s, dir) => {
+        // global row numbering WITHOUT the single-reducer window:
+        // `ROW_NUMBER() OVER (ORDER BY x)` plans as Exchange
+        // SinglePartition — one task sorts the world. The scalable
+        // pattern (the zipWithIndex idiom): range-partition by the key,
+        // number within each partition, add per-partition offsets. The
+        // only driver-side data is ONE count per partition — partition
+        // metadata, not rows. localCheckpoint pins the sampled range
+        // boundaries so the counts job and the numbering job see the
+        // SAME pid assignment (range sampling is seeded per execution).
+        import org.apache.spark.sql.expressions.Window
+        val parted = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .repartitionByRange(col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val counts = parted.groupBy("pid").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        var acc = 0L
+        val offsets = counts.map { case (pid, n) =>
+          val o = (pid, acc); acc += n; o
+        }.toSeq
+        import s.implicits._
+        val offDf = offsets.toDF("pid", "off")
+        val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        parted.join(broadcast(offDf), "pid")
+          .withColumn("rid", col("off") + row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("rid"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) AS rid
+        FROM documents ORDER BY doc_id"""),
+      "scalable global row numbering: range partition + within-partition " +
+        "row_number + per-partition offsets — equals the single-reducer " +
+        "ROW_NUMBER() OVER (ORDER BY ...) with no SinglePartition exchange")
   )
 }

@@ -105,6 +105,60 @@ object Vectors {
           FROM pairs)
         SELECT q_id, c_id, rk, cos FROM ranked WHERE rk <= 3
         ORDER BY q_id, rk"""),
-      "brute-force cosine top-k ANN baseline (broadcast queries x all)")
+      "brute-force cosine top-k ANN baseline (broadcast queries x all)"),
+
+    QueryDef(
+      "e5_quantize",
+      (s, dir) => {
+        // int8 symmetric embedding quantization — the memory-compression
+        // pass before ANN serving (4x smaller vectors): per-vector
+        // max-abs scale, q_i = floor(v_i/scale + 0.5) (explicit
+        // round-half-up — round() half-mode differs across engines),
+        // saturation count and reconstruction SSE as the quality gauges.
+        // Entirely per-row array math — no shuffle at all beyond the
+        // presentation sort; scales linearly forever. The SSE fold is
+        // sequential left-to-right on both engines (bit-identical), and
+        // max/floor/|x| are exact, so the oracle needs no tolerance.
+        val dv = dvec(col("embedding"))
+        val zeroVec = col("m") === 0.0 // all-zero vector: quantize to 0s
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), dv.as("dv"))
+          .withColumn("m", array_max(transform(col("dv"), x => abs(x))))
+          .withColumn("scale", col("m") / lit(127.0))
+          .withColumn("q", transform(col("dv"), v =>
+            when(zeroVec, lit(0L))
+              .otherwise(floor(v / col("scale") + lit(0.5)))))
+          .select(col("vec_id"), col("scale"),
+            size(filter(col("q"), qi => abs(qi) === 127L))
+              .cast("long").as("n_sat"),
+            aggregate(
+              zip_with(col("dv"), col("q"),
+                (v, qi) => (v - qi * col("scale")) * (v - qi * col("scale"))),
+              lit(0.0), (acc, x) => acc + x).as("sse"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+          FROM embeddings),
+        s AS (
+          SELECT vec_id, dv,
+            list_aggregate(list_transform(dv, x -> abs(x)), 'max') AS m
+          FROM v),
+        q AS (
+          SELECT vec_id, dv, m, m / 127.0 AS scale,
+            list_transform(dv, x -> CASE WHEN m = 0.0 THEN 0.0
+              ELSE floor(x / (m / 127.0) + 0.5) END) AS qq
+          FROM s)
+        SELECT vec_id, scale,
+          CAST(len(list_filter(qq, y -> abs(y) = 127)) AS BIGINT) AS n_sat,
+          list_reduce(
+            list_prepend(0.0, list_transform(range(1, len(dv) + 1),
+              i -> (dv[i] - qq[i] * scale) * (dv[i] - qq[i] * scale))),
+            (a, b) -> a + b) AS sse
+        FROM q ORDER BY vec_id"""),
+      "int8 symmetric embedding quantization: max-abs scale, explicit " +
+        "round-half-up, saturation count + reconstruction SSE (ordered " +
+        "fold, bit-exact) — per-row math, shuffle-free")
   )
 }

@@ -161,4 +161,22 @@ class PlanSpec extends SparkSuite {
       s2.sql("DROP DATABASE IF EXISTS graftb")
     }
   }
+
+  test("q54: global row numbering never plans a SinglePartition exchange " +
+      "(the single-reducer window it replaces does)") {
+    val p = plan("q54_scalable_rownum")
+    assert(!p.contains("SinglePartition"),
+      s"scalable rownum must not funnel rows to one task:\n$p")
+    // the naive formulation DOES — prove the contrast on the same data
+    val naive = graft.catalog.Tables.t(spark, sf, "documents")
+      .withColumn("rid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    assert(naive.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
+
+  test("e5: quantization plans no hash-shuffle (per-row math only)") {
+    val p = plan("e5_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row quantization must not hash-shuffle:\n$p")
+  }
 }
