@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types._
@@ -17,17 +17,31 @@ import org.apache.spark.sql.types._
   * lambda pass over the token array PER BIT, plus a cache barrier to stop
   * the hash array from being inlined 64×) with a single tight loop —
   * same signature bits, ~64× less array traffic, no cache needed.
-  * CodegenFallback is fine — the per-row work is compiled Scala; only row
-  * hand-off is interpreted.
+  * Full whole-stage codegen via a shared interpreted/generated kernel
+  * (same shape as CosineSim/RollingHash), so the d8 signature stage
+  * fuses into the scan with no per-row interpreted hand-off.
   */
 case class SimHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sim_hash_sig"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHashSig.signature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHashSig.signature($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+
+  /** shared interpreted + codegen kernel */
+  def signature(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -58,11 +72,6 @@ case class SimHashSig(child: Expression)
     sig
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
-    copy(child = newChild)
-}
-
-object SimHashSig {
   def sim_hash_sig(c: Column): Column =
     GraftBridge.column(SimHashSig(GraftBridge.expression(c)))
 }

@@ -60,6 +60,40 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("min_hash_sig / sim_hash_sig: codegen and interpreted paths agree " +
+      "on values AND edges (null element, empty array)") {
+    val s2 = spark; import s2.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "c"),
+      Seq("a", null, "c"),   // null element: minhash skips, simhash votes seed
+      Seq.empty,             // empty: all-MaxValue minhash, all-negative votes
+      Seq("solo"))
+    val df = cases.toDF("tk")
+    val codegen = df.select(
+        graft.functions.MinHashSig.min_hash_sig(col("tk"), 8).as("mh"),
+        graft.functions.SimHashSig.sim_hash_sig(col("tk")).as("sh"))
+      .collect()
+      .map(r => (r.getAs[scala.collection.Seq[Long]]("mh").toSeq,
+        r.getAs[Long]("sh")))
+    def lit(xs: Seq[String]) = Literal(
+      ArrayData.toArrayData(xs.map(x =>
+        if (x == null) null else UTF8String.fromString(x)).toArray[Any]),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val interp = cases.map { xs =>
+      val mh = graft.functions.MinHashSig(lit(xs), 8).eval(null)
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+      val sh = graft.functions.SimHashSig(lit(xs)).eval(null)
+        .asInstanceOf[Long]
+      (mh, sh)
+    }
+    assert(codegen.toSeq == interp,
+      s"codegen=${codegen.toSeq} interpreted=$interp")
+  }
+
   test("DotProductRewrite: HOF dot-product idiom becomes the compiled " +
       "expression with identical results") {
     val s2 = spark; import s2.implicits._

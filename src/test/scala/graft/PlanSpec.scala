@@ -97,6 +97,23 @@ class PlanSpec extends SparkSuite {
       s"expressions must sit in a WholeStageCodegen stage:\n$p")
   }
 
+  test("min_hash_sig and sim_hash_sig run INSIDE WholeStageCodegen " +
+      "(no CodegenFallback break in the dedup signature stage)") {
+    // non-literal string arrays — a literal would constant-fold away
+    val arrs = spark.range(8).select(
+      transform(sequence(lit(0L), col("id") + 2),
+        x => concat(lit("w"), x.cast("string"))).as("tk"))
+    val df = arrs.select(
+      graft.functions.MinHashSig.min_hash_sig(col("tk"), 16).as("mh"),
+      graft.functions.SimHashSig.sim_hash_sig(col("tk")).as("sh"))
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator
+      .find(l => l.contains("min_hash_sig") || l.contains("sim_hash_sig"))
+      .getOrElse(fail(s"expressions not found in plan:\n$p"))
+    assert(projLine.trim.startsWith("*"),
+      s"expressions must sit in a WholeStageCodegen stage:\n$p")
+  }
+
   test("pivot with explicit values runs as a single aggregate pass " +
       "(no distinct-collection job)") {
     val q = SparkEntry.queries("q17_pivot")(spark, sf)
