@@ -256,6 +256,24 @@ object Events {
         FROM topk JOIN stats ON user_id = st_user AND event_type = st_type
         WHERE rk <= 3 ORDER BY user_id, rk"""),
       "W1+J1: top-K by rRPM with stable tiebreak, rank-before-join gap " +
-        "semantics (bigbugdata.py:176–205)")
+        "semantics (bigbugdata.py:176–205)"),
+
+    QueryDef(
+      "ev_stream_join",
+      (s, dir) =>
+        graft.streaming.EventStreams.attributionJoin(t(s, dir, "events"))
+          .orderBy("p_id", "c_id"),
+      Some("""SELECT p.event_id AS p_id, p.user_id AS user_id,
+          CAST(p.ts AS TIMESTAMP) AS p_ts,
+          c.event_id AS c_id, CAST(c.ts AS TIMESTAMP) AS c_ts
+        FROM events p JOIN events c ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+          AND CAST(c.ts AS TIMESTAMP)
+            >= CAST(p.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+        ORDER BY p_id, c_id"""),
+      "click→purchase attribution interval join: the batch twin of the " +
+        "watermarked stream-stream join (EventStreams.attributionJoin — " +
+        "SAME code both modes; StreamingSpec proves incremental parity)")
   )
 }

@@ -650,6 +650,138 @@ object TextDocs {
         FROM b GROUP BY source ORDER BY source"""),
       "per-source corpus statistics: doc/token/char totals, mean + exact " +
         "interpolated percentiles, language spread — the mixture-weights " +
-        "report")
+        "report"),
+
+    QueryDef(
+      "d21_interdoc_dup",
+      (s, dir) => {
+        // cross-document repeated-passage detection (the MassiveText /
+        // RefinedWeb "line dedup" analog — this corpus has no newlines,
+        // so the unit is a non-overlapping 8-token chunk): hash each
+        // chunk, count DISTINCT docs carrying each hash corpus-wide,
+        // and report the per-doc fraction of passages shared with some
+        // other document. Shape: explode → distinct + groupBy on the
+        // chunk hash → one equi-join back on the hash → per-doc groupBy.
+        // Every shuffle key is the chunk hash or doc_id — linear in
+        // corpus size, never all-pairs; this is the boilerplate-removal
+        // pass that runs BEFORE near-dup (d7) in real pipelines.
+        val chunks = t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tok"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0),
+              greatest(size(col("tok")) - 1, lit(0)), lit(8))).as("start"),
+            col("tok"))
+          .select(col("doc_id"),
+            md5(array_join(slice(col("tok"), col("start") + 1, lit(8)), " "))
+              .as("ch"))
+        val docsPerChunk = chunks.distinct()
+          .groupBy("ch").agg(count(lit(1)).as("n_docs"))
+        chunks.join(docsPerChunk, "ch")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_chunks").cast("double"))
+              .as("shared_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, $toksSql AS tok FROM documents),
+        st AS (
+          SELECT doc_id, tok,
+            unnest(range(0, GREATEST(len(tok), 1), 8)) AS start
+          FROM base),
+        ch AS (
+          SELECT doc_id,
+            md5(array_to_string(list_slice(tok, start + 1, start + 8), ' '))
+              AS ch
+          FROM st),
+        dpc AS (
+          SELECT ch, COUNT(*) AS n_docs
+          FROM (SELECT DISTINCT doc_id, ch FROM ch) GROUP BY ch)
+        SELECT c.doc_id, COUNT(*) AS n_chunks,
+          CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_shared,
+          CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+        FROM ch c JOIN dpc d USING (ch)
+        GROUP BY c.doc_id ORDER BY doc_id"""),
+      "cross-document repeated-passage detection: non-overlapping 8-token " +
+        "chunk hashes shared across docs (the line-dedup pass before " +
+        "near-dup)"),
+
+    QueryDef(
+      "d22_train_split",
+      (s, dir) => {
+        // deterministic train/valid/test split: the assignment is a pure
+        // function of a salted key hash (md5 hex, first nibble — 12/16
+        // train, 2/16 valid, 2/16 test), so re-running on a grown corpus
+        // never moves an already-assigned doc across splits — the
+        // stability property random()-based splits lack, and the reason
+        // eval contamination stays fixed across pipeline re-runs. Narrow
+        // per-row transform: no shuffle, linear at any scale.
+        val b = substring(
+          md5(concat(col("doc_id").cast("string"), lit(":split:42"))), 1, 1)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), b.as("bucket"),
+            when(b <= "b", "train").when(b <= "d", "valid")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id, source,
+            substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 1)
+              AS bucket
+          FROM documents)
+        SELECT doc_id, source, bucket,
+          CASE WHEN bucket <= 'b' THEN 'train'
+               WHEN bucket <= 'd' THEN 'valid'
+               ELSE 'test' END AS split
+        FROM h ORDER BY doc_id"""),
+      "deterministic hash-based train/valid/test split (stable under " +
+        "corpus growth; 12/2/2 sixteenths by md5 first nibble)"),
+
+    QueryDef(
+      "d23_bigram_lm",
+      (s, dir) => {
+        // corpus bigram language-model counts (the KenLM-style count
+        // pass): c(w1 w2) per adjacent pair, c(w1) as the sum of its
+        // continuations (so Σ p(w2|w1) = 1 exactly), p as the exact
+        // rational c12/c1. Two partial-combined groupBys + one equi-join
+        // on the unigram prefix (vocab-sized, shuffles nothing heavy);
+        // the deterministic global top-50 compiles to
+        // TakeOrderedAndProject — no single-reducer sort.
+        val tok = t(s, dir, "documents")
+          .select(toks(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 2)
+        val big = tok
+          .select(explode(transform(sequence(lit(1), size(col("tok")) - 1),
+            i => concat_ws(" ", element_at(col("tok"), i),
+              element_at(col("tok"), i + 1)))).as("g"))
+          .select(substring_index(col("g"), " ", 1).as("w1"),
+            substring_index(col("g"), " ", -1).as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        big.join(uni, "w1")
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            (col("c12").cast("double") / col("c1").cast("double")).as("p"))
+          .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+          .limit(50)
+      },
+      Some(s"""WITH tk AS (
+          SELECT $toksSql AS tok FROM documents),
+        tk2 AS (SELECT * FROM tk WHERE len(tok) >= 2),
+        st AS (
+          SELECT tok, unnest(range(1, len(tok))) AS i FROM tk2),
+        bg AS (SELECT tok[i] AS w1, tok[i + 1] AS w2 FROM st),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (
+          SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1)
+        SELECT b.w1, b.w2, b.c12, u.c1,
+          CAST(b.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE) AS p
+        FROM c12 b JOIN c1 u USING (w1)
+        ORDER BY b.c12 DESC, b.w1 ASC, b.w2 ASC LIMIT 50"""),
+      "corpus bigram LM counts: c(w1 w2), prefix totals, exact rational " +
+        "p(w2|w1); global top-50 via TakeOrderedAndProject")
   )
 }

@@ -64,6 +64,31 @@ object EventStreams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** stream-stream interval join: click→purchase attribution within a
+    * 2-hour window, keyed by user. Both sides carry watermarks and the
+    * join condition bounds the event-time distance, so Spark can expire
+    * join state — the state held per side is (watermark delay + window)
+    * of rows, independent of stream length. The same plan runs in batch
+    * (withWatermark is a no-op there), which is how the DuckDB oracle
+    * checks it (`ev_stream_join`) while StreamingSpec proves the
+    * incremental path emits the identical pairs. */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("c_id"), col("c_ts"))
+  }
+
   final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** custom state: running per-user totals via mapGroupsWithState — the

@@ -37,6 +37,19 @@ class StreamingSpec extends SparkSuite {
     assert(deduped.count() == n)
   }
 
+  test("stream-stream attribution join emits exactly the batch twin's pairs") {
+    val stream = EventStreams.readStream(spark, sf)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.attributionJoin(stream), "attrib")
+      .collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    val batch = SparkEntry.queries("ev_stream_join")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    assert(batch.nonEmpty, "fixture must produce attribution pairs")
+    assert(got == batch)
+  }
+
   test("mapGroupsWithState running totals cover every user") {
     val events = Tables.events(spark, sf)
     val totals = EventStreams.runningTotals(spark, events).collect()

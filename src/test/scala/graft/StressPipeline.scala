@@ -17,8 +17,21 @@ object StressPipeline {
     val fromDir = args.headOption.filter(a => new java.io.File(a).isDirectory)
     val nSamples = if (fromDir.isEmpty && args.length > 0) args(0).toInt else 100
     val nTaxa = if (fromDir.isEmpty && args.length > 1) args(1).toInt else 2000
+    // SPARK_GRAFT_CODEC=zstd shrinks shuffle/spill files ~2-3x vs the
+    // lz4 default on this text-heavy data — the 320M-cell run is
+    // disk-capacity-bound on this box, and compression is exactly the
+    // knob a real cluster would turn first. Kept opt-in so the measured
+    // ladder stays comparable across rounds. The 60s periodic GC makes
+    // the driver drop shuffle-dependency references promptly so finished
+    // stages' shuffle files are reclaimed DURING the run, not at the
+    // default 30min tick (shuffle files live until their dependency is
+    // GC'd — at 5 shuffles x ~20 GB that's the difference between
+    // fitting and ENOSPC).
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
