@@ -644,6 +644,113 @@ object Extended {
         FROM documents ORDER BY doc_id"""),
       "scalable global row numbering: range partition + within-partition " +
         "row_number + per-partition offsets — equals the single-reducer " +
-        "ROW_NUMBER() OVER (ORDER BY ...) with no SinglePartition exchange")
+        "ROW_NUMBER() OVER (ORDER BY ...) with no SinglePartition exchange"),
+
+    QueryDef(
+      "q56_sql_pivot",
+      (s, dir) => {
+        // SQL entry path, PIVOT clause — q17's relational pivot as a
+        // statement. Explicit IN values keep the column set static at
+        // plan time (no distinct-collection job); absent (day, type)
+        // combinations surface as NULL from PIVOT and are coalesced to 0
+        // like the DataFrame twin's na.fill.
+        Tables.events(s, dir).createOrReplaceTempView("events_v")
+        s.sql("""SELECT day,
+            COALESCE(click, 0) AS click, COALESCE(error, 0) AS error,
+            COALESCE(purchase, 0) AS purchase, COALESCE(signup, 0) AS signup,
+            COALESCE(view, 0) AS view
+          FROM (SELECT date_trunc('day', ts) AS day, event_type FROM events_v)
+          PIVOT (COUNT(*) FOR event_type
+            IN ('click' AS click, 'error' AS error, 'purchase' AS purchase,
+                'signup' AS signup, 'view' AS view))
+          ORDER BY day""")
+      },
+      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+        FROM events GROUP BY 1 ORDER BY day"""),
+      "raw SQL entry path: PIVOT clause with explicit IN values " +
+        "(statement twin of q17)"),
+
+    QueryDef(
+      "q57_sql_lateral",
+      (s, dir) => {
+        // SQL entry path, LATERAL VIEW explode — the UDTF-shaped surface
+        // as a statement (per-doc token frequencies, HAVING-filtered).
+        // Same explode→partial-agg plan as the DataFrame form; the
+        // generator runs inside the scan stage.
+        t(s, dir, "documents").createOrReplaceTempView("documents_v")
+        s.sql("""SELECT doc_id, tok AS w, COUNT(*) AS c
+          FROM documents_v
+          LATERAL VIEW explode(split(trim(text), ' +')) tks AS tok
+          GROUP BY doc_id, tok HAVING COUNT(*) >= 5
+          ORDER BY doc_id, w""")
+      },
+      Some("""SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(trim(text), ' +')) AS w
+              FROM documents)
+        GROUP BY doc_id, w HAVING COUNT(*) >= 5
+        ORDER BY doc_id, w"""),
+      "raw SQL entry path: LATERAL VIEW explode (UDTF surface) with " +
+        "grouped HAVING over the generated rows"),
+
+    QueryDef(
+      "q58_merge_upsert",
+      (s, dir) => {
+        // CDC merge/upsert (the MERGE INTO shape without a table format):
+        // apply a deterministic change set — updates (key%10=3, price
+        // +1000), deletes (key%10=7), inserts (fresh keys, key%10=5) —
+        // onto the orders base via ONE full-outer join on the key.
+        // Update/insert/delete all resolve as column expressions over
+        // the join, so the whole merge is a single shuffle on the join
+        // key (broadcast when the change set is small; AQE splits skew).
+        // Money stays DECIMAL end-to-end; cast to double only at output.
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+            d2(col("o_totalprice")).as("p"))
+        val changes =
+          base.filter(col("k") % 10 === 3)
+            .select(col("k"), lit("U").as("op"),
+              (col("p") + lit(1000)).cast(DecimalType(12, 2)).as("np"))
+          .unionAll(base.filter(col("k") % 10 === 7)
+            .select(col("k"), lit("D").as("op"),
+              lit(null).cast(DecimalType(12, 2)).as("np")))
+          .unionAll(base.filter(col("k") % 10 === 5)
+            .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+              lit(BigDecimal("42.00")).cast(DecimalType(12, 2)).as("np")))
+        base.join(changes, Seq("k"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("k").as("o_orderkey"),
+            coalesce(col("c"), lit(-1L)).as("o_custkey"),
+            when(col("op").isin("U", "I"), col("np")).otherwise(col("p"))
+              .cast("double").as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey AS k, o_custkey AS c,
+            CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          FROM orders),
+        changes AS (
+          SELECT k, 'U' AS op, CAST(p + 1000 AS DECIMAL(12,2)) AS np
+          FROM base WHERE k % 10 = 3
+          UNION ALL
+          SELECT k, 'D', NULL FROM base WHERE k % 10 = 7
+          UNION ALL
+          SELECT k + 10000000, 'I', CAST(42.00 AS DECIMAL(12,2))
+          FROM base WHERE k % 10 = 5)
+        SELECT COALESCE(b.k, ch.k) AS o_orderkey,
+          COALESCE(b.c, -1) AS o_custkey,
+          CAST(CASE WHEN ch.op IN ('U', 'I') THEN ch.np ELSE b.p END
+            AS DOUBLE) AS price
+        FROM base b FULL OUTER JOIN changes ch ON b.k = ch.k
+        WHERE ch.op IS NULL OR ch.op <> 'D'
+        ORDER BY o_orderkey"""),
+      "CDC merge/upsert: update + delete + insert change set applied in " +
+        "ONE full-outer join (the MERGE INTO shape) — single shuffle on " +
+        "the merge key")
   )
 }
