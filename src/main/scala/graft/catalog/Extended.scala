@@ -751,6 +751,25 @@ object Extended {
         ORDER BY o_orderkey"""),
       "CDC merge/upsert: update + delete + insert change set applied in " +
         "ONE full-outer join (the MERGE INTO shape) — single shuffle on " +
-        "the merge key")
+        "the merge key"),
+
+    QueryDef(
+      "q59_zorder",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            graft.functions.ZOrder.zvalue(col("l_partkey"), col("l_suppkey"))
+              .as("z"))
+          .orderBy("z", "l_partkey", "l_suppkey")
+          .limit(2000),
+      Some(s"""SELECT l_partkey, l_suppkey,
+          CAST(${graft.functions.ZOrder.zvalueSql("l_partkey", "l_suppkey")}
+            AS BIGINT) AS z
+        FROM lineitem
+        ORDER BY z, l_partkey, l_suppkey LIMIT 2000"""),
+      "z-order (Morton) curve value over two keys — the multi-dimensional " +
+        "data-skipping layout primitive (ZOrderSpec measures the per-file " +
+        "min/max tightening); identical 32-term bit-interleave on both " +
+        "engines, global top slice via TakeOrderedAndProject")
   )
 }
