@@ -770,6 +770,44 @@ object Extended {
       "z-order (Morton) curve value over two keys — the multi-dimensional " +
         "data-skipping layout primitive (ZOrderSpec measures the per-file " +
         "min/max tightening); identical 32-term bit-interleave on both " +
-        "engines, global top slice via TakeOrderedAndProject")
+        "engines, global top slice via TakeOrderedAndProject"),
+
+    QueryDef(
+      "q60_sql_unpivot",
+      (s, dir) => {
+        // SQL entry path, UNPIVOT clause: the wide→long inverse of q56's
+        // PIVOT, as one statement round-trip. The dense zero cells the
+        // pivot materialized survive the unpivot (they are 0, not NULL —
+        // UNPIVOT drops only NULLs), so the output is the DENSE long
+        // form: every (day, type) combination, the reference's 0-filled
+        // grid semantics (bigbugdata.py:289–291) in statement form.
+        Tables.events(s, dir).createOrReplaceTempView("events_v")
+        s.sql("""SELECT day, event_type, n FROM (
+            SELECT day,
+              COALESCE(click, 0) AS click, COALESCE(error, 0) AS error,
+              COALESCE(purchase, 0) AS purchase,
+              COALESCE(signup, 0) AS signup, COALESCE(view, 0) AS view
+            FROM (SELECT date_trunc('day', ts) AS day, event_type
+                  FROM events_v)
+            PIVOT (COUNT(*) FOR event_type
+              IN ('click' AS click, 'error' AS error, 'purchase' AS purchase,
+                  'signup' AS signup, 'view' AS view)))
+          UNPIVOT (n FOR event_type
+            IN (click, error, purchase, signup, view))
+          ORDER BY day, event_type""")
+      },
+      Some("""WITH c AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+            event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        days AS (SELECT DISTINCT day FROM c),
+        types AS (SELECT unnest(
+          ['click','error','purchase','signup','view']) AS event_type)
+        SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+        FROM days d CROSS JOIN types t
+        LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+        ORDER BY d.day, t.event_type"""),
+      "raw SQL entry path: PIVOT→UNPIVOT round-trip — the dense 0-filled " +
+        "long grid (reference A2 semantics) as one statement")
   )
 }

@@ -97,6 +97,35 @@ class PlanSpec extends SparkSuite {
       s"expressions must sit in a WholeStageCodegen stage:\n$p")
   }
 
+  test("runtime bloom filter: a selective dimension predicate is pushed " +
+      "to the fact side as an injected might_contain filter") {
+    // the AQE-era runtime filter (Spark's answer to sideways information
+    // passing): the bloom filter built from the filtered dim side prunes
+    // fact rows BEFORE the join shuffle — at 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling
+    // the matching slice. Thresholds are production-tuned for >10 GB
+    // scans, so the test lowers them to fire at sf0.01; broadcast is
+    // disabled because a broadcast join subsumes the bloom filter.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val part = spark.read.parquet(s"$sf/part.parquet")
+        .filter(col("p_size") === 1)
+      val p = li.join(part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_name"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"runtime bloom filter was not injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("min_hash_sig and sim_hash_sig run INSIDE WholeStageCodegen " +
       "(no CodegenFallback break in the dedup signature stage)") {
     // non-literal string arrays — a literal would constant-fold away
