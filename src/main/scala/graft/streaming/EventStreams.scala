@@ -110,6 +110,64 @@ object EventStreams {
       }
   }
 
+  /** session accumulator for [[timeoutSessions]] (micros since epoch) */
+  final case class SessState(start: Long, last: Long, n: Long)
+  /** emitted closed session (micros keep the comparison exact — the
+    * corpus has microsecond timestamps) */
+  final case class SessionOut(user_id: Long, start_us: Long, n_events: Long)
+
+  /** EMIT-ON-TIMEOUT sessionization: flatMapGroupsWithState +
+    * EventTimeTimeout — the state-API tier session_window can't express
+    * (emit a session record the moment the watermark proves it closed,
+    * not at query end). In-batch gaps close sessions immediately; the
+    * trailing session per user is held in state with its timeout set to
+    * (last event + gap), and Spark's no-data batches fire the timeout
+    * once the watermark passes it. State per user is ONE SessState —
+    * O(users) total, independent of stream length. */
+  def timeoutSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    val GapUs = 30L * 60 * 1000000
+    events
+      .withWatermark("ts", "10 minutes")
+      // the watermarked event-time column must reach the stateful
+      // operator — project micros ALONGSIDE ts, not instead of it
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[SessState]) =>
+          def out(s: SessState) = SessionOut(uid, s.start, s.n)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(out(s))
+          } else {
+            val sorted = rows.map(_._3).toSeq.sorted
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.last < GapUs =>
+                  Some(SessState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  closed += out(s)
+                  Some(SessState(t, t, 1))
+                case None => Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // a timeout at-or-behind the watermark is illegal; clamp
+              // forward one ms (the session then closes on the next tick)
+              state.setTimeoutTimestamp(math.max(
+                (s.last + GapUs) / 1000, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/verification harness). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

@@ -97,6 +97,16 @@ class PlanSpec extends SparkSuite {
       s"expressions must sit in a WholeStageCodegen stage:\n$p")
   }
 
+  test("d21/q58: the dedup chunk join and the CDC merge stay equi-join " +
+      "shaped (no cartesian / nested-loop anywhere)") {
+    Seq("d21_interdoc_dup", "q58_merge_upsert").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop"),
+        s"$name must never plan an all-pairs join:\n$p")
+    }
+  }
+
   test("runtime bloom filter: a selective dimension predicate is pushed " +
       "to the fact side as an injected might_contain filter") {
     // the AQE-era runtime filter (Spark's answer to sideways information

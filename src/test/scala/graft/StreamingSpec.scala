@@ -50,6 +50,46 @@ class StreamingSpec extends SparkSuite {
     assert(got == batch)
   }
 
+  test("flatMapGroupsWithState + EventTimeTimeout: in-batch gaps close " +
+      "sessions immediately, the watermark closes the tail — emitted set " +
+      "equals the batch islands that are provably closed") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 1800000000L
+    val DelayUs = 600000000L
+    // batch truth with session END (ev_session's islands + max ts)
+    val ev = Tables.events(spark, sf)
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = ev
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(wOrd))
+      .withColumn("new_sess", when(col("prev").isNull
+        || col("us") - col("prev") >= GapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("last_us"),
+        count(lit(1)).as("n_events"),
+        max(col("sess_id")).over(Window.partitionBy(col("user_id")))
+          .as("max_sess"))
+      .collect()
+    val watermarkUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0) - DelayUs
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"), r.getAs[Long]("n_events"))
+    val expected = sessions.filter(r =>
+      r.getAs[Long]("sess_id") < r.getAs[Long]("max_sess")      // in-batch closed
+        || r.getAs[Long]("last_us") + GapUs < watermarkUs)       // timeout closed
+      .map(key).toSet
+    val stream = EventStreams.readStream(spark, sf)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.timeoutSessions(spark, stream).toDF, "tsess")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"expected ${expected.size} closed sessions, got ${got.size}")
+  }
+
   test("mapGroupsWithState running totals cover every user") {
     val events = Tables.events(spark, sf)
     val totals = EventStreams.runningTotals(spark, events).collect()
