@@ -808,6 +808,48 @@ object Extended {
         LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
         ORDER BY d.day, t.event_type"""),
       "raw SQL entry path: PIVOT→UNPIVOT round-trip — the dense 0-filled " +
-        "long grid (reference A2 semantics) as one statement")
+        "long grid (reference A2 semantics) as one statement"),
+
+    QueryDef(
+      "q61_json_source",
+      (s, dir) => {
+        // JSON-lines source coverage (the landing-zone format every lake
+        // ingests before parquet): a deterministic events slice is
+        // written as newline-delimited JSON, read back with an EXPLICIT
+        // schema (schema-on-read; no inference job at 100 TB), and
+        // aggregated. The oracle replays DuckDB read_json over the SAME
+        // files, so the JSON round-trip itself (double shortest-repr,
+        // string escaping, embedded-JSON passthrough) is what's checked.
+        // Timestamps travel as micros (BIGINT) — JSON has no timestamp
+        // type; encoding explicitly beats engine-specific string formats.
+        val root = "/root/repo/target/graft_json_src"
+        Tables.events(s, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").json(root)
+        s.read
+          .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .json(root)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(d2(col("value"))).cast("double").as("total_value"),
+            min(col("ts_us")).as("first_us"),
+            max(col("ts_us")).as("last_us"),
+            count(get_json_object(col("props"), "$.k")).as("n_with_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+          MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+          COUNT(json_extract_string(props, '$.k')) AS n_with_k
+        FROM read_json('/root/repo/target/graft_json_src/*.json',
+          format='newline_delimited',
+          columns={'event_id':'BIGINT','ts_us':'BIGINT','user_id':'BIGINT',
+                   'event_type':'VARCHAR','value':'DOUBLE','props':'VARCHAR'})
+        GROUP BY event_type ORDER BY event_type"""),
+      "JSON-lines source: write → schema-on-read scan → aggregate, " +
+        "oracled by DuckDB read_json over the SAME files (round-trip of " +
+        "doubles, escaping, embedded JSON)")
   )
 }

@@ -107,6 +107,42 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the " +
+      "final adaptive plan)") {
+    // SCALE.md's skew story: fact-to-fact joins rely on AQE to split hot
+    // partitions. Production thresholds are 256 MB; lower them so the
+    // sf0.01 hot key (90% of rows on one join key) trips the splitter.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of fact rows on key 0. The dim side must CONTAIN key 0 and
+      // carry no predicate: a filtered dim's constraint propagates
+      // through the join key and deletes the hot rows at the fact scan
+      // (useful in production, fatal to this fixture).
+      val one = spark.read.parquet(s"$sf/lineitem.parquet")
+      val fact = one.unionAll(one).unionAll(one).unionAll(one)
+        .select(when(col("l_orderkey") % 10 < 9, 0L)
+          .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      val dim = spark.range(0, 2000)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      // collect() finalizes THIS QueryExecution's adaptive plan (a write
+      // action executes a clone, leaving isFinalPlan=false here)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot partition's join as skew-split:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter: a selective dimension predicate is pushed " +
       "to the fact side as an injected might_contain filter") {
     // the AQE-era runtime filter (Spark's answer to sideways information
