@@ -55,12 +55,19 @@ object Approx {
   // double). That makes the FULL pipelines SQL-expressible, so both ANN
   // queries carry exact oracles instead of rows-only checks.
 
+  /** a literal double vector as DuckDB SQL. A bare decimal literal
+    * parses as DECIMAL, and DuckDB's DECIMAL→DOUBLE conversion is NOT
+    * correctly rounded at 17 significant digits (measured: 3 of 16
+    * codeword components land one ulp off) — VARCHAR→DOUBLE is strtod,
+    * which is exact. */
+  private def litVecSql(lit: Seq[Double]): String =
+    lit.map(x => s"'${java.lang.Double.toString(x)}'")
+      .mkString("(CAST([", ", ", "] AS DOUBLE[]))")
+
   /** sequential-fold dot of a column vector against a literal plane —
     * same left-to-right order as the Spark HOF/DotProduct fold */
-  private def dotLitSql(vec: String, lit: Seq[Double]): String = {
-    val l = lit.map(java.lang.Double.toString).mkString("[", ", ", "]")
-    s"list_reduce(list_transform(range(1, ${lit.size + 1}), i -> $vec[i] * ($l)[i]), (a, b) -> a + b)"
-  }
+  private def dotLitSql(vec: String, lit: Seq[Double]): String =
+    s"list_reduce(list_transform(range(1, ${lit.size + 1}), i -> $vec[i] * ${litVecSql(lit)}[i]), (a, b) -> a + b)"
 
   /** e1's exact cosine formula between two column vectors */
   private def cosineSql(a: String, b: String): String =
@@ -132,7 +139,80 @@ object Approx {
       SELECT q_id, c_id, rk, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
+  // ---- product quantization constants (e6) -----------------------------
+  private val PqM = 4        // subvectors
+  private val PqK = 16       // codewords per subspace
+  private val PqSub = 16     // dims per subvector (64 / PqM)
+
+  /** deterministic codeword (m, k): PqSub doubles in [-0.5, 0.5) */
+  private def pqCodeword(m: Int, k: Int): Seq[Double] =
+    (0 until PqSub).map(d =>
+      mixToUnit(0x50510000L + ((m * PqK + k).toLong * PqSub + d)) - 0.5)
+
+  private def e6OracleSql: String = {
+    def distSql(m: Int, k: Int): String = {
+      val l = litVecSql(pqCodeword(m, k))
+      val sub = s"list_slice(dv, ${m * PqSub + 1}, ${(m + 1) * PqSub})"
+      s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+         i -> ($sub[i] - $l[i]) * ($sub[i] - $l[i])), (a, b) -> a + b)"""
+    }
+    val dsList = (0 until PqM).map { m =>
+      (0 until PqK).map(k => distSql(m, k))
+        .mkString("list_value(", ",\n ", ")")
+    }.mkString("list_value(", ",\n", ")")
+    val codes = (1 to PqM).map(m =>
+      s"CAST(list_position(ds[$m], list_min(ds[$m])) AS BIGINT) AS code$m")
+      .mkString(",\n          ")
+    val sse = (1 to PqM).map(m => s"list_min(ds[$m])").mkString(" + ")
+    s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings),
+      d AS (SELECT vec_id, $dsList AS ds FROM v)
+      SELECT vec_id,
+          $codes,
+          $sse AS sse
+      FROM d ORDER BY vec_id"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "e6_pq",
+      (s, dir) => {
+        // product quantization — the production ANN compression tier
+        // beyond e5's int8: split each vector into M subvectors, snap
+        // each to its nearest of K literal codewords (L2), store only
+        // the M code indices (64 floats → 4 bytes here), and gauge the
+        // reconstruction SSE. Codebooks are deterministic driver-side
+        // literals (the e2/e3 recipe), so the FULL pipeline carries an
+        // exact oracle: identical subtract/multiply/sequential-add trees
+        // on both engines, argmin as first-position-of-min on identical
+        // doubles. Plan shape: a straight Project chain over the scan —
+        // shuffle-free, linear at any corpus size; at serving time the
+        // codes join against a broadcast codebook (asymmetric distance).
+        val emb = t(s, dir, "embeddings")
+          .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+          .select("vec_id", "dv").cache() // barrier: dv feeds 64 HOF lambdas
+        def dist(m: Int, k: Int): Column = {
+          val sub = slice(col("dv"), m * PqSub + 1, PqSub)
+          val cwLits = array(pqCodeword(m, k).map(lit): _*)
+          aggregate(zip_with(sub, cwLits, (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v)
+        }
+        val ds = array((0 until PqM).map(m =>
+          array((0 until PqK).map(k => dist(m, k)): _*)): _*)
+        def dsm(m: Int) = element_at(col("ds"), m)
+        emb.withColumn("ds", ds)
+          .select(Seq(col("vec_id")) ++
+            (1 to PqM).map(m =>
+              array_position(dsm(m), array_min(dsm(m))).as(s"code$m")) :+
+            (1 to PqM).map(m => array_min(dsm(m))).reduce(_ + _).as("sse"): _*)
+          .orderBy("vec_id")
+      },
+      Some(e6OracleSql),
+      "product quantization: M=4 subspaces x K=16 literal codewords, " +
+        "nearest-codeword codes + reconstruction SSE — 64 floats to 4 " +
+        "bytes, shuffle-free, full oracle"),
 
     QueryDef(
       "d7_minhash_lsh",

@@ -850,6 +850,35 @@ object Extended {
         GROUP BY event_type ORDER BY event_type"""),
       "JSON-lines source: write → schema-on-read scan → aggregate, " +
         "oracled by DuckDB read_json over the SAME files (round-trip of " +
-        "doubles, escaping, embedded JSON)")
+        "doubles, escaping, embedded JSON)"),
+
+    QueryDef(
+      "q62_sql_recursive",
+      (s, dir) => {
+        // WITH RECURSIVE (new in Spark 4): ancestor-chain walk over the
+        // implicit binary-tree hierarchy parent(n) = n div 2 — the
+        // org-chart / BOM / reachability query class that previously
+        // forced driver-side iteration (ConnectedComponents) or an
+        // external engine. Depth is log2(n): the recursion runs ~13
+        // rounds at sf0.1, each a distributed self-join of the frontier.
+        t(s, dir, "documents").createOrReplaceTempView("documents_v")
+        s.sql("""WITH RECURSIVE chain (doc_id, cur, depth) AS (
+            SELECT doc_id, doc_id, 0 FROM documents_v
+            UNION ALL
+            SELECT doc_id, cur DIV 2, depth + 1 FROM chain WHERE cur > 0)
+          SELECT doc_id, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+            COUNT(*) AS chain_len
+          FROM chain GROUP BY doc_id ORDER BY doc_id""")
+      },
+      Some("""WITH RECURSIVE chain (doc_id, cur, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents
+          UNION ALL
+          SELECT doc_id, cur // 2, depth + 1 FROM chain WHERE cur > 0)
+        SELECT doc_id, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+          COUNT(*) AS chain_len
+        FROM chain GROUP BY doc_id ORDER BY doc_id"""),
+      "raw SQL entry path: WITH RECURSIVE ancestor-chain walk (binary-" +
+        "tree hierarchy, log-depth recursion) — Spark 4's recursive CTE " +
+        "vs DuckDB's")
   )
 }

@@ -271,4 +271,10 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"per-row quantization must not hash-shuffle:\n$p")
   }
+
+  test("e6: product quantization plans no hash-shuffle (per-row math only)") {
+    val p = plan("e6_pq")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row PQ encoding must not hash-shuffle:\n$p")
+  }
 }
