@@ -782,6 +782,48 @@ object TextDocs {
         FROM c12 b JOIN c1 u USING (w1)
         ORDER BY b.c12 DESC, b.w1 ASC, b.w2 ASC LIMIT 50"""),
       "corpus bigram LM counts: c(w1 w2), prefix totals, exact rational " +
-        "p(w2|w1); global top-50 via TakeOrderedAndProject")
+        "p(w2|w1); global top-50 via TakeOrderedAndProject"),
+
+    QueryDef(
+      "d24_text_clean",
+      (s, dir) => {
+        // text hygiene (the C4/CCNet cleaning pass): strip control
+        // characters, collapse whitespace runs, trim — with per-doc
+        // counts of what was removed (the QA signal). The corpus is
+        // clean, so deterministic dirt is affixed first (the d19
+        // recipe): doc_id-seeded tabs, BELs, and space runs. Narrow
+        // per-row regex transforms — codegen built-ins, linear forever.
+        val dirt = concat(col("text"),
+          lit(" "), expr("chr(9)"), lit("tail"), expr("chr(7)"),
+          expr("repeat(' ', 2 + CAST(doc_id % 3 AS INT))"), lit("end"))
+        val ctrl = "[\\x00-\\x1f]"
+        val runs = "  +"
+        t(s, dir, "documents")
+          .select(col("doc_id"), dirt.as("t"))
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit(ctrl)).cast("long").as("n_ctrl"),
+            regexp_count(col("t"), lit(runs)).cast("long").as("n_ws_runs"),
+            trim(regexp_replace(regexp_replace(col("t"), ctrl, " "),
+              runs, " ")).as("cleaned"))
+          .withColumn("n_chars_clean", length(col("cleaned")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+          SELECT doc_id, text || ' ' || chr(9) || 'tail' || chr(7)
+            || repeat(' ', CAST(2 + doc_id % 3 AS INT)) || 'end' AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[\x00-\x1f]')) AS BIGINT)
+            AS n_ctrl,
+          CAST(len(regexp_extract_all(t, '  +')) AS BIGINT) AS n_ws_runs,
+          trim(regexp_replace(regexp_replace(t, '[\x00-\x1f]', ' ', 'g'),
+            '  +', ' ', 'g')) AS cleaned,
+          CAST(length(trim(regexp_replace(regexp_replace(t,
+            '[\x00-\x1f]', ' ', 'g'), '  +', ' ', 'g'))) AS BIGINT)
+            AS n_chars_clean
+        FROM p ORDER BY doc_id"""),
+      "text cleaning (C4-style hygiene): control-char strip + whitespace " +
+        "collapse + trim with per-doc removal counts, over deterministic " +
+        "synthetic dirt")
   )
 }

@@ -90,6 +90,33 @@ class StreamingSpec extends SparkSuite {
       s"expected ${expected.size} closed sessions, got ${got.size}")
   }
 
+  test("RocksDB state store: the watermarked aggregation produces the " +
+      "identical result under the disk-backed provider") {
+    // the default HDFSBackedStateStore keeps ALL streaming state in
+    // executor heap — the thing that does not survive 100 TB-scale key
+    // cardinalities. RocksDB spills state to local disk; this pins that
+    // the engine's streaming ops are provider-agnostic (same results),
+    // so flipping the one conf is the whole migration.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readStream(spark, sf)
+      val got = EventStreams.runToMemory(spark,
+        EventStreams.hourlyWindow(stream), "hourly_rocks", OutputMode.Complete)
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("ws"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      val batch = SparkEntry.queries("q19_time_window")(spark, sf)
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("ws"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(got == batch)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mapGroupsWithState running totals cover every user") {
     val events = Tables.events(spark, sf)
     val totals = EventStreams.runningTotals(spark, events).collect()
