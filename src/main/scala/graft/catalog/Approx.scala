@@ -220,20 +220,33 @@ object Approx {
       FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
+  /** the full codebook as one literal column: [M][K][PqSub] doubles */
+  private def pqCodebookLit: Column =
+    array((0 until PqM).map(m => array((0 until PqK).map(k =>
+      array(pqCodeword(m, k).map(lit): _*)): _*)): _*)
+
+  /** ||dv_sub(m) − cb[m][k]||² with the canonical sequential fold —
+    * m and k are lambda-bound columns, so the whole M×K distance grid
+    * is ONE nested-HOF tree instead of M·K column-level trees (16×
+    * smaller plan, bit-identical values; analysis time was most of the
+    * e6/e7 bench cost) */
+  private def pqDist(vec: Column, m: Column, k: Column): Column =
+    aggregate(
+      zip_with(
+        slice(vec, m * lit(PqSub) + lit(1), lit(PqSub)),
+        element_at(element_at(pqCodebookLit, m + lit(1)), k + lit(1)),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** shared PQ corpus encode: vec_id, dv, code1..codeM, sse — e6 emits
     * it, e7 serves from it */
   private def pqEncode(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
-      .select("vec_id", "dv").cache() // barrier: dv feeds 64 HOF lambdas
-    def dist(m: Int, k: Int): Column = {
-      val sub = slice(col("dv"), m * PqSub + 1, PqSub)
-      val cwLits = array(pqCodeword(m, k).map(lit): _*)
-      aggregate(zip_with(sub, cwLits, (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v)
-    }
-    val ds = array((0 until PqM).map(m =>
-      array((0 until PqK).map(k => dist(m, k)): _*)): _*)
+      .select("vec_id", "dv").cache() // barrier: dv feeds the HOF lambdas
+    val ds = transform(sequence(lit(0), lit(PqM - 1)), m =>
+      transform(sequence(lit(0), lit(PqK - 1)), k =>
+        pqDist(col("dv"), m, k)))
     def dsm(m: Int) = element_at(col("ds"), m)
     emb.withColumn("ds", ds)
       .select(Seq(col("vec_id"), col("dv")) ++
@@ -283,14 +296,20 @@ object Approx {
         val enc = pqEncode(s, dir)
         val q = enc.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("dv").as("qv"))
-        def cbLit(m: Int): Column = array((0 until PqK).map(k =>
-          array(pqCodeword(m, k).map(lit): _*)): _*)
-        val adc = (0 until PqM).map { m =>
-          val qsub = slice(col("qv"), m * PqSub + 1, PqSub)
-          val cw = element_at(cbLit(m), col(s"code${m + 1}").cast("int"))
-          aggregate(zip_with(qsub, cw, (x, c) => (x - c) * (x - c)),
-            lit(0.0), (acc, v) => acc + v)
-        }.reduce(_ + _)
+        // Σ_m ||q_sub(m) − cb[m][code_m]||² — one nested-HOF tree over
+        // the codes array; init-0.0 folds match the oracle's bare `+`
+        // chains bit-for-bit (all terms ≥ 0, and 0.0 + x == x)
+        val codesArr = array((1 to PqM).map(m => col(s"code$m")): _*)
+        val adc = aggregate(
+          transform(sequence(lit(0), lit(PqM - 1)), m =>
+            aggregate(
+              zip_with(
+                slice(col("qv"), m * lit(PqSub) + lit(1), lit(PqSub)),
+                element_at(element_at(pqCodebookLit, m + lit(1)),
+                  element_at(codesArr, m + lit(1)).cast("int")),
+                (x, c) => (x - c) * (x - c)),
+              lit(0.0), (acc, v) => acc + v)),
+          lit(0.0), (acc, v) => acc + v)
         val exactL2 = aggregate(
           zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v)
