@@ -263,7 +263,7 @@ object Approx {
         // product quantization — the production ANN compression tier
         // beyond e5's int8: split each vector into M subvectors, snap
         // each to its nearest of K literal codewords (L2), store only
-        // the M code indices (64 floats → 4 bytes here), and gauge the
+        // the M code indices (64 floats → 16 bytes here), and gauge the
         // reconstruction SSE. Codebooks are deterministic driver-side
         // literals (the e2/e3 recipe), so the FULL pipeline carries an
         // exact oracle: identical subtract/multiply/sequential-add trees
@@ -317,13 +317,21 @@ object Approx {
           .orderBy(col("adc").asc, col("c_id").asc)
         val wRer = Window.partitionBy(col("q_id"))
           .orderBy(col("d2").asc, col("c_id").asc)
-        enc.select(Seq(col("vec_id").as("c_id"), col("dv").as("cv")) ++
+        // stage 1 carries ONLY the code columns through the candidate
+        // scan and the shortlist window — the raw vector never rides the
+        // wide path (that's the 16x-IO claim); raw vectors join back for
+        // the <=50 shortlist survivors per query only
+        val shortlist = enc
+          .select(Seq(col("vec_id").as("c_id")) ++
             (1 to PqM).map(m => col(s"code$m")): _*)
           .crossJoin(broadcast(q))
           .filter(col("q_id") =!= col("c_id"))
           .withColumn("adc", adc)
           .withColumn("srk", row_number().over(wAdc))
           .filter(col("srk") <= PqShortlist)
+          .select("q_id", "qv", "c_id")
+        shortlist
+          .join(enc.select(col("vec_id").as("c_id"), col("dv").as("cv")), "c_id")
           .withColumn("d2", exactL2)
           .withColumn("rk", row_number().over(wRer).cast("long"))
           .filter(col("rk") <= 3)

@@ -110,8 +110,11 @@ object EventStreams {
       }
   }
 
-  /** session accumulator for [[timeoutSessions]] (micros since epoch) */
+  /** one session interval (micros since epoch) */
   final case class SessState(start: Long, last: Long, n: Long)
+  /** per-user state: disjoint session intervals, any of which may still
+    * grow while the watermark has not passed its gap-end */
+  final case class SessBuf(sessions: Seq[SessState])
   /** emitted closed session (micros keep the comparison exact — the
     * corpus has microsecond timestamps) */
   final case class SessionOut(user_id: Long, start_us: Long, n_events: Long)
@@ -119,14 +122,30 @@ object EventStreams {
   /** EMIT-ON-TIMEOUT sessionization: flatMapGroupsWithState +
     * EventTimeTimeout — the state-API tier session_window can't express
     * (emit a session record the moment the watermark proves it closed,
-    * not at query end). In-batch gaps close sessions immediately; the
-    * trailing session per user is held in state with its timeout set to
-    * (last event + gap), and Spark's no-data batches fire the timeout
-    * once the watermark passes it. State per user is ONE SessState —
-    * O(users) total, independent of stream length. */
+    * not at query end). Correct under arbitrary lateness within the
+    * watermark: state holds the user's DISJOINT session intervals and a
+    * new event merges every interval within the gap of it (a bridging
+    * late event can fuse two), extending start downward as well as last
+    * upward. A session emits ONLY when the watermark passes its gap-end
+    * — either at the next data batch or via the event-time timeout
+    * (Spark's no-data batches) — so no emitted record can ever be
+    * contradicted by a late-but-valid event. State per user is the
+    * open intervals inside the watermark horizon — bounded by the
+    * horizon, independent of stream length. */
   def timeoutSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
     import spark.implicits._
     val GapUs = 30L * 60 * 1000000
+    // an event merges a session when its distance to the interval is
+    // under the gap; intervals stay disjoint, so it bridges at most two
+    def absorb(ss: List[SessState], t: Long): List[SessState] = {
+      val (near, far) = ss.partition(s =>
+        t > s.start - GapUs && t < s.last + GapUs)
+      val merged = SessState(
+        (t +: near.map(_.start)).min,
+        (t +: near.map(_.last)).max,
+        near.map(_.n).sum + 1)
+      (merged :: far).sortBy(_.start)
+    }
     events
       .withWatermark("ts", "10 minutes")
       // the watermarked event-time column must reach the stateful
@@ -134,37 +153,29 @@ object EventStreams {
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, SessionOut](
+      .flatMapGroupsWithState[SessBuf, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (uid, rows, state: GroupState[SessState]) =>
-          def out(s: SessState) = SessionOut(uid, s.start, s.n)
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(out(s))
-          } else {
-            val sorted = rows.map(_._3).toSeq.sorted
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { t =>
-              cur = cur match {
-                case Some(s) if t - s.last < GapUs =>
-                  Some(SessState(s.start, t, s.n + 1))
-                case Some(s) =>
-                  closed += out(s)
-                  Some(SessState(t, t, 1))
-                case None => Some(SessState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // a timeout at-or-behind the watermark is illegal; clamp
-              // forward one ms (the session then closes on the next tick)
-              state.setTimeoutTimestamp(math.max(
-                (s.last + GapUs) / 1000, state.getCurrentWatermarkMs + 1))
-            }
-            closed.result().iterator
+        case (uid, rows, state: GroupState[SessBuf]) =>
+          val prior = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          val all =
+            if (state.hasTimedOut) prior
+            else rows.map(_._3).foldLeft(prior)(absorb)
+          // closure test in WATERMARK UNITS (ms): Spark fires timeouts
+          // when watermark_ms exceeds the registered ms timestamp, so
+          // deciding in micros would leave a sub-ms window where a
+          // session is "closed" by one clock and not the other
+          val wmMs = state.getCurrentWatermarkMs
+          val (closed, open) = all.partition(s =>
+            (s.last + GapUs) / 1000 < wmMs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessBuf(open))
+            // fire when the earliest gap-end passes; never at-or-behind
+            // the current watermark (illegal)
+            state.setTimeoutTimestamp(math.max(
+              open.map(s => (s.last + GapUs) / 1000 + 1).min, wmMs + 1))
           }
+          closed.map(s => SessionOut(uid, s.start, s.n)).iterator
       }
   }
 

@@ -50,13 +50,11 @@ class StreamingSpec extends SparkSuite {
     assert(got == batch)
   }
 
-  test("flatMapGroupsWithState + EventTimeTimeout: in-batch gaps close " +
-      "sessions immediately, the watermark closes the tail — emitted set " +
-      "equals the batch islands that are provably closed") {
+  test("flatMapGroupsWithState + EventTimeTimeout: the emitted set equals " +
+      "exactly the batch islands whose gap-end the watermark has passed") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val GapUs = 1800000000L
-    val DelayUs = 600000000L
     // batch truth with session END (ev_session's islands + max ts)
     val ev = Tables.events(spark, sf)
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -69,16 +67,16 @@ class StreamingSpec extends SparkSuite {
       .withColumn("sess_id", sum(col("new_sess")).over(wRun))
       .groupBy("user_id", "sess_id")
       .agg(min(col("us")).as("start_us"), max(col("us")).as("last_us"),
-        count(lit(1)).as("n_events"),
-        max(col("sess_id")).over(Window.partitionBy(col("user_id")))
-          .as("max_sess"))
+        count(lit(1)).as("n_events"))
       .collect()
-    val watermarkUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0) - DelayUs
+    // Spark tracks event time in MILLISECONDS (micros are floored), so
+    // the closure criterion must be evaluated in ms like the operator's
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val wmMs = maxUs / 1000 - 600000L
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"), r.getAs[Long]("n_events"))
     val expected = sessions.filter(r =>
-      r.getAs[Long]("sess_id") < r.getAs[Long]("max_sess")      // in-batch closed
-        || r.getAs[Long]("last_us") + GapUs < watermarkUs)       // timeout closed
+      (r.getAs[Long]("last_us") + GapUs) / 1000 < wmMs)
       .map(key).toSet
     val stream = EventStreams.readStream(spark, sf)
     val got = EventStreams.runToMemory(spark,
