@@ -879,6 +879,38 @@ object Extended {
         FROM chain GROUP BY doc_id ORDER BY doc_id"""),
       "raw SQL entry path: WITH RECURSIVE ancestor-chain walk (binary-" +
         "tree hierarchy, log-depth recursion) — Spark 4's recursive CTE " +
-        "vs DuckDB's")
+        "vs DuckDB's"),
+
+    QueryDef(
+      "q63_gap_fill",
+      (s, dir) => {
+        // time-series forward fill: carry the last non-null observation
+        // forward per entity (the sensor/metrics gap-fill every
+        // observability pipeline runs). Deterministic gaps are punched
+        // first (event_id % 5). last_value(ignoreNulls) over a running
+        // frame — one shuffle on the entity key, running-frame execution
+        // is a single pass per partition.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("v",
+            when(col("event_id") % 5 === 0, lit(null).cast("double"))
+              .otherwise(col("value")))
+          .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"), col("v"), col("filled"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, v,
+          LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM (SELECT *,
+            CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+          FROM events)
+        ORDER BY event_id"""),
+      "time-series forward fill: last_value(IGNORE NULLS) over a running " +
+        "frame per entity — the observability gap-fill operator")
   )
 }
