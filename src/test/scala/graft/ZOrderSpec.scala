@@ -54,6 +54,29 @@ class ZOrderSpec extends SparkSuite {
     assert(zP < maxP * 0.6, s"z-order must keep partkey bounded: $zP vs $maxP")
   }
 
+  test("zvalue is invertible: de-interleaving recovers both folded keys " +
+      "(no bit lost or misplaced for any 16-bit input)") {
+    val s2 = spark; import s2.implicits._
+    def unzip(z: Long): (Long, Long) = {
+      var a = 0L; var b = 0L
+      (0 until ZOrder.Bits).foreach { i =>
+        a |= ((z >>> (2 * i + 1)) & 1L) << i
+        b |= ((z >>> (2 * i)) & 1L) << i
+      }
+      (a, b)
+    }
+    val cases = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (1L, 2L), (43690L, 21845L)) ++ // 0xAAAA / 0x5555 alternating bits
+      (1 to 40).map(i => (i * 1621L % 65536, i * 2897L % 65536))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zvalue(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(unzip(z) == (a, b), s"zvalue($a, $b) = $z does not invert")
+    }
+  }
+
   test("zvalue bit math: interleave of small literals matches by hand") {
     val s2 = spark; import s2.implicits._
     // a=0b101 (bits at z-positions 1,5: a-bit i -> 2i+1), b=0b011
