@@ -61,10 +61,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // both raw pass times ride along so a future reader can tell a real
+    // regression (both passes slow) from background machine load (one
+    // slow pass, min unchanged) — the ±20% swing ROUND4.md documents
+    val passes = p1.map { case (k, (t1v, _)) =>
+      s"\"" + k + "\":[" + t1v + "," + p2(k)._1 + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver captures only a TAIL of stdout: with 75+ queries the
     // single JSON line grows past the capture window and the leading
     // "value" is lost (round-3 BENCH artifact had parsed:null). Persist

@@ -42,8 +42,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // per-sfDir token substitution (e.g. q61's JSON staging dir) happens
+    // at dump time — the static oracle map stays dir-independent
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace(
+        graft.catalog.Extended.JsonStageToken,
+        graft.catalog.Extended.jsonStageDir(sfDir)))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

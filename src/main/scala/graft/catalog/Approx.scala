@@ -15,6 +15,8 @@ import org.apache.spark.sql.expressions.Window
 object Approx {
   import Tables.t
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** whitespace tokens of trimmed lowercased text */
   private def toks(c: Column): Column = split(trim(lower(c)), " +")
 
@@ -31,6 +33,77 @@ object Approx {
   private val MinhashK = 32 // total minhash permutations
   private val Bands = 8     // LSH bands (K/Bands rows per band)
   private val RowsPerBand = MinhashK / Bands
+
+  /** LSH buckets larger than this are dropped before pair generation.
+    * Pair count inside one (band, band_key) bucket is quadratic in its
+    * size; real web corpora put millions of near-identical boilerplate
+    * docs in one bucket (d1 exact-dedup first removes only the
+    * byte-identical ones), so an uncapped join is the one adversarial
+    * input that kills an otherwise-linear plan. Dropping whole oversized
+    * buckets is standard LSH practice: a genuine near-dup pair trapped in
+    * a mega-bucket still has Bands−1 other chances to collide in a small
+    * bucket, and the dropped mass is logged so operators can see it. */
+  private[catalog] val MaxLshBucket = 256
+
+  /** The d7 pipeline over any (doc_id, text) frame — factored out so
+    * EdgeSpec can drive it with an adversarial near-identical corpus. */
+  private[graft] def minhashLshPairs(docsIn: DataFrame): DataFrame = {
+    // Materialize tokens BEFORE building shingles: the shingle lambda
+    // references the token array 3x per element, and CollapseProject
+    // would inline the split() into every reference — ~750 regex
+    // splits per row (12s on 5k docs) instead of one. The cache()
+    // calls are semantic barriers against exactly that inlining.
+    val tokens = docsIn
+      .select(col("doc_id"), toks(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .cache()
+    val docs = tokens
+      .select(col("doc_id"), shinglesOfTokens(col("tok")).as("tk"))
+      .cache()
+    // (doc, band, band_key) — keys ONLY: the expensive shingle arrays
+    // must not ride through the bucket join + pair dedup
+    val banded = docs
+      .withColumn("sig", minhashSig(col("tk")))
+      .select("doc_id", "sig").cache() // barrier: sig once, not once per band
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    // oversized-bucket guard: count bucket sizes, keep only rows whose
+    // bucket is under the cap. The size attach is an equi-join on the
+    // same (band, band_key) key the pair join shuffles on — co-
+    // partitioned, no extra shuffle pattern at scale.
+    val bucketSizes = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bsz")).cache()
+    val dropped = bucketSizes.filter(col("bsz") > MaxLshBucket)
+      .agg(coalesce(sum(col("bsz")), lit(0L)).as("docs"),
+        count(lit(1)).as("buckets")).head()
+    if (dropped.getLong(1) > 0L)
+      logger.warn(
+        s"minhashLshPairs: dropped ${dropped.getLong(1)} oversized LSH " +
+          s"bucket(s) (> $MaxLshBucket members) holding " +
+          s"${dropped.getLong(0)} doc-band entries before pair generation")
+    val bandedKept = banded
+      .join(bucketSizes.filter(col("bsz") <= MaxLshBucket), Seq("band", "band_key"))
+      .select("band", "band_key", "doc_id")
+    // bucket join on (band, key); dedup bare id pairs before any
+    // array work — a pair colliding in several bands costs one row
+    val pairs = bandedKept.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+      .join(bandedKept.select(col("band"), col("band_key"), col("doc_id").as("id_b")),
+        Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact-Jaccard confirmation: attach shingles once per pair side
+    val ja = docs.select(col("doc_id").as("id_a"), col("tk").as("tk_a"))
+    val jb = docs.select(col("doc_id").as("id_b"), col("tk").as("tk_b"))
+    pairs.join(ja, Seq("id_a")).join(jb, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("tk_a"), col("tk_b"))).cast("double")
+          / size(array_distinct(concat(col("tk_a"), col("tk_b")))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
 
   /** K minhash values via the compiled MinHashSig expression — the
     * interpreted-HOF formulation (K lambdas over the token array) costs
@@ -139,6 +212,42 @@ object Approx {
       SELECT q_id, c_id, rk, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
+  private def e8OracleSql: String = {
+    val dims = 64
+    def centroid(c: Int): Seq[Double] =
+      (0 until dims).map(d => mixToUnit(0x49564600L + c.toLong * dims + d) - 0.5)
+    val simsList = (0 until 16).map(c => dotLitSql("dv", centroid(c)))
+      .mkString("list_value(", ",\n ", ")")
+    s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings),
+      sims AS (SELECT vec_id, dv, $simsList AS sims FROM v),
+      cells AS (
+        SELECT vec_id, dv, sims,
+          CAST(list_position(sims, list_max(sims)) AS BIGINT) AS cell
+        FROM sims),
+      probes AS (
+        SELECT vec_id, CAST(i AS BIGINT) AS pcell
+        FROM cells, range(1, 17) t(i)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sims[i] DESC, i ASC) <= 4),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probes a JOIN probes b
+          ON a.pcell = b.pcell AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN v va ON va.vec_id = cand.id_a
+        JOIN v vb ON vb.vec_id = cand.id_b
+        WHERE ${cosineSql("va.dv", "vb.dv")} >= 0.4),
+      reps AS (SELECT id_b AS vec_id, MIN(id_a) AS rep_min
+        FROM pairs GROUP BY id_b)
+      SELECT c.vec_id, c.cell, COALESCE(r.rep_min, c.vec_id) AS rep_id
+      FROM cells c LEFT JOIN reps r ON r.vec_id = c.vec_id
+      ORDER BY c.vec_id"""
+  }
+
   // ---- product quantization constants (e6/e7) --------------------------
   // M=16 four-dim subspaces x K=16 codewords: 16 codes (16 bytes) per
   // 64-float vector. Subspace width matters more than K here: random
@@ -239,8 +348,16 @@ object Approx {
       lit(0.0), (acc, v) => acc + v)
 
   /** shared PQ corpus encode: vec_id, dv, code1..codeM, sse — e6 emits
-    * it, e7 serves from it */
-  private def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    * it, e7 serves from it. Memoized per (session, dir): e6+e7 in one
+    * catalog run share a single cached plan instead of accumulating one
+    * cached projection per invocation (Spark's cache manager dedups by
+    * canonicalized plan, but the memo also skips re-analysis of the
+    * M·K-literal codebook tree). */
+  private val pqEncodeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def pqEncode(s: SparkSession, dir: String): DataFrame =
+    pqEncodeMemo.computeIfAbsent((s, dir), _ => pqEncodeBuild(s, dir))
+  private def pqEncodeBuild(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
       .select("vec_id", "dv").cache() // barrier: dv feeds the HOF lambdas
@@ -345,49 +462,12 @@ object Approx {
 
     QueryDef(
       "d7_minhash_lsh",
-      (s, dir) => {
-        // Materialize tokens BEFORE building shingles: the shingle lambda
-        // references the token array 3x per element, and CollapseProject
-        // would inline the split() into every reference — ~750 regex
-        // splits per row (12s on 5k docs) instead of one. The cache()
-        // calls are semantic barriers against exactly that inlining.
-        val tokens = t(s, dir, "documents")
-          .select(col("doc_id"), toks(col("text")).as("tok"))
-          .filter(size(col("tok")) >= 3)
-          .cache()
-        val docs = tokens
-          .select(col("doc_id"), shinglesOfTokens(col("tok")).as("tk"))
-          .cache()
-        // (doc, band, band_key) — keys ONLY: the expensive shingle arrays
-        // must not ride through the bucket join + pair dedup
-        val banded = docs
-          .withColumn("sig", minhashSig(col("tk")))
-          .select("doc_id", "sig").cache() // barrier: sig once, not once per band
-          .select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-              xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), b))))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-        // bucket join on (band, key); dedup bare id pairs before any
-        // array work — a pair colliding in several bands costs one row
-        val pairs = banded.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
-          .join(banded.select(col("band"), col("band_key"), col("doc_id").as("id_b")),
-            Seq("band", "band_key"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        // exact-Jaccard confirmation: attach shingles once per pair side
-        val ja = docs.select(col("doc_id").as("id_a"), col("tk").as("tk_a"))
-        val jb = docs.select(col("doc_id").as("id_b"), col("tk").as("tk_b"))
-        pairs.join(ja, Seq("id_a")).join(jb, Seq("id_b"))
-          .withColumn("jaccard",
-            size(array_intersect(col("tk_a"), col("tk_b"))).cast("double")
-              / size(array_distinct(concat(col("tk_a"), col("tk_b")))).cast("double"))
-          .filter(col("jaccard") >= 0.5)
-          .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) => minhashLshPairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))),
       None,
-      "MinHash+LSH near-dup: shingle→minhash→band→bucket-join; candidates " +
-        "verified with exact Jaccard (scale path for d6)"),
+      "MinHash+LSH near-dup: shingle→minhash→band→bucket-join with an " +
+        "oversized-bucket guard; candidates verified with exact Jaccard " +
+        "(scale path for d6)"),
 
     QueryDef(
       "d8_simhash",
@@ -513,6 +593,75 @@ object Approx {
         "oracle (centroids embed as SQL literals) + recall floor vs e1"),
 
     QueryDef(
+      "e8_embed_dedup_ivf",
+      (s, dir) => {
+        // FULL-CORPUS embedding near-dup dedup — the SemDeDup shape
+        // (cluster, then dedup within cluster): every vector is assigned
+        // to its top-P of C literal coarse centroids (multi-probe
+        // MEMBERSHIP, the e3 recipe turned symmetric — single-cell
+        // assignment caps pair recall near 0.17 on this uniform corpus
+        // because barely-similar vectors straddle cell boundaries),
+        // candidate pairs are generated ONLY inside a shared cell
+        // (equi-join on the cell id — never a corpus x corpus join),
+        // bare id pairs are deduped BEFORE the cosine (a pair sharing
+        // several probe cells costs one cosine), and each vector's
+        // representative is the lowest id among its confirmed neighbors
+        // (itself when none). Unlike e4 there is NO vec_id bound: this
+        // is the query a user points at a full corpus. At 100 TB, C
+        // grows with the corpus (C ∝ n keeps cells near-constant size,
+        // so within-cell pairwise work stays O(n · P²·cellsize) —
+        // linear); here C=16/P=4 match e3 so both share the oracle
+        // centroid recipe. Exact oracle: centroids embed as SQL
+        // literals, probe ranking and cell argmax compare bit-identical
+        // doubles, and the cosine tree is identical on both engines.
+        val C = 16; val P = 4
+        val dims = 64
+        val emb = t(s, dir, "embeddings")
+          .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+          .select("vec_id", "dv").cache() // barrier: cast once, not per centroid
+        def centroid(c: Int) = array((0 until dims).map { d =>
+          lit(mixToUnit(0x49564600L + c.toLong * dims + d) - 0.5)
+        }: _*)
+        val sims = array((0 until C).map(c =>
+          graft.functions.DotProduct.dot_product(col("dv"), centroid(c))): _*)
+        // top-P probe cells per vector: (−sim, cell-index) structs sort
+        // without a comparator lambda (the e3 trick)
+        val simsRanked = zip_with(col("_sims"),
+          transform(sequence(lit(1), lit(C)), i => i.cast("long")),
+          (sim, idx) => struct((-sim).as("neg"), idx.as("cell")))
+        val probeCells = transform(slice(array_sort(simsRanked), 1, P),
+          x => x.getField("cell"))
+        val cells = emb.withColumn("_sims", sims)
+          .withColumn("cell", array_position(col("_sims"), array_max(col("_sims"))))
+          .withColumn("probes", probeCells)
+          .drop("_sims").cache() // reused by pair gen (both sides) + final join
+        val members = cells.select(col("vec_id"), explode(col("probes")).as("pcell"))
+        // equi-join on the shared probe cell; dedup bare id pairs before
+        // any vector math
+        val cand = members.select(col("pcell"), col("vec_id").as("id_a"))
+          .join(members.select(col("pcell"), col("vec_id").as("id_b")), Seq("pcell"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val va = cells.select(col("vec_id").as("id_a"), col("dv").as("va"))
+        val vb = cells.select(col("vec_id").as("id_b"), col("dv").as("vb"))
+        val pairs = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+          .filter(Vectors.cosine(col("va"), col("vb")) >= 0.4)
+          .select("id_b", "id_a")
+        val reps = pairs.groupBy(col("id_b").as("vec_id"))
+          .agg(min(col("id_a")).as("rep_min"))
+        cells.select("vec_id", "cell")
+          .join(reps, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("rep_min"), col("vec_id")).as("rep_id"))
+          .orderBy("vec_id")
+      },
+      Some(e8OracleSql),
+      "full-corpus embedding near-dup dedup, SemDeDup shape: IVF cell " +
+        "assignment (e3's literal centroids) + within-cell pairwise " +
+        "cosine + keep-lowest-id representative — no corpus x corpus " +
+        "join, no id bound, full oracle"),
+
+    QueryDef(
       "d9_rolling_fp",
       (s, dir) =>
         t(s, dir, "documents")
@@ -548,6 +697,74 @@ object Approx {
       None,
       "multimodal decode plumbing: binary payload + typed meta -> " +
         "partition-wise stub decode -> feature vectors"),
+
+    QueryDef(
+      "mm3_ppm_decode",
+      (s, dir) =>
+        // REAL image decode, PPM tier: each doc id becomes a deterministic
+        // binary-PPM payload (w=id%13+4, h=id%11+4, raster byte i =
+        // (id*31+i*7)%256, plus a '#' comment line the parser must skip),
+        // decoded partition-wise by the genuine P6 parser in
+        // Multimodal.decodePpm — header text, comment handling, raster
+        // walk. The oracle recomputes every stat from the generation
+        // formula alone: if the parser misreads the header or walks the
+        // raster wrong, dims/corner/means all diverge. Sums are exact
+        // integers; mean = sum/n is one exact-input IEEE division.
+        graft.functions.Multimodal.decodeImageStats(
+          t(s, dir, "documents").select(col("doc_id")),
+          graft.functions.Multimodal.buildPpm)
+          .orderBy("media_id"),
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+          FROM documents)
+        SELECT doc_id AS media_id,
+          CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+          (doc_id * 31) % 256 AS r00,
+          (doc_id * 31 + 7) % 256 AS g00,
+          (doc_id * 31 + 14) % 256 AS b00,
+          CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)),
+            p -> (doc_id * 31 + (3 * p) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_r,
+          CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)),
+            p -> (doc_id * 31 + (3 * p + 1) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_g,
+          CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)),
+            p -> (doc_id * 31 + (3 * p + 2) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_b
+        FROM m ORDER BY media_id"""),
+      "real PPM (P6) decode: genuine header/comment/raster parser over " +
+        "deterministic payloads, per-channel pixel stats — oracle " +
+        "recomputes from the generation formula"),
+
+    QueryDef(
+      "mm4_bmp_decode",
+      (s, dir) =>
+        // REAL image decode, BMP tier: 24bpp uncompressed BMP payloads
+        // (w=id%9+4 cycles all four row-padding widths, h=id%7+3; pixel
+        // v(x,y,c)=(id*31+(y*w+x)*7+c*11)%256) — the decoder must get
+        // little-endian header fields, the pixel-data offset, BOTTOM-UP
+        // row order, BGR byte order, and 4-byte row padding all right:
+        // the oracle's top-left corner pixel (r00/g00/b00) is orientation-
+        // sensitive and the means shift if padding is miscounted.
+        graft.functions.Multimodal.decodeImageStats(
+          t(s, dir, "documents").select(col("doc_id")),
+          graft.functions.Multimodal.buildBmp)
+          .orderBy("media_id"),
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 3 AS h
+          FROM documents)
+        SELECT doc_id AS media_id,
+          CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+          (doc_id * 31) % 256 AS r00,
+          (doc_id * 31 + 11) % 256 AS g00,
+          (doc_id * 31 + 22) % 256 AS b00,
+          CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)),
+            p -> (doc_id * 31 + p * 7) % 256)) AS DOUBLE) / (w * h) AS mean_r,
+          CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)),
+            p -> (doc_id * 31 + p * 7 + 11) % 256)) AS DOUBLE) / (w * h) AS mean_g,
+          CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)),
+            p -> (doc_id * 31 + p * 7 + 22) % 256)) AS DOUBLE) / (w * h) AS mean_b
+        FROM m ORDER BY media_id"""),
+      "real BMP (24bpp) decode: little-endian headers, bottom-up rows, " +
+        "BGR order, 4-byte row padding — orientation-sensitive corner " +
+        "pixel + channel means, oracle from the generation formula"),
 
     QueryDef(
       "q21_approx_distinct",

@@ -13,6 +13,14 @@ object Extended {
 
   private def d2(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** q61's JSON staging dir, keyed to the scale-factor dir so dumps for
+    * two SFs can never race each other's oracle reads. The oracle SQL
+    * carries the `__GRAFT_JSON_STAGE__` token, which Verify substitutes
+    * with this same value at dump time. */
+  def jsonStageDir(sfDir: String): String =
+    s"/root/repo/target/graft_json_src_${Integer.toHexString(sfDir.hashCode)}"
+  val JsonStageToken = "__GRAFT_JSON_STAGE__"
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -822,7 +830,7 @@ object Extended {
         // string escaping, embedded-JSON passthrough) is what's checked.
         // Timestamps travel as micros (BIGINT) — JSON has no timestamp
         // type; encoding explicitly beats engine-specific string formats.
-        val root = "/root/repo/target/graft_json_src"
+        val root = Extended.jsonStageDir(dir)
         Tables.events(s, dir)
           .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
             col("user_id"), col("event_type"), col("value"), col("props"))
@@ -843,7 +851,7 @@ object Extended {
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
           MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
           COUNT(json_extract_string(props, '$.k')) AS n_with_k
-        FROM read_json('/root/repo/target/graft_json_src/*.json',
+        FROM read_json('__GRAFT_JSON_STAGE__/*.json',
           format='newline_delimited',
           columns={'event_id':'BIGINT','ts_us':'BIGINT','user_id':'BIGINT',
                    'event_type':'VARCHAR','value':'DOUBLE','props':'VARCHAR'})

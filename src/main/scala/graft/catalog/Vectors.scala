@@ -40,8 +40,9 @@ object Vectors {
       (s, dir) => {
         // embedding-cosine near-duplicate dedup: pairs with cosine >= τ,
         // keep the lower vec_id as the representative. Brute force over a
-        // bounded id slice (the LSH/IVF variants e2/e3 are the full-corpus
-        // scale path); bit-identical cosines make the oracle exact.
+        // bounded id slice — the EXACTNESS BASELINE for e8_embed_dedup_ivf
+        // (the full-corpus scale path, which pins its recall against this
+        // slice); bit-identical cosines make the oracle exact.
         val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
           .select(col("vec_id"), dvec(col("embedding")).as("dv"))
         val a = emb.select(col("vec_id").as("id_a"), col("dv").as("va"))

@@ -79,4 +79,175 @@ object Multimodal {
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media.select(col("media_id"), col("meta.n_frames").as("n_frames"),
       sequence(lit(0), col("meta.n_frames") - 1, lit(stride)).as("frame_ids"))
+
+  // ---- REAL raster decode (pure JVM, no codec deps) ---------------------
+  // Two public byte formats a 100 TB multimodal pipeline can always fall
+  // back to: binary PPM (P6) and uncompressed 24-bit BMP. The decoders
+  // are genuine parsers — text header with comment skipping for PPM;
+  // little-endian headers, bottom-up row order, BGR channel order, and
+  // 4-byte row padding for BMP — so the oracle catches a decoder that
+  // mis-parses any of those (a row-padding or orientation slip shifts
+  // every downstream byte and changes the per-channel stats).
+
+  /** Decoded raster summary: dimensions, the TOP-LEFT pixel in image
+    * space (orientation-sensitive), and per-channel byte sums. */
+  final case class DecodedImage(width: Int, height: Int,
+      r00: Int, g00: Int, b00: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  /** Deterministic P6 payload for tests/fixtures: w=id%13+4, h=id%11+4,
+    * raster byte i = (id*31 + i*7) % 256 — reproducible from the id by
+    * any engine. A `#` comment line exercises the parser's comment path. */
+  def buildPpm(id: Long): Array[Byte] = {
+    val w = (id % 13 + 4).toInt; val h = (id % 11 + 4).toInt
+    val header = s"P6\n# synthetic fixture $id\n$w $h\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h * 3) {
+      out(header.length + i) = ((id * 31 + i.toLong * 7) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic 24bpp bottom-up BMP: w=id%9+4 (w mod 4 cycles all four
+    * row-padding cases), h=id%7+3; image-space pixel value
+    * v(x, y, c) = (id*31 + (y*w+x)*7 + c*11) % 256 for c = R,G,B = 0,1,2.
+    * The FILE stores rows bottom-up as B,G,R with zero padding — exactly
+    * what the decoder must undo. */
+  def buildBmp(id: Long): Array[Byte] = {
+    val w = (id % 9 + 4).toInt; val h = (id % 7 + 3).toInt
+    val rowSize = (3 * w + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    out.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, +h = bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    def v(x: Int, y: Int, c: Int): Byte =
+      ((id * 31 + (y.toLong * w + x) * 7 + c.toLong * 11) % 256).toByte
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy // file row fy holds image row h-1-fy
+      var x = 0
+      while (x < w) {
+        out.put(v(x, y, 2)).put(v(x, y, 1)).put(v(x, y, 0)) // B, G, R
+        x += 1
+      }
+      var p = 3 * w
+      while (p < rowSize) { out.put(0.toByte); p += 1 }
+      fy += 1
+    }
+    out.array()
+  }
+
+  /** Parse a binary-PPM (P6) payload: magic, whitespace/comment-tolerant
+    * header ints, single whitespace after maxval, then top-down RGB
+    * raster. */
+  private[graft] def decodePpm(data: Array[Byte]): DecodedImage = {
+    require(data.length >= 2 && data(0) == 'P' && data(1) == '6', "not P6")
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#'-to-end-of-line comments
+      var done = false
+      while (!done) {
+        while (pos < data.length && data(pos).toChar.isWhitespace) pos += 1
+        if (pos < data.length && data(pos) == '#')
+          while (pos < data.length && data(pos) != '\n') pos += 1
+        else done = true
+      }
+      var v = 0
+      while (pos < data.length && data(pos) >= '0' && data(pos) <= '9') {
+        v = v * 10 + (data(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(w > 0 && h > 0 && maxval == 255, s"bad P6 header $w x $h / $maxval")
+    pos += 1 // exactly one whitespace byte after maxval
+    require(data.length - pos >= w * h * 3, "truncated P6 raster")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < w * h) {
+      sr += data(pos + 3 * p) & 0xff
+      sg += data(pos + 3 * p + 1) & 0xff
+      sb += data(pos + 3 * p + 2) & 0xff
+      p += 1
+    }
+    DecodedImage(w, h, data(pos) & 0xff, data(pos + 1) & 0xff,
+      data(pos + 2) & 0xff, sr, sg, sb)
+  }
+
+  /** Parse an uncompressed 24bpp BMP: little-endian headers, pixel-data
+    * offset from the file header, bottom-up row order when height is
+    * positive, BGR byte order, rows padded to 4 bytes. */
+  private[graft] def decodeBmp(data: Array[Byte]): DecodedImage = {
+    require(data.length >= 54 && data(0) == 'B' && data(1) == 'M', "not BMP")
+    val buf = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(buf.getShort(28) == 24, "only 24bpp supported")
+    require(buf.getInt(30) == 0, "only uncompressed (BI_RGB) supported")
+    val rowSize = (3 * w + 3) / 4 * 4
+    require(data.length >= off + rowSize * h, "truncated BMP raster")
+    def rowStart(y: Int): Int = // y in IMAGE space (0 = top)
+      off + (if (bottomUp) (h - 1 - y) else y) * rowSize
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      val rs = rowStart(y)
+      var x = 0
+      while (x < w) {
+        sb += data(rs + 3 * x) & 0xff
+        sg += data(rs + 3 * x + 1) & 0xff
+        sr += data(rs + 3 * x + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val r0 = rowStart(0)
+    DecodedImage(w, h, data(r0 + 2) & 0xff, data(r0 + 1) & 0xff,
+      data(r0) & 0xff, sr, sg, sb)
+  }
+
+  /** Magic-dispatched decode — the single entry point a mixed-format
+    * corpus routes through. */
+  private[graft] def decodeImage(data: Array[Byte]): DecodedImage =
+    if (data.length >= 2 && data(0) == 'P' && data(1) == '6') decodePpm(data)
+    else if (data.length >= 2 && data(0) == 'B' && data(1) == 'M') decodeBmp(data)
+    else throw new IllegalArgumentException(
+      s"unknown image magic: ${data.take(2).map(_ & 0xff).mkString(",")}")
+
+  /** Build payloads with `builder` and decode them partition-wise — the
+    * same one-pass-per-partition batch shape as decodeFeatures, emitting
+    * orientation-sensitive pixel stats the oracle can recompute. */
+  def decodeImageStats(ids: DataFrame, builder: Long => Array[Byte]): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("w", LongType), StructField("h", LongType),
+      StructField("r00", LongType), StructField("g00", LongType),
+      StructField("b00", LongType),
+      StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val d = decodeImage(builder(id))
+          val n = d.width.toLong * d.height
+          Row(id, d.width.toLong, d.height.toLong, d.r00.toLong,
+            d.g00.toLong, d.b00.toLong,
+            d.sumR.toDouble / n, d.sumG.toDouble / n, d.sumB.toDouble / n)
+        }
+      }(enc)
+  }
 }

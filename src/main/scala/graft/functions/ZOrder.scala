@@ -35,10 +35,15 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** identical formula as engine-neutral SQL (DuckDB oracle side) */
+  /** identical formula as engine-neutral SQL (DuckDB oracle side).
+    * DuckDB's % takes the sign of the dividend while Spark's pmod is
+    * always non-negative — the double-mod keeps the two formulas
+    * identical for negative keys too, not just the documented
+    * non-negative range. */
   def zvalueSql(a: String, b: String): String = {
-    val fa = s"(($a) % ${1 << Bits})"
-    val fb = s"(($b) % ${1 << Bits})"
+    val m = 1 << Bits
+    val fa = s"(((($a) % $m) + $m) % $m)"
+    val fb = s"(((($b) % $m) + $m) % $m)"
     (0 until Bits).map { i =>
       s"((($fa >> $i) & 1) << ${2 * i + 1}) | ((($fb >> $i) & 1) << ${2 * i})"
     }.mkString("(", ") | (", ")")

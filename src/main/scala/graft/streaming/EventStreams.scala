@@ -171,7 +171,13 @@ object EventStreams {
           else {
             state.update(SessBuf(open))
             // fire when the earliest gap-end passes; never at-or-behind
-            // the current watermark (illegal)
+            // the current watermark (illegal). If the runtime fires
+            // timeouts only when the watermark STRICTLY exceeds the
+            // registered ms, emission can lag one watermark tick behind
+            // the earliest provable closure — never incorrect (the
+            // closure test above re-checks against the live watermark),
+            // just possibly one micro-batch later than the theoretical
+            // earliest emit.
             state.setTimeoutTimestamp(math.max(
               open.map(s => (s.last + GapUs) / 1000 + 1).min, wmMs + 1))
           }

@@ -134,6 +134,32 @@ class CatalogSpec extends SparkSuite {
     assert(recallL2("/root/testdata/sf0.01") >= 0.30)
   }
 
+  test("e8 full-corpus IVF dedup: every vector assigned, reps are " +
+      "minimal, and dup detection recall vs e4's exact slice >= floor") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val e8 = SparkEntry.queries("e8_embed_dedup_ivf")(spark, dir).collect()
+      assert(e8.length == n, "one output row per corpus vector")
+      assert(e8.forall(r => r.getAs[Long]("rep_id") <= r.getAs[Long]("vec_id")),
+        "representative id can never exceed the member id")
+      // e4 is the exact all-pairs ground truth on vec_id < 300: every
+      // dup_id there has a lower-id neighbor at cos >= 0.4. e8 only sees
+      // pairs sharing a probe cell, so its dup flags are a subset — pin
+      // the recall. Measured 0.96 (sf0.001) / 0.88 (sf0.01) with C=16,
+      // P=4 probes; single-cell assignment (P=1) measured 0.17 — the
+      // floor pins the multi-probe membership machinery.
+      val exactDups = SparkEntry.queries("e4_embed_dedup")(spark, dir)
+        .collect().map(_.getAs[Long]("dup_id")).toSet
+      val e8Dups = e8.filter(r =>
+          r.getAs[Long]("rep_id") != r.getAs[Long]("vec_id"))
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(exactDups.nonEmpty)
+      val recall = (exactDups & e8Dups).size.toDouble / exactDups.size
+      assert(recall >= 0.6,
+        s"$dir: in-cell dup recall $recall below floor (exact=${exactDups.size})")
+    }
+  }
+
   test("q21 HLL estimate is within 2x the default rsd of the exact count") {
     // approx_count_distinct default rsd = 0.05; measured rel err ~0.026
     // at sf0.001 and sf0.01

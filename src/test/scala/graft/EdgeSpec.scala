@@ -182,6 +182,31 @@ class EdgeSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("minhashLshPairs: a 5k-clone mega-bucket is dropped (bounded pair " +
+      "count) while genuine near-dup pairs in small buckets are kept") {
+    val s2 = spark; import s2.implicits._
+    // 5,000 byte-identical docs — the boilerplate worst case. All of them
+    // share one minhash signature, so every band hashes them into a single
+    // (band, band_key) bucket of size 5,000: 8 x C(5000,2) ≈ 100M join
+    // rows without the oversized-bucket guard. With the guard the bucket
+    // is dropped wholesale (exact dedup d1 owns byte-identical copies).
+    val cloneText = (0 until 40).map(i => s"clone$i").mkString(" ")
+    val clones = (0L until 5000L).map(i => (i, cloneText))
+    // 5 genuine near-dup PAIRS, each with its own vocabulary — tiny
+    // buckets of size 2 that must survive the cap
+    val pairs = (0 until 5).flatMap { p =>
+      val txt = (0 until 40).map(j => s"p${p}w$j").mkString(" ")
+      Seq((100000L + 2 * p, txt), (100001L + 2 * p, txt))
+    }
+    val docs = (clones ++ pairs).toDF("doc_id", "text").repartition(16)
+    val got = graft.catalog.Approx.minhashLshPairs(docs)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expected = (0 until 5)
+      .map(p => (100000L + 2 * p, 100001L + 2 * p)).toSet
+    assert(got == expected,
+      s"guard must drop clone mega-buckets and keep small ones: $got")
+  }
+
   test("readReports: malformed numeric cells null the typed column but " +
       "keep the verbatim raw twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_malformed")

@@ -41,4 +41,52 @@ class MultimodalSpec extends SparkSuite {
       assert(ids == (0 until n by 5).map(_.toLong))
     }
   }
+
+  test("PPM decode: parser matches the generation formula, including the " +
+      "comment line and corner pixel") {
+    for (id <- Seq(0L, 7L, 123L)) {
+      val d = Multimodal.decodePpm(Multimodal.buildPpm(id))
+      val w = (id % 13 + 4).toInt; val h = (id % 11 + 4).toInt
+      assert(d.width == w && d.height == h)
+      assert(d.r00 == (id * 31 % 256).toInt
+        && d.g00 == ((id * 31 + 7) % 256).toInt
+        && d.b00 == ((id * 31 + 14) % 256).toInt)
+      val sums = (0 until 3).map(c => (0 until w * h)
+        .map(p => (id * 31 + (3L * p + c) * 7) % 256).sum)
+      assert((d.sumR, d.sumG, d.sumB) == ((sums(0), sums(1), sums(2))))
+    }
+  }
+
+  test("BMP decode: bottom-up AND top-down (negative height) payloads " +
+      "yield identical image-space stats") {
+    val id = 42L
+    val up = Multimodal.buildBmp(id)
+    val d1 = Multimodal.decodeBmp(up)
+    val w = (id % 9 + 4).toInt; val h = (id % 7 + 3).toInt
+    assert(d1.width == w && d1.height == h)
+    assert(d1.r00 == (id * 31 % 256).toInt
+      && d1.g00 == ((id * 31 + 11) % 256).toInt
+      && d1.b00 == ((id * 31 + 22) % 256).toInt)
+    // flip to a TOP-DOWN file: negate height, reverse stored row order —
+    // a correct decoder returns the identical image-space result
+    val rowSize = (3 * w + 3) / 4 * 4
+    val down = up.clone()
+    val buf = java.nio.ByteBuffer.wrap(down)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -h)
+    for (fy <- 0 until h; i <- 0 until rowSize)
+      down(54 + fy * rowSize + i) = up(54 + (h - 1 - fy) * rowSize + i)
+    val d2 = Multimodal.decodeBmp(down)
+    assert(d1 == d2, s"orientation must be normalized: $d1 vs $d2")
+  }
+
+  test("decodeImage dispatches on magic and rejects unknown formats") {
+    assert(Multimodal.decodeImage(Multimodal.buildPpm(3L))
+      == Multimodal.decodePpm(Multimodal.buildPpm(3L)))
+    assert(Multimodal.decodeImage(Multimodal.buildBmp(3L))
+      == Multimodal.decodeBmp(Multimodal.buildBmp(3L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Array[Byte](1, 2, 3))
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import graft.ops.{FilterOps, Synthesize}
 import graft.io.ReportReader
 
@@ -164,5 +165,30 @@ class OpsSpec extends SparkSuite {
     // string passthrough: the tool never types a value (DictReader →
     // DictWriter), so taxID comes back as the verbatim input text
     assert(got.head.getAs[String]("taxID") == "10")
+  }
+
+  test("writeSingleCsv: pathological header names (quote, comma, " +
+      "backslash) match Spark's own CSV writer byte-for-byte") {
+    val s2 = spark; import s2.implicits._
+    val cols = Seq("plain", "has,comma", "has\"quote", "back\\slash",
+      "mix\",\\both")
+    val df = Seq(("a", "b", "c", "d", "e")).toDF(cols: _*)
+    // ground truth: what option("header", "true") emits for these names
+    val refDir = Files.createTempDirectory("graft_hdr_ref")
+    df.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(refDir.toString)
+    val refHeader = Files.list(refDir).iterator()
+      .asScala.filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala.headOption)
+      .next()
+    val target = Files.createTempDirectory("graft_hdr").resolve("out.csv")
+    graft.io.CsvSink.writeSingleCsv(df, cols, target.toString)
+    val gotHeader = Files.readAllLines(target).get(0)
+    assert(gotHeader == refHeader,
+      s"driver-written header must match Univocity:\n got $gotHeader\n ref $refHeader")
+    // and the file round-trips through Spark's reader with the same
+    // quote/escape dialect
+    val back = spark.read.option("header", "true").csv(target.toString)
+    assert(back.columns.toSeq == cols, back.columns.mkString("|"))
   }
 }

@@ -226,4 +226,41 @@ class PipelineSpec extends SparkSuite {
     assert(tophits.get(0) ==
       "sampleName,taxID,taxName,rank,rRPM,kmers,dup,reads,cov,e_val,z_score")
   }
+
+  test("csvLines (long-format sink) is byte-identical to pivotWide + " +
+      "Spark's CSV writer, including pathological taxNames and doubles") {
+    val s2 = spark; import s2.implicits._
+    import graft.schema.ReportSchema.{Sample, TaxId, TaxName}
+    val samples = Seq("s1", "s2", "s3")
+    // taxNames exercising the full CSV dialect: delimiter, quote,
+    // backslash-with-quote, empty string, padded whitespace; doubles
+    // exercising scientific notation and many digits
+    val long = Seq(
+      (1L, "plain name", 7L, "s1", 0.5),
+      (1L, "plain name", 7L, "s2", 1.0E7),
+      (1L, "plain name", 7L, "s3", 0.1 + 0.2),
+      (2L, "has,comma", 9L, "s1", 1.0),
+      (2L, "has,comma", 9L, "s2", -3.25),
+      (2L, "has,comma", 9L, "s3", 123456789.123456),
+      (3L, "q\"uote \\ba,ck", 0L, "s1", 0.0),
+      (3L, "q\"uote \\ba,ck", 0L, "s2", 2.0),
+      (3L, "q\"uote \\ba,ck", 0L, "s3", 4.5),
+      (4L, "", 3L, "s1", 1.5),
+      (4L, "", 3L, "s2", 2.5),
+      (4L, "", 3L, "s3", 3.5),
+      (5L, "  padded  ", 2L, "s1", 9.0),
+      (5L, "  padded  ", 2L, "s2", 8.0),
+      (5L, "  padded  ", 2L, "s3", 7.0))
+      .toDF(TaxId, TaxName, "total_reads_organism", Sample, "v")
+    val header = Seq(TaxId, TaxName, "Total # of Reads") ++ samples
+    val viaPivot = Files.createTempDirectory("graft_parity").resolve("p.csv")
+    val viaLines = viaPivot.resolveSibling("l.csv")
+    graft.io.CsvSink.writeSingleCsv(
+      BigBugData.pivotWide(long, "v", samples), header, viaPivot.toString)
+    graft.io.CsvSink.writeSingleLines(
+      BigBugData.csvLines(long, "v", samples), header, viaLines.toString)
+    val a = new String(Files.readAllBytes(viaPivot), "UTF-8")
+    val b = new String(Files.readAllBytes(viaLines), "UTF-8")
+    assert(a == b, s"sink paths diverged:\n--- pivot\n$a--- lines\n$b")
+  }
 }

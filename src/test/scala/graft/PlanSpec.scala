@@ -58,6 +58,12 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("e8: full-corpus dedup never plans a corpus x corpus join") {
+    val p = plan("e8_embed_dedup_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pair generation must stay an equi join on the cell id:\n$p")
+  }
+
   test("q44: the custom TopKPerKeyExec node plans with one exchange and " +
       "a KEYS-ONLY sort (never the window's keys ++ order sort)") {
     val q = SparkEntry.queries("q44_native_topk")(spark, sf)

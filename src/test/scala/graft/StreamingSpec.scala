@@ -115,6 +115,79 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("checkpoint recovery: stop the stateful sessionizer mid-stream, " +
+      "restart from the checkpoint, and the final output equals the " +
+      "uninterrupted run (file source + RocksDB store + file sink)") {
+    // THE fault-tolerance property a long-running 100 TB ingest rests on:
+    // open-session state and source offsets both live in the checkpoint,
+    // so a crash between micro-batches loses nothing and duplicates
+    // nothing (the parquet sink's _spark_metadata commits exactly-once).
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      val ev = spark.read.schema(EventStreams.eventSchema)
+        .parquet(s"$sf/events.parquet")
+      val n = ev.count().toInt
+      // ts-ordered halves: phase 1 ends with genuinely OPEN sessions in
+      // state — exactly what the restart must recover to emit correctly
+      val first = ev.orderBy("ts", "event_id").limit(n / 2)
+      val second = ev.join(first.select("event_id"), Seq("event_id"), "left_anti")
+      def stage(df: org.apache.spark.sql.DataFrame,
+          dir: java.nio.file.Path, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_half")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val partStream = java.nio.file.Files.list(tmp)
+        val part =
+          try partStream.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally partStream.close()
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.move(part, dir.resolve(name))
+      }
+      def run(input: String, cp: String, out: String): Unit = {
+        // the plan is REBUILT from scratch each call — only the
+        // checkpoint carries offsets, watermark, and state across runs
+        val q = EventStreams.timeoutSessions(spark,
+            EventStreams.readStream(spark, input)).toDF
+          .writeStream.outputMode(OutputMode.Append)
+          .format("parquet")
+          .option("checkpointLocation", cp).option("path", out)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def result(out: String) = spark.read.parquet(out)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("start_us"), r.getAs[Long]("n_events"))).toSeq
+      // interrupted: half, stop, add the rest, restart from checkpoint
+      val inA = base.resolve("in_a"); val cpA = s"$base/cp_a"; val outA = s"$base/out_a"
+      stage(first, inA, "events_1.parquet")
+      run(inA.toString, cpA, outA)
+      val midCount = result(outA).size
+      stage(second, inA, "events_2.parquet")
+      run(inA.toString, cpA, outA)
+      // uninterrupted twin: both halves visible from the start
+      val inB = base.resolve("in_b"); val cpB = s"$base/cp_b"; val outB = s"$base/out_b"
+      stage(first, inB, "events_1.parquet")
+      stage(second, inB, "events_2.parquet")
+      run(inB.toString, cpB, outB)
+      val a = result(outA); val b = result(outB)
+      assert(b.nonEmpty, "fixture must close sessions")
+      assert(midCount < b.size,
+        "phase 1 must stop mid-stream (some sessions still open)")
+      assert(a.size == a.toSet.size, "restart must not duplicate emissions")
+      assert(a.toSet == b.toSet,
+        s"recovered run diverged: ${a.size} vs ${b.size} sessions")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mapGroupsWithState running totals cover every user") {
     val events = Tables.events(spark, sf)
     val totals = EventStreams.runningTotals(spark, events).collect()
