@@ -248,6 +248,73 @@ object Approx {
       ORDER BY c.vec_id"""
   }
 
+  /** FULL-CORPUS embedding near-dup dedup — the SemDeDup shape (cluster,
+    * then dedup within cluster): every vector is assigned to its top-P of
+    * C deterministic coarse centroids (multi-probe MEMBERSHIP, the e3
+    * recipe turned symmetric — single-cell assignment caps pair recall
+    * near 0.17 on a uniform corpus because barely-similar vectors
+    * straddle cell boundaries), candidate pairs are generated ONLY inside
+    * a shared cell (equi-join on the cell id — never a corpus x corpus
+    * join), bare id pairs are deduped BEFORE the cosine (a pair sharing
+    * several probe cells costs one cosine), and each vector's
+    * representative is the lowest id among its confirmed cosine>=tau
+    * neighbors (itself when none). Unlike e4 there is NO vec_id bound:
+    * this is the query a user points at a full corpus.
+    *
+    * C is THE scale knob: within-cell pairwise work is O(n²·P²/C), so
+    * growing C ∝ n keeps it linear (cells stay near-constant size). The
+    * catalog entry pins C=16 to share e3's oracle-centroid recipe at toy
+    * scale; EdgeSpec exercises C=64 over a 5k synthetic clustered corpus
+    * to pin the knob's correctness (near-copies collapse to their
+    * cluster minimum regardless of C).
+    *
+    * Exact oracle at C=16: centroids embed as SQL literals, probe
+    * ranking and cell argmax compare bit-identical doubles, and the
+    * cosine tree is identical on both engines.
+    */
+  private[graft] def ivfDedup(embIn: DataFrame, C: Int, P: Int,
+      tau: Double): DataFrame = {
+    val dims = 64
+    val emb = embIn
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+      .select("vec_id", "dv").cache() // barrier: cast once, not per centroid
+    def centroid(c: Int) = array((0 until dims).map { d =>
+      lit(mixToUnit(0x49564600L + c.toLong * dims + d) - 0.5)
+    }: _*)
+    val sims = array((0 until C).map(c =>
+      graft.functions.DotProduct.dot_product(col("dv"), centroid(c))): _*)
+    // top-P probe cells per vector: (−sim, cell-index) structs sort
+    // without a comparator lambda (the e3 trick)
+    val simsRanked = zip_with(col("_sims"),
+      transform(sequence(lit(1), lit(C)), i => i.cast("long")),
+      (sim, idx) => struct((-sim).as("neg"), idx.as("cell")))
+    val probeCells = transform(slice(array_sort(simsRanked), 1, P),
+      x => x.getField("cell"))
+    val cells = emb.withColumn("_sims", sims)
+      .withColumn("cell", array_position(col("_sims"), array_max(col("_sims"))))
+      .withColumn("probes", probeCells)
+      .drop("_sims").cache() // reused by pair gen (both sides) + final join
+    val members = cells.select(col("vec_id"), explode(col("probes")).as("pcell"))
+    // equi-join on the shared probe cell; dedup bare id pairs before
+    // any vector math
+    val cand = members.select(col("pcell"), col("vec_id").as("id_a"))
+      .join(members.select(col("pcell"), col("vec_id").as("id_b")), Seq("pcell"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = cells.select(col("vec_id").as("id_a"), col("dv").as("va"))
+    val vb = cells.select(col("vec_id").as("id_b"), col("dv").as("vb"))
+    val pairs = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .filter(Vectors.cosine(col("va"), col("vb")) >= tau)
+      .select("id_b", "id_a")
+    val reps = pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("rep_min"))
+    cells.select("vec_id", "cell")
+      .join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("rep_min"), col("vec_id")).as("rep_id"))
+      .orderBy("vec_id")
+  }
+
   // ---- product quantization constants (e6/e7) --------------------------
   // M=16 four-dim subspaces x K=16 codewords: 16 codes (16 bytes) per
   // 64-float vector. Subspace width matters more than K here: random
@@ -348,16 +415,15 @@ object Approx {
       lit(0.0), (acc, v) => acc + v)
 
   /** shared PQ corpus encode: vec_id, dv, code1..codeM, sse — e6 emits
-    * it, e7 serves from it. Memoized per (session, dir): e6+e7 in one
-    * catalog run share a single cached plan instead of accumulating one
-    * cached projection per invocation (Spark's cache manager dedups by
-    * canonicalized plan, but the memo also skips re-analysis of the
-    * M·K-literal codebook tree). */
-  private val pqEncodeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def pqEncode(s: SparkSession, dir: String): DataFrame =
-    pqEncodeMemo.computeIfAbsent((s, dir), _ => pqEncodeBuild(s, dir))
-  private def pqEncodeBuild(s: SparkSession, dir: String): DataFrame = {
+    * it, e7 serves from it. Deliberately NOT memoized across calls:
+    * the .cache() below is a semantic BARRIER against CollapseProject
+    * inlining the dv cast into all 256 codeword lambdas, and a memoized
+    * DataFrame keeps its dead plan after spark.catalog.clearCache()
+    * (bench clears between queries) — the barrier silently vanishes and
+    * the encode goes ~2x slower. Rebuilding per call re-registers the
+    * cache entry; Spark's cache manager dedups identical plans, so
+    * within one run e6+e7 still share storage. */
+  private def pqEncode(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
       .select("vec_id", "dv").cache() // barrier: dv feeds the HOF lambdas
@@ -594,67 +660,12 @@ object Approx {
 
     QueryDef(
       "e8_embed_dedup_ivf",
-      (s, dir) => {
-        // FULL-CORPUS embedding near-dup dedup — the SemDeDup shape
-        // (cluster, then dedup within cluster): every vector is assigned
-        // to its top-P of C literal coarse centroids (multi-probe
-        // MEMBERSHIP, the e3 recipe turned symmetric — single-cell
-        // assignment caps pair recall near 0.17 on this uniform corpus
-        // because barely-similar vectors straddle cell boundaries),
-        // candidate pairs are generated ONLY inside a shared cell
-        // (equi-join on the cell id — never a corpus x corpus join),
-        // bare id pairs are deduped BEFORE the cosine (a pair sharing
-        // several probe cells costs one cosine), and each vector's
-        // representative is the lowest id among its confirmed neighbors
-        // (itself when none). Unlike e4 there is NO vec_id bound: this
-        // is the query a user points at a full corpus. At 100 TB, C
-        // grows with the corpus (C ∝ n keeps cells near-constant size,
-        // so within-cell pairwise work stays O(n · P²·cellsize) —
-        // linear); here C=16/P=4 match e3 so both share the oracle
-        // centroid recipe. Exact oracle: centroids embed as SQL
-        // literals, probe ranking and cell argmax compare bit-identical
-        // doubles, and the cosine tree is identical on both engines.
-        val C = 16; val P = 4
-        val dims = 64
-        val emb = t(s, dir, "embeddings")
-          .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
-          .select("vec_id", "dv").cache() // barrier: cast once, not per centroid
-        def centroid(c: Int) = array((0 until dims).map { d =>
-          lit(mixToUnit(0x49564600L + c.toLong * dims + d) - 0.5)
-        }: _*)
-        val sims = array((0 until C).map(c =>
-          graft.functions.DotProduct.dot_product(col("dv"), centroid(c))): _*)
-        // top-P probe cells per vector: (−sim, cell-index) structs sort
-        // without a comparator lambda (the e3 trick)
-        val simsRanked = zip_with(col("_sims"),
-          transform(sequence(lit(1), lit(C)), i => i.cast("long")),
-          (sim, idx) => struct((-sim).as("neg"), idx.as("cell")))
-        val probeCells = transform(slice(array_sort(simsRanked), 1, P),
-          x => x.getField("cell"))
-        val cells = emb.withColumn("_sims", sims)
-          .withColumn("cell", array_position(col("_sims"), array_max(col("_sims"))))
-          .withColumn("probes", probeCells)
-          .drop("_sims").cache() // reused by pair gen (both sides) + final join
-        val members = cells.select(col("vec_id"), explode(col("probes")).as("pcell"))
-        // equi-join on the shared probe cell; dedup bare id pairs before
-        // any vector math
-        val cand = members.select(col("pcell"), col("vec_id").as("id_a"))
-          .join(members.select(col("pcell"), col("vec_id").as("id_b")), Seq("pcell"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        val va = cells.select(col("vec_id").as("id_a"), col("dv").as("va"))
-        val vb = cells.select(col("vec_id").as("id_b"), col("dv").as("vb"))
-        val pairs = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-          .filter(Vectors.cosine(col("va"), col("vb")) >= 0.4)
-          .select("id_b", "id_a")
-        val reps = pairs.groupBy(col("id_b").as("vec_id"))
-          .agg(min(col("id_a")).as("rep_min"))
-        cells.select("vec_id", "cell")
-          .join(reps, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cell"),
-            coalesce(col("rep_min"), col("vec_id")).as("rep_id"))
-          .orderBy("vec_id")
-      },
+      (s, dir) =>
+        // FULL-CORPUS embedding near-dup dedup — the SemDeDup shape.
+        // C=16/P=4 match e3 so catalog entry and oracle share the
+        // centroid recipe; C is the scale knob (see ivfDedup — EdgeSpec
+        // drives C=64 on a 5k synthetic corpus).
+        ivfDedup(t(s, dir, "embeddings"), C = 16, P = 4, tau = 0.4),
       Some(e8OracleSql),
       "full-corpus embedding near-dup dedup, SemDeDup shape: IVF cell " +
         "assignment (e3's literal centroids) + within-cell pairwise " +

@@ -110,7 +110,7 @@ object Events {
           .orderBy("ws"),
       Some("""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
         COUNT(*) AS n_events,
-        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM events GROUP BY 1 ORDER BY ws"""),
       "tumbling time window in batch (§2.10 streaming surface, batch-checked)"),
 
@@ -147,7 +147,7 @@ object Events {
           FROM g)
         SELECT user_id, sess_id, MIN(ts) AS session_start,
           COUNT(*) AS n_events,
-          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+          CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS session_value
         FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""),
       "sessionization: 30-min-gap islands (batch twin of session_window)"),
 
@@ -161,7 +161,7 @@ object Events {
             count(lit(1)).as("n"))
           .orderBy("user_id"),
       Some("""SELECT user_id,
-        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value,
         COUNT(*) AS n
         FROM events WHERE event_type IN ('signup', 'purchase')
         GROUP BY user_id ORDER BY user_id"""),
@@ -250,7 +250,7 @@ object Events {
           FROM rr),
         stats AS (
           SELECT user_id AS st_user, event_type AS st_type,
-            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS stat_value
+            CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS stat_value
           FROM events WHERE value > 50 GROUP BY user_id, event_type)
         SELECT user_id, event_type, rk, rrpm, stat_value
         FROM topk JOIN stats ON user_id = st_user AND event_type = st_type

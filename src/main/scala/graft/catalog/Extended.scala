@@ -102,9 +102,9 @@ object Extended {
             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
             COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h,
-            CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id
+            CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id
               ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
-              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_1h
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS value_1h
           FROM events)
         ORDER BY event_id"""),
       "RANGE window frame: trailing-1-hour per-user aggregates over " +
@@ -194,7 +194,7 @@ object Extended {
           .orderBy("bucket")
       },
       Some("""SELECT bucket, COUNT(*) AS n,
-        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM events
         JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0),
                      ('high', 120.0, 200.0)) AS p(bucket, lo, hi)
@@ -212,7 +212,7 @@ object Extended {
           .orderBy(col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
       "CUBE grouping sets"),
@@ -285,7 +285,7 @@ object Extended {
           .limit(10)
       },
       Some("""SELECT l_orderkey, o_orderdate,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
         GROUP BY l_orderkey, o_orderdate
@@ -444,7 +444,7 @@ object Extended {
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS qty_sum
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       "two-phase salted aggregation over a 3-value hot key, oracle-equal " +
         "to the plain sum (skew mitigation AQE does not cover)"),
@@ -486,7 +486,7 @@ object Extended {
               COUNT(*) AS n_orders
             FROM orders_v GROUP BY o_custkey)
           SELECT c.c_mktsegment,
-            CAST(SUM(r.rev) AS DOUBLE) AS segment_rev,
+            CAST(CAST(SUM(r.rev) AS VARCHAR) AS DOUBLE) AS segment_rev,
             CAST(SUM(r.n_orders) AS BIGINT) AS orders_cnt,
             COUNT(*) AS customers
           FROM cust_rev r JOIN customer_v c ON c.c_custkey = r.o_custkey
@@ -497,7 +497,7 @@ object Extended {
             COUNT(*) AS n_orders
           FROM orders GROUP BY o_custkey)
         SELECT c.c_mktsegment,
-          CAST(SUM(r.rev) AS DOUBLE) AS segment_rev,
+          CAST(CAST(SUM(r.rev) AS VARCHAR) AS DOUBLE) AS segment_rev,
           CAST(SUM(r.n_orders) AS BIGINT) AS orders_cnt,
           COUNT(*) AS customers
         FROM cust_rev r JOIN customer c ON c.c_custkey = r.o_custkey
@@ -604,7 +604,7 @@ object Extended {
           COUNT(*) AS n_rows,
           COUNT(o_totalprice) AS n_priced,
           COUNT(o_orderpriority) AS n_prioritized,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
           COUNT(DISTINCT o_orderpriority) AS n_prio_kinds
         FROM read_parquet(
           ['/root/repo/target/graft_schema_evo/a/*.parquet',
@@ -848,7 +848,7 @@ object Extended {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, COUNT(*) AS n,
-          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value,
           MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
           COUNT(json_extract_string(props, '$.k')) AS n_with_k
         FROM read_json('__GRAFT_JSON_STAGE__/*.json',

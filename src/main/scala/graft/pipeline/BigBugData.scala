@@ -91,33 +91,72 @@ object BigBugData {
       .agg(first(col(valueCol)))
       .orderBy(col(TaxId))
 
-  /** Long-format CSV assembly: ONE output line per organism built by a
-    * sample-ordered collect_list of pre-quoted cells — byte-identical to
-    * pivotWide + Spark's CSV writer (PipelineSpec pins it), but the plan
-    * stays LONG: one groupBy(taxID) shuffle and string concat instead of
-    * materializing an S-thousand-column frame at the sink (the measured
-    * ~40% of the 320M-cell wall; wide-row codegen cost grows with S, this
-    * path's per-row cost is a list sort + join, independent of the
-    * schema). */
+  /** Long-format CSV assembly: ONE output line per organism, built from a
+    * single range-partition + sort of the long grid and a streaming
+    * per-group concat — byte-identical to pivotWide + Spark's CSV writer
+    * (PipelineSpec pins it), but the plan never materializes an
+    * S-thousand-column frame at the sink.
+    *
+    * Why this exact shape (measured at 320M cells, local[32]):
+    *   - groupBy + collect_list plans as ObjectHashAggregate, which
+    *     falls back to SORT-BASED aggregation past 128 groups — it
+    *     external-sorts every cell anyway, then still pays per-group
+    *     8000-struct array materialization + array_sort, then a second
+    *     global orderBy of megabyte row strings (982 s write phase).
+    *   - the wide pivot keeps fixed-width HashAggregate buffers but
+    *     materializes + codegens an 8000-column frame (468 s, round 4).
+    *   - here the one unavoidable external sort is stated EXPLICITLY
+    *     (repartitionByRange(taxID) + sortWithinPartitions(taxID, idx)),
+    *     and line assembly is a single streaming pass per partition —
+    *     constant memory, no per-group arrays, and the range order makes
+    *     part-file name order the global row order, so the sink needs no
+    *     further sort.
+    *
+    * Cell strings are pre-quoted by csvCellExpr INSIDE the plan
+    * (codegen'd); the iterator only concatenates. Rows must be unique
+    * per (taxID, sample) — denseGrid guarantees it (pivotWide's first()
+    * would dedupe; this path would emit both). Samples missing from a
+    * group (impossible on the dense grid, possible on ad-hoc input)
+    * yield empty cells, exactly like the pivot's null. */
   def csvLines(long: DataFrame, valueCol: String,
       orderedSamples: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val nSamples = orderedSamples.size
     val idx = coalesce(element_at(
       map(orderedSamples.zipWithIndex.flatMap { case (s, i) =>
         Seq(lit(s), lit(i)) }: _*), col(Sample)), lit(Int.MaxValue))
-    val cells = array_join(transform(
-      array_sort(collect_list(struct(idx.as("i"),
-        CsvSink.csvCellExpr(col(valueCol)).as("c")))),
-      x => x.getField("c")), ",")
-    long.groupBy(col(TaxId), col(TaxName), col("total_reads_organism"))
-      .agg(cells.as("cells"))
-      .select(col(TaxId),
-        concat_ws(",",
-          CsvSink.csvCellExpr(col(TaxId)),
-          CsvSink.csvCellExpr(col(TaxName)),
-          CsvSink.csvCellExpr(col("total_reads_organism")),
-          col("cells")).as("line"))
-      .orderBy(col(TaxId))
-      .select("line")
+    val prefix = concat_ws(",",
+      CsvSink.csvCellExpr(col(TaxId)),
+      CsvSink.csvCellExpr(col(TaxName)),
+      CsvSink.csvCellExpr(col("total_reads_organism")))
+    val sorted = long
+      .select(col(TaxId).as("k"), prefix.as("prefix"), idx.as("idx"),
+        CsvSink.csvCellExpr(col(valueCol)).as("cell"))
+      .repartitionByRange(col("k"))
+      .sortWithinPartitions(col("k"), col("idx"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(StructType(Seq(StructField("line", StringType))))
+    sorted.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val first = it.head
+          val k = first.getLong(0)
+          val sb = new java.lang.StringBuilder(first.getString(1))
+          var expect = 0
+          while (it.hasNext && it.head.getLong(0) == k) {
+            val r = it.next()
+            val i = r.getInt(2)
+            while (expect < i) { sb.append(','); expect += 1 } // gap → empty cell
+            sb.append(',').append(r.getString(3))
+            expect = i + 1
+          }
+          while (expect < nSamples) { sb.append(','); expect += 1 }
+          org.apache.spark.sql.Row(sb.toString)
+        }
+      }
+    }(enc)
   }
 
   /** Execute and write the three CSVs (K1/K2). */

@@ -207,6 +207,41 @@ class EdgeSpec extends SparkSuite {
       s"guard must drop clone mega-buckets and keep small ones: $got")
   }
 
+  test("ivfDedup: the C scale knob — C=64 over a 5k clustered corpus " +
+      "collapses every near-copy group to its minimum id") {
+    val s2 = spark; import s2.implicits._
+    // 1000 clusters x 5 near-copies: copies differ by a tiny per-dim
+    // delta (cosine vs their base ≈ 1), different clusters are random
+    // uniform 64-dim vectors (cosine concentrates near 0 << tau). The
+    // oracle-pinned catalog entry uses C=16; this drives the SAME code
+    // at C=64 — correctness of the dedup semantics must not depend on
+    // the cell count, only recall does (copies nearly share all probe
+    // cells, so within-cluster recall stays ~1 at any C).
+    def unit(seed: Long): Double = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val rows = (0 until 1000).flatMap { c =>
+      val base = Array.tabulate(64)(d => (unit(c.toLong * 64 + d) - 0.5).toFloat)
+      (0 until 5).map { r =>
+        val v = base.clone()
+        v(r % 64) = v(r % 64) + 0.001f * (r + 1) // tiny per-copy nudge
+        (c * 5L + r, v)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding").repartition(8)
+    val got = graft.catalog.Approx.ivfDedup(emb, C = 64, P = 4, tau = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("rep_id"))
+    assert(got.length == 5000)
+    val wrong = got.count { case (v, rep) => rep != (v / 5) * 5 }
+    // copies can only miss if none of their probe cells overlap — with a
+    // shared base vector the top-4 cells are essentially identical
+    assert(wrong <= 50, s"$wrong/5000 vectors missed their cluster minimum")
+  }
+
   test("readReports: malformed numeric cells null the typed column but " +
       "keep the verbatim raw twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_malformed")
