@@ -778,6 +778,43 @@ object Approx {
         "pixel + channel means, oracle from the generation formula"),
 
     QueryDef(
+      "mm5_wav_decode",
+      (s, dir) =>
+        // REAL audio decode, PCM WAV tier: each doc id becomes a
+        // deterministic RIFF/WAVE payload (channels=id%2+1, frames=
+        // id%50+20, sample s(f,c)=(id*31+f*7+c*13)%4096-2048, plus an
+        // unknown LIST chunk of id%5+1 bytes whose odd sizes force the
+        // parser through RIFF word-alignment padding), decoded by the
+        // genuine chunk-walking parser in Multimodal.decodeWav. One row
+        // per (id, channel); the oracle recomputes sum/sumsq/peak/mean
+        // from the generation formula — a mis-skipped chunk, sign error,
+        // or channel de-interleave slip diverges every stat. Sums are
+        // exact integers; mean = sum/n is one exact-input IEEE division.
+        graft.functions.Multimodal.decodeWavStats(
+          t(s, dir, "documents").select(col("doc_id")))
+          .orderBy("media_id", "channel"),
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 2 + 1 AS nch, doc_id % 50 + 20 AS nf
+          FROM documents),
+        ch AS (
+          SELECT doc_id, nf, UNNEST(range(0, nch)) AS c FROM m)
+        SELECT doc_id AS media_id, CAST(c AS BIGINT) AS channel,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(list_sum(list_transform(range(0, CAST(nf AS INT)),
+            f -> (doc_id*31 + f*7 + c*13) % 4096 - 2048)) AS BIGINT) AS amp_sum,
+          CAST(list_sum(list_transform(range(0, CAST(nf AS INT)),
+            f -> ((doc_id*31 + f*7 + c*13) % 4096 - 2048)
+               * ((doc_id*31 + f*7 + c*13) % 4096 - 2048))) AS BIGINT) AS amp_sumsq,
+          CAST(list_max(list_transform(range(0, CAST(nf AS INT)),
+            f -> abs((doc_id*31 + f*7 + c*13) % 4096 - 2048))) AS BIGINT) AS amp_peak,
+          CAST(list_sum(list_transform(range(0, CAST(nf AS INT)),
+            f -> (doc_id*31 + f*7 + c*13) % 4096 - 2048)) AS DOUBLE) / nf AS amp_mean
+        FROM ch ORDER BY media_id, channel"""),
+      "real PCM WAV decode: RIFF chunk walk with word-alignment padding, " +
+        "unknown-chunk skipping, LE int16 de-interleave — per-channel " +
+        "sum/sumsq/peak/mean, oracle from the generation formula"),
+
+    QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")

@@ -486,7 +486,7 @@ object Extended {
               COUNT(*) AS n_orders
             FROM orders_v GROUP BY o_custkey)
           SELECT c.c_mktsegment,
-            CAST(CAST(SUM(r.rev) AS VARCHAR) AS DOUBLE) AS segment_rev,
+            CAST(SUM(r.rev) AS DOUBLE) AS segment_rev,
             CAST(SUM(r.n_orders) AS BIGINT) AS orders_cnt,
             COUNT(*) AS customers
           FROM cust_rev r JOIN customer_v c ON c.c_custkey = r.o_custkey
@@ -919,6 +919,117 @@ object Extended {
           FROM events)
         ORDER BY event_id"""),
       "time-series forward fill: last_value(IGNORE NULLS) over a running " +
-        "frame per entity — the observability gap-fill operator")
+        "frame per entity — the observability gap-fill operator"),
+
+    QueryDef(
+      "q64_profile",
+      (s, dir) => {
+        // single-scan data profiling (the data-quality sweep every
+        // pipeline runs before training on a new drop): per-column
+        // row/null/distinct counts and min/max, ALL columns in ONE
+        // aggregate over ONE scan — at 100 TB you cannot afford a scan
+        // per column, so the per-column stats ride the same partial
+        // aggregation and the stack() to long format happens on the
+        // 1-row aggregate result. Columns profiled are types whose
+        // string casts are engine-portable (ints, date, varchar);
+        // a deterministically punched nullable column makes the null
+        // accounting load-bearing.
+        val cols = Seq("l_orderkey", "l_linenumber", "l_shipdate_d",
+          "l_returnflag", "l_linestatus", "ship_nullable")
+        val li = t(s, dir, "lineitem")
+          .withColumn("l_shipdate_d", col("l_shipdate").cast("date"))
+          .withColumn("ship_nullable",
+            when(col("l_linenumber") % 7 === 0, lit(null).cast("string"))
+              .otherwise(col("l_linestatus")))
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}_nn"),
+          count_distinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max")))
+        li.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows",
+            s"stack(${cols.size}, " + cols.map(c =>
+              s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ") +
+              ") as (column_name, n_non_null, n_distinct, min_str, max_str)")
+          .select(col("column_name"), col("n_rows"),
+            (col("n_rows") - col("n_non_null")).as("n_null"),
+            col("n_distinct"), col("min_str"), col("max_str"))
+          .orderBy("column_name")
+      },
+      Some("""WITH src AS (
+          SELECT *, CAST(l_shipdate AS DATE) AS l_shipdate_d,
+            CASE WHEN l_linenumber % 7 = 0 THEN NULL
+            ELSE l_linestatus END AS ship_nullable FROM lineitem),
+        a AS (SELECT COUNT(*) AS n_rows,
+          COUNT(l_orderkey) AS c1n, COUNT(DISTINCT l_orderkey) AS c1d,
+            CAST(MIN(l_orderkey) AS VARCHAR) AS c1mn, CAST(MAX(l_orderkey) AS VARCHAR) AS c1mx,
+          COUNT(l_linenumber) AS c2n, COUNT(DISTINCT l_linenumber) AS c2d,
+            CAST(MIN(l_linenumber) AS VARCHAR) AS c2mn, CAST(MAX(l_linenumber) AS VARCHAR) AS c2mx,
+          COUNT(l_shipdate_d) AS c3n, COUNT(DISTINCT l_shipdate_d) AS c3d,
+            CAST(MIN(l_shipdate_d) AS VARCHAR) AS c3mn, CAST(MAX(l_shipdate_d) AS VARCHAR) AS c3mx,
+          COUNT(l_returnflag) AS c4n, COUNT(DISTINCT l_returnflag) AS c4d,
+            MIN(l_returnflag) AS c4mn, MAX(l_returnflag) AS c4mx,
+          COUNT(l_linestatus) AS c5n, COUNT(DISTINCT l_linestatus) AS c5d,
+            MIN(l_linestatus) AS c5mn, MAX(l_linestatus) AS c5mx,
+          COUNT(ship_nullable) AS c6n, COUNT(DISTINCT ship_nullable) AS c6d,
+            MIN(ship_nullable) AS c6mn, MAX(ship_nullable) AS c6mx
+          FROM src)
+        SELECT column_name, n_rows, n_rows - n_non_null AS n_null,
+          n_distinct, min_str, max_str FROM (
+          SELECT 'l_orderkey' AS column_name, n_rows, c1n AS n_non_null,
+            c1d AS n_distinct, c1mn AS min_str, c1mx AS max_str FROM a
+          UNION ALL SELECT 'l_linenumber', n_rows, c2n, c2d, c2mn, c2mx FROM a
+          UNION ALL SELECT 'l_shipdate_d', n_rows, c3n, c3d, c3mn, c3mx FROM a
+          UNION ALL SELECT 'l_returnflag', n_rows, c4n, c4d, c4mn, c4mx FROM a
+          UNION ALL SELECT 'l_linestatus', n_rows, c5n, c5d, c5mn, c5mx FROM a
+          UNION ALL SELECT 'ship_nullable', n_rows, c6n, c6d, c6mn, c6mx FROM a)
+        ORDER BY column_name"""),
+      "single-scan data profiling: per-column null/distinct/min/max for " +
+        "six columns in ONE aggregate pass, stacked to long format on " +
+        "the 1-row result — the pre-training data-quality sweep"),
+
+    QueryDef(
+      "q65_compaction",
+      (s, dir) => {
+        // small-files compaction (table maintenance at 100 TB: streaming
+        // ingest leaves KB-scale files whose open/footer cost dominates
+        // scans). A 64-small-file landing zone is simulated from
+        // lineitem, compacted to ceil(bytes / 8 MB) files via a
+        // shuffle-free coalesce (graft.io.Compaction), and the
+        // verification frame aggregates the COMPACTED copy — the oracle
+        // computes the same frame from the ORIGINAL table, so any row
+        // lost, duplicated, or corrupted by the rewrite diverges it.
+        // Staging is keyed to the SF dir (same discipline as q61).
+        val root = s"/root/repo/target/graft_compact_${
+          Integer.toHexString(dir.hashCode)}"
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+          .repartition(64) // simulate the many-small-files landing zone
+          .write.mode("overwrite").parquet(s"$root/small")
+        graft.io.Compaction.compact(
+          s, s"$root/small", s"$root/compacted", targetBytes = 8L << 20)
+        s.read.parquet(s"$root/compacted")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_orderkey")).as("key_sum"),
+            sum(d2(col("l_quantity"))).cast("double").as("qty_sum"),
+            sum(d2(col("l_extendedprice"))).cast("double").as("price_sum"),
+            min(col("l_shipdate")).as("min_ship"),
+            max(col("l_shipdate")).as("max_ship"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS qty_sum,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS price_sum,
+          MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      "small-files compaction: simulated 64-file landing zone -> " +
+        "shuffle-free coalesce rewrite to byte-targeted files -> " +
+        "content-preservation oracle (compacted aggregate == original " +
+        "table aggregate)")
   )
 }

@@ -217,6 +217,139 @@ object Multimodal {
       data(r0) & 0xff, sr, sg, sb)
   }
 
+  // ---- REAL audio decode (pure JVM, PCM WAV) ----------------------------
+  // The audio twin of the PPM/BMP tier: RIFF/WAVE is a public container
+  // format a 100 TB multimodal pipeline can always fall back to. The
+  // parser is genuine — chunk walking with word-alignment padding,
+  // little-endian fmt fields, an unknown chunk it must skip, interleaved
+  // signed 16-bit samples — so the oracle catches a decoder that slips
+  // on any of those (a mis-skipped chunk or sign error shifts every
+  // downstream stat).
+
+  /** Decoded PCM summary: per-channel frame count, amplitude sum, sum of
+    * squares, and peak (max |s|). */
+  final case class DecodedAudio(nCh: Int, nFrames: Int,
+      sums: Array[Long], sumSqs: Array[Long], peaks: Array[Int]) {
+    override def equals(o: Any): Boolean = o match {
+      case a: DecodedAudio => nCh == a.nCh && nFrames == a.nFrames &&
+        sums.sameElements(a.sums) && sumSqs.sameElements(a.sumSqs) &&
+        peaks.sameElements(a.peaks)
+      case _ => false
+    }
+  }
+
+  /** Deterministic sample value: s(id, frame, ch) =
+    * (id*31 + frame*7 + ch*13) % 4096 − 2048 — spans negative amplitudes
+    * so the parser's int16 sign handling is load-bearing. */
+  def wavSample(id: Long, f: Int, c: Int): Short =
+    (((id * 31 + f.toLong * 7 + c.toLong * 13) % 4096) - 2048).toShort
+
+  /** Deterministic 16-bit PCM WAV: channels = id%2+1 (mono/stereo),
+    * frames = id%50+20, plus a LIST chunk of id%5+1 junk bytes between
+    * fmt and data — odd sizes force the parser through RIFF's
+    * word-alignment pad byte. */
+  def buildWav(id: Long): Array[Byte] = {
+    val nCh = (id % 2 + 1).toInt
+    val nFrames = (id % 50 + 20).toInt
+    val blockAlign = nCh * 2
+    val dataSize = nFrames * blockAlign
+    val junkSize = (id % 5 + 1).toInt
+    val junkPadded = junkSize + (junkSize & 1)
+    val riffSize = 4 + (8 + 16) + (8 + junkPadded) + (8 + dataSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(nCh.toShort).putInt(8000).putInt(8000 * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+    out.put("LIST".getBytes("US-ASCII")).putInt(junkSize)
+    var j = 0
+    while (j < junkSize) { out.put(((id + j) % 256).toByte); j += 1 }
+    if ((junkSize & 1) == 1) out.put(0.toByte) // alignment pad
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < nCh) { out.putShort(wavSample(id, f, c)); c += 1 }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** Parse a PCM WAV payload: RIFF/WAVE magic, chunk walk (word-aligned —
+    * odd-length chunks carry a pad byte), fmt validation (PCM, 16-bit),
+    * unknown chunks skipped, interleaved LE int16 frames. */
+  private[graft] def decodeWav(data: Array[Byte]): DecodedAudio = {
+    require(data.length >= 12 && data(0) == 'R' && data(1) == 'I'
+      && data(2) == 'F' && data(3) == 'F', "not RIFF")
+    require(new String(data, 8, 4, "US-ASCII") == "WAVE", "not WAVE")
+    val buf = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var nCh = -1; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= data.length && (nCh < 0 || dataOff < 0)) {
+      val cid = new String(data, pos, 4, "US-ASCII")
+      val clen = buf.getInt(pos + 4)
+      if (cid == "fmt ") {
+        require(buf.getShort(pos + 8) == 1, "only PCM supported")
+        nCh = buf.getShort(pos + 10)
+        blockAlign = buf.getShort(pos + 20)
+        require(buf.getShort(pos + 22) == 16, "only 16-bit supported")
+      } else if (cid == "data") { dataOff = pos + 8; dataLen = clen }
+      pos += 8 + clen + (clen & 1) // chunks are word-aligned
+    }
+    require(nCh > 0 && dataOff >= 0, "missing fmt/data chunk")
+    require(blockAlign == nCh * 2 && dataLen % blockAlign == 0,
+      s"bad block alignment $blockAlign / data length $dataLen")
+    require(data.length >= dataOff + dataLen, "truncated data chunk")
+    val nFrames = dataLen / blockAlign
+    val sums = new Array[Long](nCh)
+    val sumSqs = new Array[Long](nCh)
+    val peaks = new Array[Int](nCh)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < nCh) {
+        val s = buf.getShort(dataOff + (f * nCh + c) * 2).toInt
+        sums(c) += s
+        sumSqs(c) += s.toLong * s
+        if (math.abs(s) > peaks(c)) peaks(c) = math.abs(s)
+        c += 1
+      }
+      f += 1
+    }
+    DecodedAudio(nCh, nFrames, sums, sumSqs, peaks)
+  }
+
+  /** Build WAV payloads per id and decode them partition-wise — one row
+    * per (media_id, channel), same batch shape as decodeImageStats. */
+  def decodeWavStats(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("channel", LongType),
+      StructField("n_frames", LongType),
+      StructField("amp_sum", LongType),
+      StructField("amp_sumsq", LongType),
+      StructField("amp_peak", LongType),
+      StructField("amp_mean", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val d = decodeWav(buildWav(id))
+          (0 until d.nCh).map { c =>
+            Row(id, c.toLong, d.nFrames.toLong, d.sums(c), d.sumSqs(c),
+              d.peaks(c).toLong, d.sums(c).toDouble / d.nFrames)
+          }
+        }
+      }(enc)
+  }
+
   /** Magic-dispatched decode — the single entry point a mixed-format
     * corpus routes through. */
   private[graft] def decodeImage(data: Array[Byte]): DecodedImage =

@@ -159,17 +159,43 @@ object BigBugData {
     }(enc)
   }
 
-  /** Execute and write the three CSVs (K1/K2). */
+  /** Execute and write the three CSVs (K1/K2).
+    *
+    * Two byte-identical grid-sink strategies (PipelineSpec pins parity):
+    *   - `pivot` (default): hash-aggregate the long grid into an S-wide
+    *     frame, write via the parallel single-CSV sink. The aggregation
+    *     collapses S cells per organism into one row BEFORE anything is
+    *     sorted or spilled, so shuffle bytes are ~rows/S of the long
+    *     path's. Measured fastest through S=8,000 (320M cells: 468 s
+    *     round 4 vs 1297 s for the long path under identical config).
+    *   - `lines` (`spark.graft.sink.strategy=lines`): range-sort the
+    *     LONG grid and stream-concat lines per partition — never
+    *     materializes an S-wide frame, so it stays viable past the
+    *     S ~ tens-of-thousands point where a pivot's fixed-width
+    *     aggregation buffers (S × 8 B per group per task) outgrow
+    *     executor memory. The price is shuffling every cell through one
+    *     external sort.
+    * The crossover is governed by S (columns), not cell count — prefer
+    * pivot until S-wide buffers threaten memory, then switch. */
   def write(spark: SparkSession, params: Params): Outputs = {
     val out = build(spark, params)
     val (combinedPath, rrpmPath, tophitsPath) =
       CsvSink.outputPaths(params.resultsDir, params.rank)
     val header = Seq(TaxId, TaxName, "Total # of Reads") ++ out.orderedSamples
 
-    CsvSink.writeSingleLines(
-      csvLines(out.combined, Reads, out.orderedSamples), header, combinedPath)
-    CsvSink.writeSingleLines(
-      csvLines(out.rrpm, "rrpm", out.orderedSamples), header, rrpmPath)
+    val useLines = spark.conf.getOption("spark.graft.sink.strategy")
+      .contains("lines")
+    if (useLines) {
+      CsvSink.writeSingleLines(
+        csvLines(out.combined, Reads, out.orderedSamples), header, combinedPath)
+      CsvSink.writeSingleLines(
+        csvLines(out.rrpm, "rrpm", out.orderedSamples), header, rrpmPath)
+    } else {
+      CsvSink.writeSingleCsv(
+        pivotWide(out.combined, Reads, out.orderedSamples), header, combinedPath)
+      CsvSink.writeSingleCsv(
+        pivotWide(out.rrpm, "rrpm", out.orderedSamples), header, rrpmPath)
+    }
 
     // tophits rows emit in ordered-sample order, then rank (reference
     // iterates samples in order, `bigbugdata.py:176`); literal map

@@ -80,6 +80,32 @@ class MultimodalSpec extends SparkSuite {
     assert(d1 == d2, s"orientation must be normalized: $d1 vs $d2")
   }
 
+  test("WAV decode: parser matches the generation formula across mono/" +
+      "stereo, odd junk-chunk padding, and negative amplitudes") {
+    for (id <- Seq(0L, 7L, 123L, 4L)) { // ids cover nch=1/2, junk odd/even
+      val d = Multimodal.decodeWav(Multimodal.buildWav(id))
+      val nCh = (id % 2 + 1).toInt; val nF = (id % 50 + 20).toInt
+      assert(d.nCh == nCh && d.nFrames == nF)
+      for (c <- 0 until nCh) {
+        val samples = (0 until nF).map(f => Multimodal.wavSample(id, f, c).toInt)
+        assert(d.sums(c) == samples.map(_.toLong).sum)
+        assert(d.sumSqs(c) == samples.map(s => s.toLong * s).sum)
+        assert(d.peaks(c) == samples.map(math.abs).max)
+        assert(samples.exists(_ < 0), "fixture must exercise the sign path")
+      }
+    }
+  }
+
+  test("WAV decode rejects non-RIFF and truncated payloads") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("nope".getBytes("US-ASCII"))
+    }
+    val ok = Multimodal.buildWav(9L)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(ok.take(ok.length - 3))
+    }
+  }
+
   test("decodeImage dispatches on magic and rejects unknown formats") {
     assert(Multimodal.decodeImage(Multimodal.buildPpm(3L))
       == Multimodal.decodePpm(Multimodal.buildPpm(3L)))

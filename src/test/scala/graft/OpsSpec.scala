@@ -191,4 +191,26 @@ class OpsSpec extends SparkSuite {
     val back = spark.read.option("header", "true").csv(target.toString)
     assert(back.columns.toSeq == cols, back.columns.mkString("|"))
   }
+
+  test("Compaction.compact: bin-packs many small files to the byte " +
+      "target, preserving content exactly") {
+    val s2 = spark; import s2.implicits._
+    val root = Files.createTempDirectory("graft_compact").toString
+    val df = (0 until 20000).map(i => (i.toLong, s"row $i payload"))
+      .toDF("id", "payload")
+    df.repartition(32).write.mode("overwrite").parquet(s"$root/small")
+    val stats = graft.io.Compaction.compact(
+      spark, s"$root/small", s"$root/out", targetBytes = 64L << 10)
+    assert(stats.nFilesIn == 32)
+    // byte-targeted: more than one output file (input > 64 KB total),
+    // but far fewer than the input fragments
+    val expected = ((stats.totalBytes + (64L << 10) - 1) / (64L << 10)).toInt
+    assert(stats.nFilesOut == math.min(expected, 32),
+      s"got ${stats.nFilesOut} files for ${stats.totalBytes} bytes")
+    assert(stats.nFilesOut > 1 && stats.nFilesOut < 32)
+    // content preservation: same rows, nothing lost or duplicated
+    val back = spark.read.parquet(s"$root/out")
+    assert(back.count() == 20000)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+  }
 }

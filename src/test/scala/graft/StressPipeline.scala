@@ -32,6 +32,8 @@ object StressPipeline {
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.graft.sink.strategy",
+        sys.env.getOrElse("SPARK_GRAFT_SINK", "pivot"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
