@@ -933,7 +933,12 @@ object Extended {
         // 1-row aggregate result. Columns profiled are types whose
         // string casts are engine-portable (ints, date, varchar);
         // a deterministically punched nullable column makes the null
-        // accounting load-bearing.
+        // accounting load-bearing. Cost note: the exact multi-column
+        // count_distinct plans as the standard Expand (one replica per
+        // distinct column, here 7x rows pre-partial-agg, collapsed
+        // map-side on (value, gid)); at 100 TB swap in
+        // approx_count_distinct per column to drop the Expand when
+        // estimates suffice (q21 is the sketch-tier precedent).
         val cols = Seq("l_orderkey", "l_linenumber", "l_shipdate_d",
           "l_returnflag", "l_linestatus", "ship_nullable")
         val li = t(s, dir, "lineitem")
