@@ -824,6 +824,96 @@ object TextDocs {
         FROM p ORDER BY doc_id"""),
       "text cleaning (C4-style hygiene): control-char strip + whitespace " +
         "collapse + trim with per-doc removal counts, over deterministic " +
-        "synthetic dirt")
+        "synthetic dirt"),
+
+    QueryDef(
+      "d25_token_budget",
+      (s, dir) => {
+        // token-budgeted corpus selection (the data-mixing step: each
+        // source contributes its best documents until its TOKEN budget
+        // is spent — d13 caps by document count, this caps by what
+        // actually costs training compute). Quality proxy = n_chars
+        // (longest-first, deterministic doc_id tiebreak), running token
+        // sum per source, keep while the running sum fits the budget.
+        // One window per source partition; running-frame sum is a
+        // single streaming pass per group — same shuffle shape as d13,
+        // linear at any scale.
+        val B = 1000L
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(toks(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= B)
+          .orderBy("source", "cum_tokens", "doc_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, n_chars,
+            CAST(len($toksSql) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+          FROM tk)
+        SELECT doc_id, source, n_chars, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 1000
+        ORDER BY source, cum_tokens, doc_id"""),
+      "token-budgeted corpus selection: best docs per source until the " +
+        "source's token budget is spent (data mixing priced in tokens, " +
+        "not documents)"),
+
+    QueryDef(
+      "d26_incremental_dedup",
+      (s, dir) => {
+        // incremental ingest dedup: an incoming batch is checked against
+        // the HISTORICAL corpus's content hashes — the steady-state form
+        // of d1 (which dedups one closed corpus). The corpus has no
+        // exact duplicates, so the incoming batch is synthesized
+        // deterministically from it: ids ending in 0 mod 5 re-ingest
+        // VERBATIM text under a new id (must be caught as dups), ids
+        // 1 mod 5 arrive with edited text (must pass). At 100 TB the
+        // history is a hash-keyed table and this is ONE equi-join on
+        // the hash — no content comparison, AQE handles hot-hash skew,
+        // and the history side never needs the text column at all.
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val hist = base
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("hist_id"))
+        val incoming = base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("new_id"), col("text"))
+          .unionAll(base.filter(col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 2000000L).as("new_id"),
+              concat(col("text"), lit(" v2")).as("text")))
+        incoming
+          .select(col("new_id"), md5(col("text")).as("fp"))
+          .join(hist, Seq("fp"), "left")
+          .select(col("new_id"),
+            coalesce(col("hist_id"), lit(-1L)).as("hist_id"),
+            when(col("hist_id").isNull, lit("ingest"))
+              .otherwise(lit("skip_dup")).as("verdict"))
+          .orderBy("new_id")
+      },
+      Some("""WITH hist AS (
+          SELECT md5(text) AS fp, MIN(doc_id) AS hist_id
+          FROM documents GROUP BY md5(text)),
+        incoming AS (
+          SELECT doc_id + 1000000 AS new_id, text
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS new_id, text || ' v2' AS text
+          FROM documents WHERE doc_id % 5 = 1)
+        SELECT i.new_id, COALESCE(h.hist_id, -1) AS hist_id,
+          CASE WHEN h.hist_id IS NULL THEN 'ingest'
+               ELSE 'skip_dup' END AS verdict
+        FROM incoming i LEFT JOIN hist h ON md5(i.text) = h.fp
+        ORDER BY i.new_id"""),
+      "incremental ingest dedup: incoming batch vs historical content " +
+        "hashes via one equi-join (the steady-state form of d1); " +
+        "verbatim re-ingests caught, edited docs pass")
   )
 }
