@@ -936,7 +936,7 @@ object Extended {
         //     columns, single 1-row HashAggregate) + one two-phase
         //     hash-distinct aggregate PER column (partial dedup
         //     map-side, no Expand, no wide sort), stitched by a 6-row
-        //     broadcast join — ~6x faster. Columnar IO makes the per-column
+        //     broadcast join — 1.15 s. Columnar IO makes the per-column
         //     passes read each column exactly once, so total bytes
         //     scanned match the one-pass shape; only the scan COUNT
         //     differs. At 100 TB, approx_count_distinct per column
