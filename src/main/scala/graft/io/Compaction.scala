@@ -20,6 +20,13 @@ object Compaction {
 
   final case class CompactStats(nFilesIn: Int, totalBytes: Long, nFilesOut: Int)
 
+  /** The rewrite frame: scan → coalesce(nOut). Factored out so PlanSpec
+    * can pin the shuffle-free property (coalesce bin-packs partitions
+    * into fewer tasks; a repartition here would shuffle the whole
+    * table, which is exactly what compaction must avoid). */
+  def rewriteFrame(s: SparkSession, inDir: String, nOut: Int) =
+    s.read.parquet(inDir).coalesce(nOut)
+
   /** Rewrite the parquet files under `inDir` into `outDir` as
     * ceil(totalBytes / targetBytes) files. Returns (input file count,
     * input bytes, output file count) for observability. */
@@ -31,8 +38,7 @@ object Compaction {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = parquetFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    s.read.parquet(inDir)
-      .coalesce(nOut)
+    rewriteFrame(s, inDir, nOut)
       .write.mode("overwrite").parquet(outDir)
     val outFiles = fs.listStatus(new Path(outDir))
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

@@ -283,4 +283,31 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"per-row PQ encoding must not hash-shuffle:\n$p")
   }
+
+  test("compaction rewrite: coalesce bin-packing, no Exchange of any kind") {
+    val dir = Files.createTempDirectory("graft_plan_compact").toString
+    spark.range(1000).toDF("id")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val p = graft.io.Compaction.rewriteFrame(spark, dir, 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Coalesce") && !p.contains("Exchange"),
+      s"the compaction rewrite must bin-pack without shuffling:\n$p")
+  }
+
+  test("d26: incremental dedup is one equi-join on the content hash — " +
+      "no nested loop, no cartesian product") {
+    val p = plan("d26_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"history probe must stay an equi-join:\n$p")
+    assert(p.contains("Join"), s"expected a join in:\n$p")
+  }
+
+  test("d25: token-budget selection partitions on source, never " +
+      "SinglePartition (no global-window funnel)") {
+    val p = plan("d25_token_budget")
+    assert(p.contains("Window"), s"expected a window in:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"budget windows must stay per-source, not global:\n$p")
+  }
 }
