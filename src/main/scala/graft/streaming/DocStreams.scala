@@ -87,4 +87,28 @@ object DocStreams {
   def decontaminate(docs: DataFrame, evalSh: Seq[String]): DataFrame =
     docs.filter(!arrays_overlap(shingles(col("text")),
       typedlit(evalSh).cast("array<string>")))
+
+  /** The historical corpus reduced to its content-hash table — the only
+    * thing the incremental dedup ever needs from history (the text
+    * column never loads). */
+  def historyHashes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("hist_id"))
+
+  /** d26's incremental ingest dedup as a stream-STATIC join: each
+    * micro-batch of incoming docs probes the static historical hash
+    * table (Spark re-plans the static side per micro-batch — broadcast
+    * when small, shuffle otherwise). No state store is involved: the
+    * HISTORY is the state, and it lives in a table, not in the query —
+    * exactly how a 100 TB ingest keeps its dedup index durable across
+    * job restarts. Stateless per batch, append-safe. Batch parity is
+    * pinned by DocStreamSpec (same function works on a batch frame). */
+  def incrementalDedup(incoming: DataFrame, history: DataFrame): DataFrame =
+    incoming.withColumn("fp", md5(col("text")))
+      .join(history, Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hist_id"), lit(-1L)).as("hist_id"),
+        when(col("hist_id").isNull, lit("ingest"))
+          .otherwise(lit("skip_dup")).as("verdict"))
 }

@@ -68,4 +68,30 @@ class DocStreamSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == batch && got.nonEmpty)
   }
+
+  test("streaming incremental dedup (stream-static join) == batch twin; " +
+      "known dups skipped, fresh docs ingest") {
+    // history = even doc_ids; the streamed corpus re-ingests everything,
+    // so evens must come back skip_dup (their hash is in history) and
+    // odds must ingest (the corpus has no cross-id exact duplicates —
+    // d1 proves one hash per doc)
+    val history = DocStreams.historyHashes(spark, sf)
+      .join(batchDocs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("hist_id")), Seq("hist_id"))
+    val stream = DocStreams.incrementalDedup(
+      DocStreams.readStream(spark, sf), history)
+    val got = EventStreams.runToMemory(spark, stream, "doc_incr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val batch = DocStreams.incrementalDedup(batchDocs, history)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSet == batch.toSet && got.nonEmpty)
+    got.foreach { case (id, histId, verdict) =>
+      if (id % 2 == 0)
+        assert(verdict == "skip_dup" && histId == id,
+          s"doc $id must match its own historical hash, got ($histId, $verdict)")
+      else
+        assert(verdict == "ingest" && histId == -1L,
+          s"doc $id is fresh, got ($histId, $verdict)")
+    }
+  }
 }
