@@ -176,25 +176,40 @@ object BigBugData {
     *     executor memory. The price is shuffling every cell through one
     *     external sort.
     * The crossover is governed by S (columns), not cell count — prefer
-    * pivot until S-wide buffers threaten memory, then switch. */
+    * pivot until S-wide buffers threaten memory, then switch.
+    *
+    * A third strategy, `parquet`, drops the single-file-CSV contract
+    * entirely and writes the grids in LONG format as parquet with
+    * whatever partitioning they already carry — what a cluster
+    * deployment actually wants (no driver concat, no S-wide frame, no
+    * global sort, no extra shuffle; columnar + compressed, splittable
+    * for the next consumer). It exists to MEASURE what the CSV
+    * contract costs; the reference-compatible outputs remain the other
+    * two. */
   def write(spark: SparkSession, params: Params): Outputs = {
     val out = build(spark, params)
     val (combinedPath, rrpmPath, tophitsPath) =
       CsvSink.outputPaths(params.resultsDir, params.rank)
     val header = Seq(TaxId, TaxName, "Total # of Reads") ++ out.orderedSamples
 
-    val useLines = spark.conf.getOption("spark.graft.sink.strategy")
-      .contains("lines")
-    if (useLines) {
-      CsvSink.writeSingleLines(
-        csvLines(out.combined, Reads, out.orderedSamples), header, combinedPath)
-      CsvSink.writeSingleLines(
-        csvLines(out.rrpm, "rrpm", out.orderedSamples), header, rrpmPath)
-    } else {
-      CsvSink.writeSingleCsv(
-        pivotWide(out.combined, Reads, out.orderedSamples), header, combinedPath)
-      CsvSink.writeSingleCsv(
-        pivotWide(out.rrpm, "rrpm", out.orderedSamples), header, rrpmPath)
+    val strategy = spark.conf.getOption("spark.graft.sink.strategy")
+      .getOrElse("pivot")
+    strategy match {
+      case "lines" =>
+        CsvSink.writeSingleLines(
+          csvLines(out.combined, Reads, out.orderedSamples), header, combinedPath)
+        CsvSink.writeSingleLines(
+          csvLines(out.rrpm, "rrpm", out.orderedSamples), header, rrpmPath)
+      case "parquet" =>
+        out.combined.write.mode("overwrite")
+          .parquet(s"${params.resultsDir}/combined_${params.rank}.parquet")
+        out.rrpm.write.mode("overwrite")
+          .parquet(s"${params.resultsDir}/rrpm_${params.rank}.parquet")
+      case _ =>
+        CsvSink.writeSingleCsv(
+          pivotWide(out.combined, Reads, out.orderedSamples), header, combinedPath)
+        CsvSink.writeSingleCsv(
+          pivotWide(out.rrpm, "rrpm", out.orderedSamples), header, rrpmPath)
     }
 
     // tophits rows emit in ordered-sample order, then rank (reference

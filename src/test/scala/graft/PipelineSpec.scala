@@ -227,6 +227,29 @@ class PipelineSpec extends SparkSuite {
       "sampleName,taxID,taxName,rank,rRPM,kmers,dup,reads,cov,e_val,z_score")
   }
 
+  test("parquet sink strategy writes the long grids losslessly (content " +
+      "== the combined/rrpm frames; no CSV files produced)") {
+    val params = BigBugData.Params(
+      reportPaths = fixture._2,
+      resultsDir = Files.createTempDirectory("graft_pq_out").toString,
+      rank = "species", nTophits = 2,
+      groupPatterns = Seq(("Negative", "CF_DNA")))
+    spark.conf.set("spark.graft.sink.strategy", "parquet")
+    try BigBugData.write(spark, params)
+    finally spark.conf.unset("spark.graft.sink.strategy")
+    val outs = fixture._1
+    for ((name, frame) <- Seq("combined" -> outs.combined, "rrpm" -> outs.rrpm)) {
+      val path = s"${params.resultsDir}/${name}_species.parquet"
+      val back = spark.read.parquet(path)
+      assert(back.count() == frame.count(), s"$name row count")
+      assert(back.exceptAll(frame).isEmpty && frame.exceptAll(back).isEmpty,
+        s"$name content must round-trip losslessly")
+      assert(!Files.exists(
+        java.nio.file.Paths.get(s"${params.resultsDir}/${name}_species.csv")),
+        "parquet strategy must not also write the CSV")
+    }
+  }
+
   test("csvLines (long-format sink) is byte-identical to pivotWide + " +
       "Spark's CSV writer, including pathological taxNames and doubles") {
     val s2 = spark; import s2.implicits._

@@ -87,8 +87,14 @@ object StressPipeline {
     val sActual = out.orderedSamples.size
     println(f"[stress] pipeline: $sActual samples x ${gridRows / sActual} taxa -> " +
       f"$gridRows dense cells, $topRows tophits, 3 CSVs in $dt%.1f s")
-    val combinedSize = Files.size(Paths.get(s"$outDir/combined_species.csv"))
-    println(f"[stress] combined_species.csv = ${combinedSize / 1024} KiB")
+    val csvPath = Paths.get(s"$outDir/combined_species.csv")
+    if (Files.exists(csvPath))
+      println(f"[stress] combined_species.csv = ${Files.size(csvPath) / 1024} KiB")
+    else { // parquet sink strategy: report the directory's total size
+      val dir = new java.io.File(s"$outDir/combined_species.parquet")
+      val bytes = Option(dir.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
+      println(f"[stress] combined_species.parquet = ${bytes / 1024} KiB")
+    }
     spark.stop()
   }
 }
