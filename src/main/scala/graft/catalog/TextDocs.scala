@@ -914,6 +914,134 @@ object TextDocs {
         ORDER BY i.new_id"""),
       "incremental ingest dedup: incoming batch vs historical content " +
         "hashes via one equi-join (the steady-state form of d1); " +
-        "verbatim re-ingests caught, edited docs pass")
+        "verbatim re-ingests caught, edited docs pass"),
+
+    QueryDef(
+      "d27_corpus_shuffle",
+      (s, dir) => {
+        // epoch-seeded deterministic training-order shuffle: before a
+        // corpus is written as packed shards (d12), its documents must be
+        // re-ordered pseudo-randomly — and at 100 TB that order must be
+        // REPRODUCIBLE (a resumed training run or a re-run of a failed
+        // shard writer has to produce the identical order). Seeded hash
+        // as sort key gives that: key = md5(epoch ':' doc_id), a fresh
+        // independent permutation per epoch, no RNG state anywhere.
+        // Global position comes from the q54 scalable-rownum pattern
+        // (range partition on the key + per-partition offsets) — the
+        // naive ROW_NUMBER() OVER (ORDER BY key) would funnel the corpus
+        // through one reducer. Shard id = pos/64 then feeds the shard
+        // writer. Two epochs materialized side by side prove the
+        // permutations differ while each stays reproducible.
+        import org.apache.spark.sql.expressions.Window
+        val frames = Seq(0, 1).map { e =>
+          val keyed = t(s, dir, "documents")
+            .select(col("doc_id"),
+              md5(concat(lit(s"$e:"), col("doc_id").cast("string"))).as("k"))
+            .repartitionByRange(col("k"))
+            .withColumn("pid", spark_partition_id())
+            .localCheckpoint()
+          val counts = keyed.groupBy("pid").agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+          var acc = 0L
+          val offsets = counts.map { case (pid, n) =>
+            val o = (pid, acc); acc += n; o
+          }.toSeq
+          import s.implicits._
+          val offDf = offsets.toDF("pid", "off")
+          val w = Window.partitionBy(col("pid")).orderBy(col("k"), col("doc_id"))
+          keyed.join(broadcast(offDf), "pid")
+            .withColumn("pos", col("off") + row_number().over(w).cast("long"))
+            .select(lit(e).as("epoch"), col("doc_id"), col("pos"),
+              floor((col("pos") - lit(1)) / lit(64)).as("shard"))
+        }
+        frames.reduce(_.unionAll(_)).orderBy("epoch", "pos")
+      },
+      Some("""WITH e AS (
+          SELECT 0 AS epoch, doc_id,
+            md5('0:' || CAST(doc_id AS VARCHAR)) AS k FROM documents
+          UNION ALL
+          SELECT 1 AS epoch, doc_id,
+            md5('1:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        p AS (
+          SELECT epoch, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+              AS BIGINT) AS pos
+          FROM e)
+        SELECT epoch, doc_id, pos,
+          CAST(floor((pos - 1) / 64) AS BIGINT) AS shard
+        FROM p ORDER BY epoch, pos"""),
+      "epoch-seeded deterministic corpus shuffle: md5(epoch:doc_id) sort " +
+        "key -> reproducible per-epoch permutation + shard assignment, " +
+        "positions via the scalable-rownum pattern (no single-reducer sort)"),
+
+    QueryDef(
+      "d28_temperature_mix",
+      (s, dir) => {
+        // temperature-smoothed source mixing (the mT5/XLM-R alpha-
+        // sampling move): raw token mass per source would let one giant
+        // crawl drown the small high-quality sources, uniform would
+        // oversample the tiny ones — sampling weight T_s^alpha in
+        // between. alpha = 0.5 (sqrt: IEEE-correctly-rounded on both
+        // engines, so the oracle stays bit-exact where a pow() would
+        // drift in the last ulp). The 100k-token budget is then split by
+        // largest-remainder apportionment so the integer allocations sum
+        // EXACTLY to the budget (floor everyone, hand the leftover to
+        // the largest fractional remainders). Everything after the one
+        // groupBy runs on a #sources-row frame — the global window and
+        // the two broadcast totals are post-aggregation metadata, not
+        // data. The normalizer folds w in source order (e5's ordered-
+        // fold trick) so the double sum is bit-identical to DuckDB's.
+        // localCheckpoint pins the aggregated frame so its two consumers
+        // (normalizer + allocator) cost ONE corpus scan, not two.
+        import org.apache.spark.sql.expressions.Window
+        val B = 100000L
+        val per = t(s, dir, "documents")
+          .groupBy("source").agg(sum(col("n_chars")).as("tokens"))
+          .withColumn("w", sqrt(col("tokens").cast("double")))
+          .localCheckpoint()
+        val tot = per.agg(
+          aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+            lit(0.0), (acc, x) => acc + x.getField("w")).as("total"))
+        val based = per.crossJoin(broadcast(tot))
+          .withColumn("p", col("w") / col("total"))
+          .withColumn("raw", col("p") * lit(B).cast("double"))
+          .withColumn("base", floor(col("raw")))
+          .withColumn("rem", col("raw") - col("base"))
+        val sumBase = based.agg(sum(col("base")).as("sum_base"))
+        val rk = Window.orderBy(col("rem").desc, col("source"))
+        based.crossJoin(broadcast(sumBase))
+          .withColumn("rk", row_number().over(rk))
+          .select(col("source"), col("tokens"), col("p"),
+            (col("base") + when(col("rk") <= lit(B) - col("sum_base"), 1L)
+              .otherwise(0L)).as("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (
+          SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens,
+            sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS w
+          FROM documents GROUP BY source),
+        tot AS (
+          SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+            (a, b) -> a + b) AS total
+          FROM per),
+        px AS (
+          SELECT source, tokens, w, w / total AS p,
+            (w / total) * 100000.0 AS raw
+          FROM per, tot),
+        fb AS (
+          SELECT *, CAST(floor(raw) AS BIGINT) AS base,
+            raw - floor(raw) AS rem
+          FROM px),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+            (SELECT SUM(base) FROM fb) AS sum_base
+          FROM fb)
+        SELECT source, tokens, p,
+          CAST(base + CASE WHEN rk <= 100000 - sum_base THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+        FROM rk ORDER BY source"""),
+      "temperature-smoothed source mixing: sqrt(token-mass) sampling " +
+        "weights (alpha=0.5, bit-exact) + largest-remainder apportionment " +
+        "so integer allocations sum exactly to the token budget")
   )
 }

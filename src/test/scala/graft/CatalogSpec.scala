@@ -242,4 +242,47 @@ class CatalogSpec extends SparkSuite {
       assert(dist <= 16, s"near-dup pair ($a,$b) hamming $dist > 16")
     }
   }
+
+  test("d27 corpus shuffle: each epoch is a full permutation, epochs " +
+      "differ, shard = (pos-1)/64, and a re-run reproduces it exactly") {
+    val rows = SparkEntry.queries("d27_corpus_shuffle")(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getInt(0))
+    assert(byEpoch.keySet == Set(0, 1))
+    val n = byEpoch(0).length
+    for ((e, rs) <- byEpoch) {
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to n).toSeq,
+        s"epoch $e positions must be exactly 1..$n")
+      assert(rs.forall(r => r.getLong(3) == (r.getLong(2) - 1) / 64),
+        s"epoch $e shard ids must be (pos-1)/64")
+    }
+    val perm = (e: Int) =>
+      byEpoch(e).map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(perm(0) != perm(1), "epoch reseed must yield a different order")
+    val again = SparkEntry.queries("d27_corpus_shuffle")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "the shuffle must be deterministic across runs (resumability)")
+  }
+
+  test("d28 temperature mix: allocations sum EXACTLY to the budget, are " +
+      "monotone in token mass, and compress the source spread") {
+    val rows = SparkEntry.queries("d28_temperature_mix")(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum == 100000L,
+      "largest-remainder apportionment must hit the budget exactly")
+    val sorted = rows.sortBy(_.getLong(1))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(3),
+        "a source with more tokens can never receive a smaller allocation")
+    }
+    // temperature alpha=0.5 smooths BETWEEN proportional and uniform:
+    // the max/min sampling-probability ratio must be strictly tighter
+    // than the raw token-share ratio (sqrt halves the log-spread)
+    val toks = rows.map(_.getLong(1).toDouble)
+    val ps = rows.map(_.getDouble(2))
+    val shareRatio = toks.max / toks.min
+    val pRatio = ps.max / ps.min
+    assert(math.abs(ps.sum - 1.0) < 1e-9, "probabilities must normalize")
+    if (shareRatio > 1.000001)
+      assert(pRatio < shareRatio && math.abs(pRatio - math.sqrt(shareRatio)) < 1e-9,
+        s"sqrt smoothing: expected p-ratio ${math.sqrt(shareRatio)}, got $pRatio")
+  }
 }

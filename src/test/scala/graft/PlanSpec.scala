@@ -310,4 +310,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SinglePartition"),
       s"budget windows must stay per-source, not global:\n$p")
   }
+
+  test("d27: corpus shuffle numbers within range partitions — no " +
+      "single-reducer global sort window") {
+    val p = plan("d27_corpus_shuffle")
+    assert(p.contains("Window"), s"expected per-partition windows in:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"global positions must come from range partitions + offsets, " +
+        s"never one reducer:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-partition offsets must join by broadcast:\n$p")
+  }
+
+  test("d28: temperature mix runs on the checkpointed #sources-row " +
+      "frame — one corpus scan, totals attach by broadcast") {
+    val p = plan("d28_temperature_mix")
+    assert(p.contains("ExistingRDD"),
+      s"per-source frame must be checkpointed (one corpus scan):\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"no consumer may re-scan the corpus after the aggregation:\n$p")
+    // the two 1-row totals attach via broadcast (post-aggregation
+    // metadata, same deliberate shape as d15's corpus-size broadcast)
+    assert(p.contains("Broadcast"), s"totals must broadcast:\n$p")
+  }
 }
