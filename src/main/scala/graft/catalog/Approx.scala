@@ -695,19 +695,52 @@ object Approx {
         "(HUGEINT character-fold oracle, exact on the ASCII corpus)"),
 
     QueryDef(
-      "mm2_decode_stub",
-      (s, dir) => {
-        val media = graft.functions.Multimodal.asMedia(
-          t(s, dir, "documents"), "doc_id", "text")
-        graft.functions.Multimodal.decodeFeatures(s, media)
-          .select(col("media_id"), col("format"),
-            element_at(col("features"), 1).as("f0"),
-            size(col("features")).as("n_features"))
-          .orderBy("media_id")
-      },
-      None,
-      "multimodal decode plumbing: binary payload + typed meta -> " +
-        "partition-wise stub decode -> feature vectors"),
+      "mm2_mixed_decode",
+      (s, dir) =>
+        // Mixed-format corpus decode — the dispatcher tier above the
+        // per-format decoders (mm3/mm4/mm5): id%3 selects PPM/BMP/WAV,
+        // id%17==0 plants corrupt payloads with garbage magic. decodeAny
+        // routes by magic bytes and QUARANTINES failures (ok=0) instead
+        // of throwing — at 100 TB one bad object must never kill the
+        // job, and the quarantine rows are themselves the data-quality
+        // report. The oracle recomputes format, units, and the exact
+        // integer value-sum for every id from the generation formulas,
+        // including the corrupt class — a dispatcher that mis-routes or
+        // a decoder that mis-parses diverges on some row.
+        graft.functions.Multimodal.decodeMixedStats(
+          t(s, dir, "documents").select(col("doc_id")))
+          .orderBy("media_id"),
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 3 AS k, doc_id % 17 = 0 AS bad
+          FROM documents)
+        SELECT doc_id AS media_id,
+          CASE WHEN bad THEN 'unknown'
+               WHEN k = 0 THEN 'ppm' WHEN k = 1 THEN 'bmp'
+               ELSE 'wav' END AS fmt,
+          CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS ok,
+          CAST(CASE WHEN bad THEN 0
+               WHEN k = 0 THEN (doc_id % 13 + 4) * (doc_id % 11 + 4)
+               WHEN k = 1 THEN (doc_id % 9 + 4) * (doc_id % 7 + 3)
+               ELSE (doc_id % 50 + 20) * (doc_id % 2 + 1) END AS BIGINT) AS units,
+          CAST(CASE WHEN bad THEN 0
+               WHEN k = 0 THEN list_sum(list_transform(
+                 range(0, CAST(3 * (doc_id % 13 + 4) * (doc_id % 11 + 4) AS INT)),
+                 i -> (doc_id * 31 + i * 7) % 256))
+               WHEN k = 1 THEN list_sum(list_transform(
+                 range(0, CAST((doc_id % 9 + 4) * (doc_id % 7 + 3) AS INT)),
+                 p -> (doc_id * 31 + p * 7) % 256
+                    + (doc_id * 31 + p * 7 + 11) % 256
+                    + (doc_id * 31 + p * 7 + 22) % 256))
+               ELSE list_sum(list_transform(
+                 range(0, CAST((doc_id % 50 + 20) * (doc_id % 2 + 1) AS INT)),
+                 j -> (doc_id * 31 + (j // (doc_id % 2 + 1)) * 7
+                       + (j % (doc_id % 2 + 1)) * 13) % 4096 - 2048))
+               END AS BIGINT) AS val_sum
+        FROM m ORDER BY media_id"""),
+      "mixed-format multimodal decode: magic-byte dispatch over " +
+        "PPM/BMP/WAV + corrupt-payload quarantine (ok=0, no exception) " +
+        "— unified units/value-sum stats, oracle from the generation " +
+        "formulas including the corrupt class"),
 
     QueryDef(
       "mm3_ppm_decode",

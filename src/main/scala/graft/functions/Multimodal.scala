@@ -7,13 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted in batch per partition.
   *
-  * The decode kernel itself is STUBBED (no image/audio codecs in this
-  * environment — see `decodeStub`): it produces a deterministic fake
-  * feature vector from the bytes. Everything around it — schema, batch
-  * shape, partition-wise execution, frame sampling — is the real
-  * 100 TB-scale plumbing: payloads never leave executors, decoding is
-  * one pass per partition, and metadata lives in a typed struct column
-  * so planners can prune it independently of the payload.
+  * The decode tier is REAL, pure-JVM parsers for three public byte
+  * formats (binary PPM, uncompressed 24bpp BMP, PCM WAV) plus a
+  * magic-byte dispatcher with quarantine (`decodeAny`) — the shape a
+  * mixed-format 100 TB corpus actually routes through: payloads never
+  * leave executors, decoding is one pass per partition, a bad file
+  * yields a quarantine row instead of killing the job, and metadata
+  * lives in a typed struct column so planners can prune it
+  * independently of the payload.
   */
 object Multimodal {
 
@@ -40,35 +41,74 @@ object Multimodal {
         (pmod(col(idCol), lit(48)) + 16).cast("int").as("height"),
         (pmod(col(idCol), lit(30)) + 1).cast("int").as("n_frames")).as("meta"))
 
-  /** STUB decode kernel — deterministic fake "pixel decode": a 16-bin
-    * byte histogram normalized to [0,1]. A real deployment swaps exactly
-    * this function for a codec call; the mapPartitions batch shape, row
-    * encoder, and output schema stay identical. */
-  private[graft] def decodeBytesStub(data: Array[Byte]): Array[Float] = {
-    val bins = new Array[Float](16)
-    var i = 0
-    while (i < data.length) { bins((data(i) & 0xff) >> 4) += 1f; i += 1 }
-    val n = math.max(data.length, 1).toFloat
-    var j = 0
-    while (j < 16) { bins(j) /= n; j += 1 }
-    bins
+  /** Unified mixed-format decode summary: detected format, parse
+    * success, decoded unit count (pixels for rasters, frames×channels
+    * for audio), and the exact integer sum of every decoded value (all
+    * channel bytes for rasters, all signed samples for audio). */
+  final case class DecodedAny(fmt: String, ok: Boolean, units: Long,
+      valSum: Long)
+
+  /** Deterministic mixed-format payload: id%17==0 → corrupt bytes with
+    * garbage magic (the quarantine path), else id%3 selects P6 / BMP /
+    * WAV — one corpus exercising every decoder AND the dispatcher. */
+  def buildMixed(id: Long): Array[Byte] =
+    if (id % 17 == 0)
+      Array(0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte,
+        (id % 256).toByte)
+    else (id % 3) match {
+      case 0 => buildPpm(id)
+      case 1 => buildBmp(id)
+      case _ => buildWav(id)
+    }
+
+  /** Magic-dispatched decode with quarantine — the single entry point a
+    * mixed-format corpus routes through. Unknown magic OR a parse
+    * failure of a recognized format yields a quarantine row (ok=false,
+    * fmt = what the magic claimed) instead of an exception: at 100 TB
+    * one corrupt object must never kill the job. */
+  private[graft] def decodeAny(data: Array[Byte]): DecodedAny = {
+    val fmt =
+      if (data.length >= 2 && data(0) == 'P' && data(1) == '6') "ppm"
+      else if (data.length >= 2 && data(0) == 'B' && data(1) == 'M') "bmp"
+      else if (data.length >= 4 && data(0) == 'R' && data(1) == 'I'
+        && data(2) == 'F' && data(3) == 'F') "wav"
+      else "unknown"
+    try fmt match {
+      case "ppm" =>
+        val d = decodePpm(data)
+        DecodedAny("ppm", ok = true, d.width.toLong * d.height,
+          d.sumR + d.sumG + d.sumB)
+      case "bmp" =>
+        val d = decodeBmp(data)
+        DecodedAny("bmp", ok = true, d.width.toLong * d.height,
+          d.sumR + d.sumG + d.sumB)
+      case "wav" =>
+        val d = decodeWav(data)
+        DecodedAny("wav", ok = true, d.nFrames.toLong * d.nCh, d.sums.sum)
+      case _ => DecodedAny("unknown", ok = false, 0L, 0L)
+    } catch {
+      case scala.util.control.NonFatal(_) => DecodedAny(fmt, ok = false, 0L, 0L)
+    }
   }
 
-  /** Partition-wise decode + feature extraction: one iterator pass per
-    * partition (the Scala twin of a pandas-batched UDF) producing
-    * (media_id, format, features). */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** Build mixed-format payloads per id and route them through the
+    * dispatcher partition-wise — same one-pass batch shape as the
+    * per-format stats, with `ok` as 1/0 so the oracle hashes integers. */
+  def decodeMixedStats(ids: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
-      StructField("format", StringType),
-      StructField("features", ArrayType(FloatType))))
+      StructField("fmt", StringType),
+      StructField("ok", LongType),
+      StructField("units", LongType),
+      StructField("val_sum", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    media.select(col("media_id"), col("data"), col("meta.format").as("fmt"))
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
       .mapPartitions { rows =>
         rows.map { r =>
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("fmt"),
-            decodeBytesStub(r.getAs[Array[Byte]]("data")))
+          val id = r.getLong(0)
+          val d = decodeAny(buildMixed(id))
+          Row(id, d.fmt, if (d.ok) 1L else 0L, d.units, d.valSum)
         }
       }(enc)
   }
@@ -350,17 +390,18 @@ object Multimodal {
       }(enc)
   }
 
-  /** Magic-dispatched decode — the single entry point a mixed-format
-    * corpus routes through. */
+  /** Magic-dispatched raster decode (throwing form — `decodeAny` is the
+    * quarantining entry point for mixed corpora). */
   private[graft] def decodeImage(data: Array[Byte]): DecodedImage =
     if (data.length >= 2 && data(0) == 'P' && data(1) == '6') decodePpm(data)
     else if (data.length >= 2 && data(0) == 'B' && data(1) == 'M') decodeBmp(data)
     else throw new IllegalArgumentException(
       s"unknown image magic: ${data.take(2).map(_ & 0xff).mkString(",")}")
 
-  /** Build payloads with `builder` and decode them partition-wise — the
-    * same one-pass-per-partition batch shape as decodeFeatures, emitting
-    * orientation-sensitive pixel stats the oracle can recompute. */
+  /** Build payloads with `builder` and decode them partition-wise — one
+    * iterator pass per partition (the Scala twin of a pandas-batched
+    * UDF), emitting orientation-sensitive pixel stats the oracle can
+    * recompute. */
   def decodeImageStats(ids: DataFrame, builder: Long => Array[Byte]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),

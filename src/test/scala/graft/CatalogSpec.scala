@@ -24,7 +24,7 @@ class CatalogSpec extends SparkSuite {
   test("every query name has either oracle SQL or a documented reason") {
     val noOracle = SparkEntry.catalog.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == Set("d7_minhash_lsh", "d8_simhash",
-      "q21_approx_distinct", "mm2_decode_stub"))
+      "q21_approx_distinct"))
   }
 
   test("rolling_hash: expression matches a plain-Scala reference, " +

@@ -17,20 +17,36 @@ class MultimodalSpec extends SparkSuite {
     assert(shape(media.schema) == shape(Multimodal.mediaSchema))
   }
 
-  test("stub decode: one feature vector per payload, normalized histogram") {
-    val feats = Multimodal.decodeFeatures(spark, media).collect()
-    assert(feats.length == media.count())
-    feats.foreach { r =>
-      val v = r.getAs[scala.collection.Seq[Float]]("features")
-      assert(v.length == 16)
-      assert(math.abs(v.sum - 1.0f) < 1e-3, "histogram must normalize to 1")
-    }
+  test("decodeAny: routes each format by magic and matches the " +
+      "per-format decoders") {
+    val idPpm = 3L; val idBmp = 7L; val idWav = 5L // id%3 = 0/1/2, none %17==0
+    val p = Multimodal.decodeAny(Multimodal.buildMixed(idPpm))
+    val dp = Multimodal.decodePpm(Multimodal.buildPpm(idPpm))
+    assert(p == Multimodal.DecodedAny("ppm", ok = true,
+      dp.width.toLong * dp.height, dp.sumR + dp.sumG + dp.sumB))
+    val b = Multimodal.decodeAny(Multimodal.buildMixed(idBmp))
+    val db = Multimodal.decodeBmp(Multimodal.buildBmp(idBmp))
+    assert(b == Multimodal.DecodedAny("bmp", ok = true,
+      db.width.toLong * db.height, db.sumR + db.sumG + db.sumB))
+    val w = Multimodal.decodeAny(Multimodal.buildMixed(idWav))
+    val dw = Multimodal.decodeWav(Multimodal.buildWav(idWav))
+    assert(w == Multimodal.DecodedAny("wav", ok = true,
+      dw.nFrames.toLong * dw.nCh, dw.sums.sum))
   }
 
-  test("stub decode kernel is deterministic on known bytes") {
-    val v = Multimodal.decodeBytesStub("aaaa".getBytes("UTF-8"))
-    // 'a' = 0x61 → bin 6 gets all mass
-    assert(v(6) == 1.0f && v.sum == 1.0f)
+  test("decodeAny: quarantines instead of throwing — garbage magic AND " +
+      "valid-magic-but-truncated payloads") {
+    // id%17==0 → corrupt payload class from the mixed builder
+    assert(Multimodal.decodeAny(Multimodal.buildMixed(17L))
+      == Multimodal.DecodedAny("unknown", ok = false, 0L, 0L))
+    // truncated WAV keeps its detected format in the quarantine row
+    val wav = Multimodal.buildWav(9L)
+    assert(Multimodal.decodeAny(wav.take(wav.length - 3))
+      == Multimodal.DecodedAny("wav", ok = false, 0L, 0L))
+    // truncated PPM raster likewise
+    val ppm = Multimodal.buildPpm(9L)
+    assert(Multimodal.decodeAny(ppm.take(ppm.length - 1))
+      == Multimodal.DecodedAny("ppm", ok = false, 0L, 0L))
   }
 
   test("frame sampling reads only metadata") {
