@@ -17,6 +17,26 @@ object TextDocs {
 
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
+  /** Nano-nat log table for d29: lnano(t) = round(ln(t)*1e9) for t in
+    * 1..31, computed ONCE here and embedded verbatim in both the Spark
+    * plan (broadcast literal frame) and the oracle SQL — the two engines
+    * share values instead of each calling their own libm. */
+  private val lnNanoTable: Seq[(Long, Long)] =
+    (1L to 31L).map(t => (t, math.round(math.log(t.toDouble) * 1e9)))
+
+  /** round(ln(2)*1e9): the per-octave surprisal step. */
+  private val Ln2Nano: Long = lnNanoTable(1)._2
+
+  private val lnNanoSql: String =
+    lnNanoTable.map { case (t, l) => s"($t, $l)" }.mkString(", ")
+
+  /** d29 keep threshold: mean bigram surprisal ≤ 3.37 nats (perplexity
+    * ≈ e^3.37 ≈ 29) — the corpus median, so the verdict is load-bearing
+    * (roughly half kept, half dropped; the sf0.01 spread is 3.25–3.63).
+    * In a real deployment this is the per-corpus tuning knob, exactly
+    * like CCNet's head/middle/tail perplexity buckets. */
+  private val PplTauNano: Long = 3370000000L
+
   /** English stopword markers — shared with the streaming quality filter
     * (DocStreams) so the two surfaces cannot drift */
   val stopEn: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
@@ -1042,6 +1062,104 @@ object TextDocs {
         FROM rk ORDER BY source"""),
       "temperature-smoothed source mixing: sqrt(token-mass) sampling " +
         "weights (alpha=0.5, bit-exact) + largest-remainder apportionment " +
-        "so integer allocations sum exactly to the token budget")
+        "so integer allocations sum exactly to the token budget"),
+
+    QueryDef(
+      "d29_perplexity_filter",
+      (s, dir) => {
+        // LM-based quality filtering — the CCNet/KenLM perplexity move:
+        // score every document by its bigram cross-entropy under the
+        // corpus's own LM and keep the low-surprisal ones. The libm trap
+        // (Java's ln and DuckDB's ln differ in the last ulp on ~0.003%
+        // of inputs — measured, 54 mismatches in 2M) is dodged by
+        // QUANTIZING counts to 5 significant bits: surprisal(c) =
+        // lnNano(c >> s) + s*lnNano(2) with s = max(bitlen(c)-5, 0),
+        // from a 31-entry nano-nat table baked into BOTH the plan and
+        // the oracle SQL from one Math.log at class-init. All integer
+        // math from there: the per-doc sum is order-free and exact, at
+        // the cost of ≤ ln(17/16) ≈ 6% probability error — noise for a
+        // keep/drop threshold. Scale shape: count tables are vocab-
+        // sized; the corpus-scale work is ONE bigram-explode shuffle to
+        // count, one (w1,w2) equi-join to score, one doc_id groupBy —
+        // the surprisal lookup is a 31-row broadcast.
+        val docs = t(s, dir, "documents")
+        val inst = docs
+          .select(col("doc_id"), toks(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("tok")) - 1),
+              i => concat_ws(" ", element_at(col("tok"), i),
+                element_at(col("tok"), i + 1)))).as("bg"))
+        val c12 = inst.groupBy("bg").agg(count(lit(1)).as("c12"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+        val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        val lt = broadcast(
+          s.createDataFrame(lnNanoTable).toDF("t", "lnano"))
+        def surp(df: DataFrame, cName: String, out: String): DataFrame =
+          df.withColumn("_s",
+              expr(s"greatest(length(bin($cName)) - 5, 0)"))
+            .withColumn("_t", expr(s"shiftright($cName, _s)"))
+            .join(lt, col("_t") === col("t"))
+            .withColumn(out,
+              col("lnano") + col("_s").cast("long") * lit(Ln2Nano))
+            .drop("_s", "_t", "t", "lnano")
+        val bgSurp = surp(c12, "c12", "s12")
+        val uniSurp = surp(c1, "c1", "s1").select("w1", "s1")
+        val terms = bgSurp.join(uniSurp, "w1")
+          .select(col("bg"), (col("s1") - col("s12")).as("term"))
+        val scored = inst.join(terms, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("nll_nano"))
+        docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("nll_nano"), lit(0L)).as("nll_nano"))
+          .withColumn("keep",
+            when(col("nll_nano") <= lit(PplTauNano) * col("n_bigrams"), 1L)
+              .otherwise(0L))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $toksSql AS tok FROM documents),
+        st AS (
+          SELECT doc_id, tok, unnest(range(1, len(tok))) AS i
+          FROM tk WHERE len(tok) >= 2),
+        bg AS (SELECT doc_id, tok[i] || ' ' || tok[i + 1] AS bg FROM st),
+        c12 AS (
+          SELECT bg, split_part(bg, ' ', 1) AS w1, COUNT(*) AS c12
+          FROM bg GROUP BY bg),
+        c1 AS (
+          SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        lt(t, lnano) AS (VALUES $lnNanoSql),
+        s12 AS (
+          SELECT bg, w1,
+            lnano + greatest(length(bin(c12)) - 5, 0) * $Ln2Nano AS s12
+          FROM c12 JOIN lt
+            ON lt.t = (c12 >> greatest(length(bin(c12)) - 5, 0))),
+        s1 AS (
+          SELECT w1,
+            lnano + greatest(length(bin(c1)) - 5, 0) * $Ln2Nano AS s1
+          FROM c1 JOIN lt
+            ON lt.t = (c1 >> greatest(length(bin(c1)) - 5, 0))),
+        terms AS (
+          SELECT b.doc_id, s1.s1 - s12.s12 AS term
+          FROM bg b JOIN s12 USING (bg) JOIN s1 USING (w1)),
+        sc AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            CAST(SUM(term) AS BIGINT) AS nll_nano
+          FROM terms GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+          COALESCE(sc.nll_nano, 0) AS nll_nano,
+          CAST(CASE WHEN COALESCE(sc.nll_nano, 0)
+            <= $PplTauNano * COALESCE(sc.n_bigrams, 0) THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        ORDER BY d.doc_id"""),
+      "LM perplexity quality filter (CCNet shape): per-doc bigram " +
+        "cross-entropy vs the corpus LM, counts quantized to 5 " +
+        "significant bits so surprisal comes from a 31-entry nano-nat " +
+        "literal table — libm-free, order-free exact integer sums")
   )
+
 }

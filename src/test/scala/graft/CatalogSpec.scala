@@ -285,4 +285,42 @@ class CatalogSpec extends SparkSuite {
       assert(pRatio < shareRatio && math.abs(pRatio - math.sqrt(shareRatio)) < 1e-9,
         s"sqrt smoothing: expected p-ratio ${math.sqrt(shareRatio)}, got $pRatio")
   }
+
+  test("d29 perplexity filter: quantized surprisal stays within the " +
+      "ln(17/16) bound of the exact bigram cross-entropy, verdict is " +
+      "load-bearing, and keep matches the threshold") {
+    val rows = SparkEntry.queries("d29_perplexity_filter")(spark, sf).collect()
+    val kept = rows.count(_.getLong(3) == 1L)
+    assert(kept > 0 && kept < rows.length,
+      s"threshold must split the corpus, got $kept/${rows.length} kept")
+    // exact (unquantized, full-double-ln) reference from the same corpus
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" +").toSeq).toMap
+    val allBgs = texts.values.toSeq.flatMap(tk =>
+      if (tk.length >= 2) tk.sliding(2).map(p => (p(0), p(1))).toSeq else Nil)
+    val c12 = allBgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = allBgs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val bound = math.log(17.0 / 16.0) + 1e-6
+    rows.foreach { r =>
+      val (id, n, nll, keep) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nll >= 0L, s"doc $id: surprisal sums can never be negative")
+      assert(keep == (if (nll <= 3370000000L * n) 1L else 0L),
+        s"doc $id: keep must be exactly the threshold comparison")
+      val tk = texts(id)
+      if (tk.length < 2) {
+        assert(n == 0L && nll == 0L && keep == 1L,
+          s"doc $id: bigram-free docs must be kept with zero score")
+      } else {
+        val exact = tk.sliding(2).map { p =>
+          math.log(c1(p(0)).toDouble) - math.log(c12((p(0), p(1))).toDouble)
+        }.sum
+        assert(n == tk.length - 1, s"doc $id: must score every bigram")
+        assert(math.abs(nll / 1e9 - exact) <= bound * n,
+          s"doc $id: quantized nll ${nll / 1e9} vs exact $exact " +
+            s"exceeds ${bound * n}")
+      }
+    }
+  }
 }

@@ -333,4 +333,13 @@ class PlanSpec extends SparkSuite {
     // metadata, same deliberate shape as d15's corpus-size broadcast)
     assert(p.contains("Broadcast"), s"totals must broadcast:\n$p")
   }
+
+  test("d29: surprisal lookups broadcast the 31-row literal table; " +
+      "every corpus-scale join is an equi join") {
+    val p = plan("d29_perplexity_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nano-nat literal table must attach by broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"scoring must stay equi-join shaped:\n$p")
+  }
 }
