@@ -1046,6 +1046,40 @@ object Extended {
       "small-files compaction: simulated 64-file landing zone -> " +
         "shuffle-free coalesce rewrite to byte-targeted files -> " +
         "content-preservation oracle (compacted aggregate == original " +
-        "table aggregate)")
+        "table aggregate)"),
+
+    QueryDef(
+      "q66_metadata_agg",
+      (s, dir) => {
+        // footer-only aggregation: COUNT/MIN/MAX answered from parquet
+        // file METADATA (row-group statistics), zero data pages read —
+        // at 100 TB the difference between a full scan and a
+        // metadata-only pass is the whole job. Spark's parquet
+        // aggregate pushdown lives on the DSv2 read path, so the query
+        // runs on a cloned session (own conf, shared catalog/cache)
+        // with parquet removed from useV1SourceList and
+        // parquet.aggregatePushdown on — the parent session's plans
+        // are untouched. PlanSpec pins `PushedAggregation` in the scan;
+        // types stay within pushdown support (int64/double — timestamp
+        // and decimal statistics are not eligible).
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.sources.useV1SourceList",
+          "avro,csv,json,kafka,orc,text")
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s2.read.parquet(s"$dir/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+          MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+          MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        FROM lineitem"""),
+      "parquet aggregate pushdown: COUNT/MIN/MAX answered from " +
+        "row-group statistics in file footers (PushedAggregation in " +
+        "the scan, zero data pages) — metadata-only table stats at " +
+        "any scale")
   )
 }

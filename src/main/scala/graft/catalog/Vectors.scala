@@ -160,6 +160,67 @@ object Vectors {
         FROM q ORDER BY vec_id"""),
       "int8 symmetric embedding quantization: max-abs scale, explicit " +
         "round-half-up, saturation count + reconstruction SSE (ordered " +
-        "fold, bit-exact) — per-row math, shuffle-free")
+        "fold, bit-exact) — per-row math, shuffle-free"),
+
+    QueryDef(
+      "e9_hash_embed",
+      (s, dir) => {
+        // feature-hashing document embeddings (the hashing trick,
+        // Weinberger et al. 2009): every token maps to one of 64
+        // buckets with a ±1 sign, both read straight out of md5 hex
+        // nibbles, and the document's embedding is the signed
+        // bucket-count vector — the engine's REAL text→vector path
+        // (the embeddings table is driver-synthetic). Emitted DENSE in
+        // long format (64 rows per doc, zero-filled) so it pivots
+        // losslessly to the array form e1/e5/e6 consume. All-integer —
+        // no norms, no floats — so the oracle is exact. Scale: one
+        // corpus scan, one (doc_id, bucket) shuffle with map-side
+        // partial sums, one dense left join on the same key — linear
+        // at any corpus size, 64·docs output rows.
+        val hexDig = "'0123456789abcdef'"
+        val inst = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("w"))
+          .withColumn("h", md5(col("w")))
+          .selectExpr("doc_id",
+            s"CAST(((instr($hexDig, substr(h, 1, 1)) - 1) % 4) * 16" +
+              s" + (instr($hexDig, substr(h, 2, 1)) - 1) AS BIGINT) AS bucket",
+            s"CAST(CASE WHEN (instr($hexDig, substr(h, 3, 1)) - 1) % 2 = 0" +
+              " THEN 1 ELSE -1 END AS BIGINT) AS sgn")
+        val sp = inst.groupBy("doc_id", "bucket").agg(sum(col("sgn")).as("v"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), lit(63L))).as("bucket"))
+          .join(sp, Seq("doc_id", "bucket"), "left")
+          .select(col("doc_id"), col("bucket"),
+            coalesce(col("v"), lit(0L)).as("v"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+          FROM documents),
+        hx AS (SELECT doc_id, md5(w) AS h FROM tk),
+        b AS (
+          SELECT doc_id,
+            ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 4) * 16
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+            CASE WHEN (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+          FROM hx),
+        sp AS (
+          SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+          FROM b GROUP BY doc_id, bucket),
+        den AS (
+          SELECT d.doc_id, CAST(gs.range AS BIGINT) AS bucket
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          CROSS JOIN range(0, 64) gs)
+        SELECT den.doc_id, den.bucket,
+          CAST(COALESCE(sp.v, 0) AS BIGINT) AS v
+        FROM den LEFT JOIN sp
+          ON den.doc_id = sp.doc_id AND den.bucket = sp.bucket
+        ORDER BY den.doc_id, den.bucket"""),
+      "feature-hashing (hashing-trick) document embeddings: md5-nibble " +
+        "bucket + sign, signed bucket counts as a dense 64-dim integer " +
+        "vector in long format — exact oracle, linear, the real " +
+        "text-to-vector path that composes with e1/e5/e6")
   )
 }

@@ -334,6 +334,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Broadcast"), s"totals must broadcast:\n$p")
   }
 
+  test("q66: COUNT/MIN/MAX are pushed into the parquet scan as " +
+      "PushedAggregation — a footer-only read") {
+    val p = plan("q66_metadata_agg")
+    assert(p.contains("PushedAggregation: [COUNT(*), MIN(l_orderkey), " +
+      "MAX(l_orderkey), MIN(l_quantity), MAX(l_quantity)]"),
+      s"all five aggregates must be answered from row-group stats:\n$p")
+    assert(p.contains("BatchScan"),
+      s"pushdown requires the DSv2 read path:\n$p")
+  }
+
   test("d29: surprisal lookups broadcast the 31-row literal table; " +
       "every corpus-scale join is an equi join") {
     val p = plan("d29_perplexity_filter")
