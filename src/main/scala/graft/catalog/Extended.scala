@@ -1080,6 +1080,71 @@ object Extended {
       "parquet aggregate pushdown: COUNT/MIN/MAX answered from " +
         "row-group statistics in file footers (PushedAggregation in " +
         "the scan, zero data pages) — metadata-only table stats at " +
-        "any scale")
+        "any scale"),
+
+    QueryDef(
+      "q67_snapshot_diff",
+      (s, dir) => {
+        // snapshot diff — the audit companion to q58's CDC merge: given
+        // two versions of a table, report what was added, removed, or
+        // changed (one full-outer equi-join on the key; at 100 TB both
+        // sides shuffle-partition on the key and the diff is linear).
+        // Versions are derived deterministically from orders: v1 drops
+        // keys ≡3 (mod 11), v2 drops keys ≡5 (mod 13) and bumps the
+        // price on keys ≡0 (mod 7) — so all three verdicts (and the
+        // suppressed `unchanged` majority) are exercised. Unchanged
+        // rows are filtered out BEFORE the result materializes: a diff
+        // over 10^11 rows must emit only the delta.
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderstatus"))
+        val v1 = o.filter(pmod(col("o_orderkey"), lit(11)) =!= 3)
+        val v2 = o.filter(pmod(col("o_orderkey"), lit(13)) =!= 5)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(7)) === 0,
+              col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+        val a = v1.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust_a"), col("o_totalprice").as("price_a"),
+          col("o_orderstatus").as("st_a"))
+        val b = v2.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust_b"), col("o_totalprice").as("price_b"),
+          col("o_orderstatus").as("st_b"))
+        a.join(b, Seq("k"), "full_outer")
+          .withColumn("status",
+            when(col("cust_a").isNull, "added")
+              .when(col("cust_b").isNull, "removed")
+              .when(col("price_a") =!= col("price_b")
+                || col("cust_a") =!= col("cust_b")
+                || col("st_a") =!= col("st_b"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("status") =!= "unchanged")
+          .select(col("k").as("o_orderkey"), col("status"),
+            col("price_a").as("old_price"), col("price_b").as("new_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH v1 AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 11 <> 3),
+        v2 AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                 ELSE o_totalprice END AS o_totalprice,
+            o_orderstatus
+          FROM orders WHERE o_orderkey % 13 <> 5),
+        d AS (
+          SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+            CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                 WHEN b.o_orderkey IS NULL THEN 'removed'
+                 WHEN a.o_totalprice <> b.o_totalprice
+                   OR a.o_custkey <> b.o_custkey
+                   OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                 ELSE 'unchanged' END AS status,
+            a.o_totalprice AS old_price, b.o_totalprice AS new_price
+          FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+        SELECT o_orderkey, status, old_price, new_price
+        FROM d WHERE status <> 'unchanged' ORDER BY o_orderkey"""),
+      "snapshot diff between two table versions: one full-outer " +
+        "equi-join on the key, added/removed/changed verdicts, " +
+        "unchanged majority suppressed before materialization")
   )
 }
