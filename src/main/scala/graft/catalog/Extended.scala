@@ -1145,6 +1145,44 @@ object Extended {
         FROM d WHERE status <> 'unchanged' ORDER BY o_orderkey"""),
       "snapshot diff between two table versions: one full-outer " +
         "equi-join on the key, added/removed/changed verdicts, " +
-        "unchanged majority suppressed before materialization")
+        "unchanged majority suppressed before materialization"),
+
+    QueryDef(
+      "q68_incremental_agg",
+      (s, dir) => {
+        // incremental aggregate maintenance — the materialized-view
+        // move: at 100 TB you never recompute a per-key aggregate from
+        // scratch when a delta batch lands; you aggregate the DELTA
+        // (batch-sized) and merge it into yesterday's aggregate
+        // (key-cardinality-sized) with one full-outer equi-join.
+        // COUNT/SUM merge by addition (DECIMAL, exact); the oracle IS
+        // the invariant: DuckDB recomputes the same aggregate from the
+        // FULL table, so any key lost or double-merged diverges.
+        // Yesterday/today split is deterministic: keys ≡7 (mod 10)
+        // form today's batch.
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        def agg(df: DataFrame) = df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum(d2(col("o_totalprice"))).as("tot"))
+        val base = agg(o.filter(pmod(col("o_orderkey"), lit(10)) =!= 7))
+        val delta = agg(o.filter(pmod(col("o_orderkey"), lit(10)) === 7))
+          .withColumnRenamed("n", "dn").withColumnRenamed("tot", "dtot")
+        base.join(delta, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_orders"),
+            (coalesce(col("tot"), lit(0).cast(DecimalType(22, 2)))
+              + coalesce(col("dtot"), lit(0).cast(DecimalType(22, 2))))
+              .cast("double").as("total_price"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+            AS DOUBLE) AS total_price
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+      "incremental aggregate maintenance: delta-batch aggregate merged " +
+        "into the standing per-key aggregate via one full-outer " +
+        "equi-join — the oracle recomputes from scratch, proving " +
+        "incremental == full")
   )
 }
