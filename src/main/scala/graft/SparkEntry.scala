@@ -14,7 +14,7 @@ object SparkEntry {
   val catalog: Seq[QueryDef] =
     Relational.queries ++ Events.queries ++ TextDocs.queries ++
       Vectors.queries ++ Approx.queries ++ Extended.queries ++ E2E.queries ++
-      Scripts.queries ++ TypedOps.queries
+      Scripts.queries ++ TypedOps.queries ++ Warehouse.queries ++ Graph.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,154 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+/** Graph tier: link-analysis operators over a deterministic synthetic
+  * web graph on the documents table. At 100 TB this is the page-quality
+  * prior of a web-crawl pipeline (rank-weighted sampling, spam
+  * down-weighting) — the classic companion to the d-tier's content
+  * filters.
+  */
+object Graph {
+
+  /** PageRank iterations; the SQL oracle unrolls one CTE per step. */
+  val Iters = 5
+
+  /** The synthetic link graph: every doc links to (7d+1), (13d+5),
+    * (31d+11) mod N, self-loops removed, duplicates collapsed — a
+    * deterministic expander-ish multigraph whose edge list both engines
+    * derive independently from the same table.
+    */
+  private val EdgeFormulas: Seq[(Long, Long)] = Seq((7L, 1L), (13L, 5L), (31L, 11L))
+
+  /** Unrolled exact-integer PageRank oracle: r0..r{Iters} as chained
+    * CTEs, each the literal SQL transcription of PageRank.run's step
+    * (truncating integer division on both engines: DuckDB `//`, Spark
+    * `div`). All-integer math keeps every step order-free and exact.
+    */
+  private def pagerankSql: String = {
+    val edgeUnion = EdgeFormulas.map { case (a, b) =>
+      s"SELECT doc_id AS src, ($a*doc_id+$b) % (SELECT COUNT(*) FROM documents) AS dst FROM documents"
+    }.mkString("\n          UNION ALL ")
+    val steps = (1 to Iters).map { k =>
+      s"""r$k AS (
+          SELECT n.node,
+            CAST(150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS inflow
+            FROM r${k - 1} r
+            JOIN edges e ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) i ON n.node = i.dst)"""
+    }.mkString(",\n        ")
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+        edges AS (
+          SELECT DISTINCT src, dst FROM (
+          $edgeUnion) WHERE src <> dst),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents),
+        $steps
+        SELECT node, r AS rank_units FROM r$Iters ORDER BY node"""
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "g1_pagerank",
+      (s, dir) => {
+        import Tables.t
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        // N is one driver-side count (table metadata scale, same class
+        // as q54's per-partition counts) baked in as a literal so both
+        // engines mod by the identical constant.
+        val n = docs.count()
+        val nodes = docs.select(col("doc_id").as("node"))
+        val edges = EdgeFormulas.map { case (a, b) =>
+          docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * a + b) % n).as("dst"))
+        }.reduce(_ unionAll _)
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        graft.operators.PageRank.run(edges, nodes, Iters)
+          .orderBy("node")
+      },
+      Some(pagerankSql),
+      "distributed PageRank over a deterministic link graph: exact " +
+        "integer fixed-point ranks (order-free sums -> bit-identical at " +
+        "any parallelism), one edge-join + one dst-groupBy per " +
+        "iteration, edge set checkpointed once — oracle is the same " +
+        "recurrence unrolled as SQL CTEs"),
+
+    QueryDef(
+      "g2_triangles",
+      (s, dir) => {
+        // Exact per-node triangle counting by the compact-forward
+        // algorithm: orient each undirected edge low-id -> high-id, so
+        // every triangle {x<y<z} is generated exactly once as the wedge
+        // (x,y)+(y,z) closed by the edge (x,z). Two equi-joins on node
+        // ids, zero cross products; each triangle is then exploded to
+        // its three corners and counted per node. At web scale the
+        // orientation is by DEGREE (low-degree -> high-degree), which
+        // bounds wedge fan-out on skewed graphs — same plan shape, one
+        // extra degree join; id-orientation suffices on this bounded-
+        // degree synthetic graph. Triangle counts drive cluster/spam
+        // signals in web-corpus curation (a page whose link
+        // neighborhood closes no triangles is a link-farm smell).
+        import Tables.t
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val directed = EdgeFormulas.map { case (a, b) =>
+          docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * a + b) % n).as("dst"))
+        }.reduce(_ unionAll _)
+          .filter(col("src") =!= col("dst"))
+        val und = directed
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+          .localCheckpoint() // derived once, read by all three join legs
+        val wedges = und
+          .join(und.select(col("a").as("b2"), col("b").as("c")),
+            col("b") === col("b2"))
+          .select(col("a"), col("b"), col("c"))
+        val tri = wedges
+          .join(und.select(col("a").as("a3"), col("b").as("c3")),
+            col("a") === col("a3") && col("c") === col("c3"))
+          .select(col("a"), col("b"), col("c"))
+        val corners = tri.select(col("a").as("node"))
+          .unionAll(tri.select(col("b").as("node")))
+          .unionAll(tri.select(col("c").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("cnt"))
+        docs.select(col("doc_id").as("node"))
+          .join(corners, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("cnt"), lit(0L)).as("n_triangles"))
+          .orderBy("node")
+      },
+      Some(s"""WITH e0 AS (
+          ${EdgeFormulas.map { case (a, b) =>
+            s"SELECT doc_id AS src, ($a*doc_id+$b) % (SELECT COUNT(*) FROM documents) AS dst FROM documents"
+          }.mkString("\n          UNION ALL ")}),
+        und AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+        tri AS (
+          SELECT e1.a, e1.b, e2.c
+          FROM und e1
+          JOIN (SELECT a AS b, b AS c FROM und) e2 ON e1.b = e2.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.c),
+        corners AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT n.node, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS n_triangles
+        FROM (SELECT doc_id AS node FROM documents) n
+        LEFT JOIN (SELECT node, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM corners GROUP BY node) c ON n.node = c.node
+        ORDER BY n.node"""),
+      "exact triangle counting, compact-forward: low-id->high-id edge " +
+        "orientation generates each triangle once as an id-ordered " +
+        "wedge closed by one more equi-join; corners exploded and " +
+        "counted per node (degree-orientation is the skew variant at " +
+        "web scale)")
+  )
+}

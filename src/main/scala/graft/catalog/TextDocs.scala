@@ -1159,7 +1159,103 @@ object TextDocs {
       "LM perplexity quality filter (CCNet shape): per-doc bigram " +
         "cross-entropy vs the corpus LM, counts quantized to 5 " +
         "significant bits so surprisal comes from a 31-entry nano-nat " +
-        "literal table — libm-free, order-free exact integer sums")
+        "literal table — libm-free, order-free exact integer sums"),
+
+    QueryDef(
+      "d30_e2e_pipeline",
+      (s, dir) => {
+        // The preprocessing capstone: the full crawl -> training-shard
+        // pipeline as ONE composed query, each stage the semantics of
+        // its standalone sibling:
+        //   1. re-crawl simulation: every doc_id≡0 (mod 5) arrives a
+        //      second time under a new id (the web re-crawl reality
+        //      that makes dedup load-bearing — the corpus itself has
+        //      no byte dups, d1 proved that);
+        //   2. hygiene (d24): deterministic dirt affixed, control
+        //      chars stripped, whitespace collapsed — the re-crawl's
+        //      different dirt collapses to the SAME cleaned text, so
+        //      only cleaning-then-dedup catches it;
+        //   3. language + quality gate: target langs, >= 20 tokens;
+        //   4. exact dedup (d1): first-id representative per cleaned
+        //      fingerprint;
+        //   5. sequence packing (d12): per-shard running token totals
+        //      -> fixed-512-token pack ids.
+        // Every shuffle keys on a hash/id (fingerprint, shard) —
+        // the composition is exactly as linear as its worst stage.
+        val dirt = concat(col("text"),
+          lit(" "), expr("chr(9)"), lit("tail"), expr("chr(7)"),
+          expr("repeat(' ', 2 + CAST(doc_id % 3 AS INT))"), lit("end"))
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        val crawl = base.unionAll(
+          base.filter(pmod(col("doc_id"), lit(5)) === 0)
+            .withColumn("doc_id", col("doc_id") + 100000L))
+        val cleaned = crawl
+          .select(col("doc_id"), col("source"), col("lang"), dirt.as("t"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            trim(regexp_replace(regexp_replace(col("t"), "[\\x00-\\x1f]",
+              " "), "  +", " ")).as("cleaned"))
+        val gated = cleaned
+          .withColumn("n_tokens",
+            size(split(trim(col("cleaned")), " +")).cast("long"))
+          .filter(col("lang").isin("en", "de", "fr", "es")
+            && col("n_tokens") >= 20)
+        val wd = Window.partitionBy(md5(col("cleaned"))).orderBy(col("doc_id"))
+        val deduped = gated
+          .withColumn("dup_rank", row_number().over(wd))
+          .filter(col("dup_rank") === 1)
+        val shard = pmod(col("doc_id"), lit(8L))
+        val wp = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        deduped
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            shard.as("shard"))
+          .withColumn("tok_before",
+            coalesce(sum(col("n_tokens")).over(wp), lit(0L)))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            (col("shard") * 1000000L + floor(col("tok_before") / 512L))
+              .as("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH crawl AS (
+          SELECT doc_id, source, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, source, lang, text
+          FROM documents WHERE doc_id % 5 = 0),
+        cleaned AS (
+          SELECT doc_id, source, lang,
+            trim(regexp_replace(regexp_replace(
+              text || ' ' || chr(9) || 'tail' || chr(7)
+                || repeat(' ', CAST(2 + doc_id % 3 AS INT)) || 'end',
+              '[\x00-\x1f]', ' ', 'g'), '  +', ' ', 'g')) AS cleaned
+          FROM crawl),
+        gated AS (
+          SELECT *, CAST(len(string_split_regex(trim(cleaned), ' +'))
+            AS BIGINT) AS n_tokens
+          FROM cleaned
+          WHERE lang IN ('en', 'de', 'fr', 'es')
+            AND len(string_split_regex(trim(cleaned), ' +')) >= 20),
+        deduped AS (
+          SELECT doc_id, source, n_tokens
+          FROM gated
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(cleaned)
+            ORDER BY doc_id) = 1),
+        packed AS (
+          SELECT doc_id, source, n_tokens,
+            (doc_id % 8) * 1000000
+              + CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY doc_id % 8 ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) / 512) AS BIGINT) AS pack_id
+          FROM deduped)
+        SELECT doc_id, source, n_tokens, pack_id
+        FROM packed ORDER BY doc_id"""),
+      "the end-to-end preprocessing capstone: re-crawl union -> C4 " +
+        "hygiene -> language/quality gate -> exact dedup on CLEANED " +
+        "text (catches the re-crawl under different dirt) -> per-shard " +
+        "sequence packing; one composed query, every shuffle on a " +
+        "hash/id key")
   )
 
 }

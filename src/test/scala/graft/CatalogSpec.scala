@@ -323,4 +323,56 @@ class CatalogSpec extends SparkSuite {
       }
     }
   }
+
+  test("g1 pagerank: distributed ranks equal a driver-side reference " +
+      "recurrence exactly, and rank mass behaves") {
+    val got = SparkEntry.queries("g1_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    // the same deterministic graph, derived independently
+    val edges = (0L until n).flatMap { d =>
+      Seq((7 * d + 1) % n, (13 * d + 5) % n, (31 * d + 11) % n)
+        .distinct.filter(_ != d).map(dst => d -> dst)
+    }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = (0L until n).map(_ -> 1000000L).toMap
+    for (_ <- 1 to graft.catalog.Graph.Iters) {
+      val inflow = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        r(s) / deg(s)
+      }.sum).toMap
+      r = (0L until n).map(v =>
+        v -> (150000L + 85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(got.size == n, s"one rank per node, got ${got.size} for $n")
+    assert(got == r, "distributed integer pagerank must equal the " +
+      "driver-side reference recurrence bit-for-bit")
+    assert(got.values.forall(_ >= 150000L),
+      "every rank carries at least the damping base")
+    assert(got.values.toSet.size > 1, "ranks must differentiate nodes")
+  }
+
+  test("q71 scd2: per customer the intervals tile the history — " +
+      "contiguous, status-alternating, exactly one open interval") {
+    val rows = SparkEntry.queries("q71_scd2")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the suite session returns java.time for timestamps
+    def ts(r: org.apache.spark.sql.Row, i: Int): java.time.LocalDateTime =
+      r.getAs[java.time.LocalDateTime](i)
+    rows.groupBy(_.getLong(0)).foreach { case (cust, rs) =>
+      // rows arrive ordered by (custkey, valid_from, orderkey)
+      val ordered = rs.sortBy(r => (ts(r, 3).toString, r.getLong(1)))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(ts(a, 4) == ts(b, 3),
+            s"cust $cust: valid_to must meet the next valid_from")
+          assert(a.getString(2) != b.getString(2),
+            s"cust $cust: consecutive identical statuses must collapse")
+        case _ =>
+      }
+      assert(ordered.count(_.getBoolean(5)) == 1,
+        s"cust $cust: exactly one current interval")
+      assert(ordered.last.isNullAt(4) && ordered.last.getBoolean(5),
+        s"cust $cust: the open interval is the last one")
+    }
+  }
 }

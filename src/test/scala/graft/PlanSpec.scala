@@ -352,4 +352,68 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"scoring must stay equi-join shaped:\n$p")
   }
+
+  test("q69: bucketed co-located join runs with ZERO exchanges under " +
+      "the SortMergeJoin, reading all 8 buckets on both sides") {
+    // The whole point of the bucketed layout: the shuffle was paid at
+    // write time. Unwrap AQE, find the SMJ, and assert no
+    // ShuffleExchange anywhere beneath it. (Partition-local Sorts
+    // remain — Spark 4 ignores write-time sortBy ordering on read —
+    // but a local sort moves no bytes between executors.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val qe = SparkEntry.queries("q69_bucketed_join")(spark, sf).queryExecution
+    val root = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smjs = root.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a sort-merge join:\n$root")
+    def offenders(p: SparkPlan): Seq[String] = p.collect {
+      case e if e.nodeName.contains("Exchange") => e.nodeName
+    }
+    for (j <- smjs)
+      assert(offenders(j).isEmpty,
+        s"bucketed SMJ must need no exchange, found " +
+          s"${offenders(j)}:\n$j")
+    assert(j2s(smjs.head).contains("SelectedBucketsCount: 8 out of 8"),
+      s"both scans must be bucket-aware:\n${j2s(smjs.head)}")
+  }
+
+  private def j2s(p: org.apache.spark.sql.execution.SparkPlan): String =
+    p.toString
+
+  test("q70: the partition predicate prunes at the directory level — " +
+      "PartitionFilters carries event_type, data filters stay empty") {
+    val p = plan("q70_partition_pruning")
+    assert(p.contains("PartitionFilters:") && p.contains("event_type"),
+      s"partition filter must name event_type:\n$p")
+    // the predicate is satisfied entirely by pruning: event_type never
+    // appears in the data read (ReadSchema) and no data filter is pushed
+    assert(!p.contains("PushedFilters: [I"),
+      s"no residual data filter should remain after pruning:\n$p")
+    assert("ReadSchema: [^\n]*event_type".r.findFirstIn(p).isEmpty,
+      s"the partition column must not be read from data pages:\n$p")
+  }
+
+  test("q72: the quantity predicate reaches the ORC reader as a " +
+      "pushed filter (stripe-level min/max skipping)") {
+    val p = plan("q72_orc_interchange")
+    assert(p.contains("Scan orc") || p.contains("BatchScan orc")
+      || p.contains("Format: orc") || p.toLowerCase.contains("orc"),
+      s"expected an ORC scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_quantity,45.0)]"),
+      s"l_quantity >= 45.0 must be pushed into the ORC scan:\n$p")
+  }
+
+  test("g1: each pagerank iteration is equi-join + groupBy on node " +
+      "ids off a checkpointed edge set — no node-by-node cross product") {
+    val p = plan("g1_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"rank propagation must stay equi-join shaped:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the edge set must be checkpointed, not re-derived per step:\n$p")
+  }
 }
