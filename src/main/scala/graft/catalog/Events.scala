@@ -274,6 +274,26 @@ object Events {
         ORDER BY p_id, c_id"""),
       "click→purchase attribution interval join: the batch twin of the " +
         "watermarked stream-stream join (EventStreams.attributionJoin — " +
-        "SAME code both modes; StreamingSpec proves incremental parity)")
+        "SAME code both modes; StreamingSpec proves incremental parity)"),
+
+    QueryDef(
+      "ev_left_join",
+      (s, dir) =>
+        graft.streaming.EventStreams.attributionLeftOuter(t(s, dir, "events"))
+          .orderBy("p_id", "c_id"),
+      Some("""SELECT p.event_id AS p_id, p.user_id AS user_id,
+          CAST(p.ts AS TIMESTAMP) AS p_ts,
+          c.event_id AS c_id, CAST(c.ts AS TIMESTAMP) AS c_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+          AND CAST(c.ts AS TIMESTAMP)
+            >= CAST(p.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+        ORDER BY p_id, c_id"""),
+      "LEFT-OUTER attribution join: every purchase emits, null-padded " +
+        "when no click qualifies — batch twin of the watermarked " +
+        "stream-stream left join whose null rows may only emit once " +
+        "the watermark proves no match can arrive (StreamingSpec)")
   )
 }

@@ -191,6 +191,104 @@ object Warehouse {
         GROUP BY l_returnflag ORDER BY l_returnflag"""),
       "ORC format interchange: parquet -> ORC rewrite, predicate pushed " +
         "into the ORC scan (stripe-level min/max skipping), aggregate " +
-        "content oracled against the parquet original")
+        "content oracled against the parquet original"),
+
+    QueryDef(
+      "q73_dynamic_pruning",
+      (s, dir) => {
+        // Dynamic partition pruning (DPP): the partition predicate is
+        // not known at plan time — it comes from a FILTER ON A JOINED
+        // DIMENSION. Spark runs the dimension side first and injects
+        // the surviving join keys into the fact scan's
+        // PartitionFilters as a dynamicpruning expression, so only the
+        // matching partition directories are read. At 100 TB this is
+        // THE star-schema lever: a date-dimension filter prunes a
+        // date-partitioned fact without the user naming partitions.
+        // Fact = events partitioned by event_type (q70's layout,
+        // rewritten here under its own staging root); dim = a tiny
+        // (event_type, category) parquet table filtered on category.
+        // PlanSpec pins `dynamicpruning` inside PartitionFilters.
+        val root = s"/root/repo/target/graft_dpp_${tag(dir)}"
+        Tables.events(s, dir)
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(s"$root/fact")
+        val dim = s.createDataFrame(Seq(
+          ("click", "engage"), ("view", "engage"),
+          ("purchase", "convert"), ("signup", "convert"),
+          ("error", "ops"))).toDF("event_type", "category")
+        dim.write.mode("overwrite").parquet(s"$root/dim")
+        val fact = s.read.parquet(s"$root/fact")
+        val d = s.read.parquet(s"$root/dim")
+          .filter(col("category") === "convert")
+        fact.join(d, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("user_id")).as("n_users"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim(event_type, category) AS (VALUES
+          ('click', 'engage'), ('view', 'engage'),
+          ('purchase', 'convert'), ('signup', 'convert'),
+          ('error', 'ops'))
+        SELECT e.event_type, COUNT(*) AS n,
+          COUNT(DISTINCT e.user_id) AS n_users,
+          MIN(e.value) AS min_v, MAX(e.value) AS max_v
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        WHERE d.category = 'convert'
+        GROUP BY e.event_type ORDER BY e.event_type"""),
+      "dynamic partition pruning: a dimension-side filter prunes the " +
+        "partitioned fact scan at RUNTIME (dynamicpruning expression " +
+        "in PartitionFilters — PlanSpec) — the star-schema lever that " +
+        "reads only the joined partitions without naming them"),
+
+    QueryDef(
+      "q74_corrupt_quarantine",
+      (s, dir) => {
+        // Corrupt-record quarantine at the text-ingest boundary: a
+        // JSON-lines landing zone where every 13th record arrives
+        // mangled (truncated payload — the 100 TB ingest reality).
+        // PERMISSIVE parsing routes unparseable lines to
+        // _corrupt_record instead of killing the job (the mm2
+        // discipline applied to the text tier); the result audits both
+        // populations. The oracle never parses JSON — corruption is
+        // deterministic by doc_id, so DuckDB recomputes the expected
+        // audit straight from the source table: any line Spark
+        // mis-classifies or drops diverges the counts/sums.
+        val root = s"/root/repo/target/graft_quarantine_${tag(dir)}"
+        t(s, dir, "documents")
+          .select(when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"n_chars\":")))
+            .otherwise(to_json(struct(col("doc_id"), col("n_chars"),
+              col("source"))))
+            .as("value"))
+          .write.mode("overwrite").text(root)
+        s.read
+          .schema("doc_id BIGINT, n_chars BIGINT, source STRING, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(root)
+          .agg(
+            count(when(col("_corrupt_record").isNull, 1)).as("n_ok"),
+            count(col("_corrupt_record")).as("n_corrupt"),
+            sum(when(col("_corrupt_record").isNull, col("n_chars")))
+              .as("chars_ok"),
+            count_distinct(when(col("_corrupt_record").isNull,
+              col("source"))).as("n_sources"))
+      },
+      Some("""SELECT
+          COUNT(CASE WHEN doc_id % 13 <> 0 THEN 1 END) AS n_ok,
+          COUNT(CASE WHEN doc_id % 13 = 0 THEN 1 END) AS n_corrupt,
+          CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN n_chars END)
+            AS BIGINT) AS chars_ok,
+          COUNT(DISTINCT CASE WHEN doc_id % 13 <> 0 THEN source END)
+            AS n_sources
+        FROM documents"""),
+      "corrupt-record quarantine: PERMISSIVE JSON ingest routes " +
+        "mangled lines to _corrupt_record (one bad object never kills " +
+        "the job); the audit is oracled WITHOUT parsing JSON — the " +
+        "deterministic corruption lets DuckDB recompute it from the " +
+        "source table")
   )
 }

@@ -89,6 +89,34 @@ object EventStreams {
         col("c_id"), col("c_ts"))
   }
 
+  /** LEFT-OUTER twin of `attributionJoin`: every purchase emits — with
+    * its clicks when they exist, null-padded otherwise. The streaming
+    * semantics are the interesting part: an unmatched purchase can only
+    * emit once the watermark PROVES no qualifying click can still
+    * arrive (click watermark past the purchase's own timestamp), so
+    * null rows trail the matched rows by up to the watermark delay.
+    * Same plan runs in batch (an ordinary left join) — the DuckDB
+    * oracle checks that (`ev_left_join`) while StreamingSpec proves the
+    * incremental emission: matched pairs identical, null-padded rows
+    * exactly the provably-expired unmatched purchases. */
+  def attributionLeftOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS"),
+      "left_outer")
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("c_id"), col("c_ts"))
+  }
+
   final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** custom state: running per-user totals via mapGroupsWithState — the

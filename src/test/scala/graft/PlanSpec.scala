@@ -408,6 +408,15 @@ class PlanSpec extends SparkSuite {
       s"l_quantity >= 45.0 must be pushed into the ORC scan:\n$p")
   }
 
+  test("q73: the dimension filter prunes the partitioned fact scan at " +
+      "runtime — dynamicpruning inside PartitionFilters") {
+    val p = plan("q73_dynamic_pruning")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a runtime partition-pruning predicate:\n$p")
+    assert(p.contains("PartitionFilters:"),
+      s"expected partition filters on the fact scan:\n$p")
+  }
+
   test("g1: each pagerank iteration is equi-join + groupBy on node " +
       "ids off a checkpointed edge set — no node-by-node cross product") {
     val p = plan("g1_pagerank")

@@ -50,6 +50,46 @@ class StreamingSpec extends SparkSuite {
     assert(got == batch)
   }
 
+  test("stream-stream LEFT-OUTER join: matched pairs equal the batch " +
+      "twin; null-padded rows are exactly the expired unmatched " +
+      "purchases (modulo the watermark boundary)") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readStream(spark, sf)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.attributionLeftOuter(stream), "attrib_lo")
+      .collect()
+    val gotMatched = got.filter(!_.isNullAt(3))
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    val gotNulls = got.filter(_.isNullAt(3))
+      .map(_.getAs[Long]("p_id")).toSet
+    val batch = SparkEntry.queries("ev_left_join")(spark, sf).collect()
+    val batchMatched = batch.filter(!_.isNullAt(3))
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    val batchNulls = batch.filter(_.isNullAt(3))
+      .map(_.getAs[Long]("p_id")).toSet
+    assert(batchMatched.nonEmpty && batchNulls.nonEmpty,
+      "fixture must exercise both the matched and the null-padded path")
+    assert(gotMatched == batchMatched,
+      "matched pairs must be identical in both modes")
+    // Null-padded rows: a subset of the batch unmatched set (a null row
+    // for a matchable purchase would be WRONG output, not lateness)...
+    assert(gotNulls.subsetOf(batchNulls),
+      s"streaming null-padded ${gotNulls -- batchNulls} have batch matches")
+    // ...and every unmatched purchase that PROVABLY expired (its latest
+    // possible click time is a full watermark-delay + slack behind the
+    // final watermark) must have emitted.
+    val ev = Tables.events(spark, sf)
+    val wmMs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0) / 1000 -
+      3600000L // final watermark: max ts - 1h delay
+    val pTs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1) / 1000).toMap
+    val provablyExpired = batchNulls.filter(p => pTs(p) + 3600000L < wmMs)
+    assert(provablyExpired.subsetOf(gotNulls),
+      s"expired unmatched purchases ${provablyExpired -- gotNulls} " +
+        "never emitted their null row")
+  }
+
   test("flatMapGroupsWithState + EventTimeTimeout: the emitted set equals " +
       "exactly the batch islands whose gap-end the watermark has passed") {
     import org.apache.spark.sql.functions._
