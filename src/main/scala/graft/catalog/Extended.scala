@@ -1200,6 +1200,35 @@ object Extended {
       "incremental aggregate maintenance: delta-batch aggregate merged " +
         "into the standing per-key aggregate via one full-outer " +
         "equi-join — the oracle recomputes from scratch, proving " +
-        "incremental == full")
+        "incremental == full"),
+
+    QueryDef(
+      "q75_approx_quantile",
+      (s, dir) =>
+        // Greenwald-Khanna approximate quantiles — with q21's HLL the
+        // second sketch workhorse at 100 TB: exact percentiles (q47)
+        // need a full sort per group; the GK sketch is one pass,
+        // mergeable across partitions, with a RANK-error guarantee
+        // (≤ n/accuracy). accuracy=10000 → ±0.01% rank error. No
+        // DuckDB twin exists for the sketch (rows-only by nature);
+        // CatalogSpec pins the rank-error bound against the exact
+        // sorted data, the same discipline as q21's rsd pin.
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"),
+              array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+              .as("approx_pcts"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            col("approx_pcts").getItem(0).as("p50"),
+            col("approx_pcts").getItem(1).as("p95"),
+            col("approx_pcts").getItem(2).as("p99"),
+            col("n"))
+          .orderBy("l_returnflag"),
+      None, // sketch state has no DuckDB equivalent; spec pins the bound
+      "Greenwald-Khanna approximate quantiles (one-pass, mergeable, " +
+        "rank-error <= n/accuracy) — the sketch tier's answer to q47's " +
+        "exact percentiles; CatalogSpec pins the rank-error bound")
   )
 }

@@ -24,7 +24,7 @@ class CatalogSpec extends SparkSuite {
   test("every query name has either oracle SQL or a documented reason") {
     val noOracle = SparkEntry.catalog.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == Set("d7_minhash_lsh", "d8_simhash",
-      "q21_approx_distinct"))
+      "q21_approx_distinct", "q75_approx_quantile"))
   }
 
   test("rolling_hash: expression matches a plain-Scala reference, " +
@@ -320,6 +320,33 @@ class CatalogSpec extends SparkSuite {
         assert(math.abs(nll / 1e9 - exact) <= bound * n,
           s"doc $id: quantized nll ${nll / 1e9} vs exact $exact " +
             s"exceeds ${bound * n}")
+      }
+    }
+  }
+
+  test("q75 approx quantiles: every sketch output honors the GK " +
+      "rank-error bound against the exact sorted data") {
+    val rows = SparkEntry.queries("q75_approx_quantile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val (flag, n) = (r.getString(0), r.getLong(4))
+      val sorted = data(flag)
+      assert(n == sorted.length, s"$flag: count must be exact")
+      for ((q, i) <- Seq(0.5 -> 1, 0.95 -> 2, 0.99 -> 3)) {
+        val v = r.getDouble(i)
+        // GK guarantee: the returned value's rank is within n/accuracy
+        // of the target rank (accuracy = 10000 in the query)
+        val lo = sorted.count(_ < v) // smallest rank of v
+        val hi = sorted.count(_ <= v) // largest rank of v
+        val target = q * n
+        val slack = n.toDouble / 10000 + 1
+        assert(target >= lo - slack && target <= hi + slack,
+          s"$flag p$q: value $v spans ranks [$lo,$hi], target $target " +
+            s"outside ±$slack")
       }
     }
   }

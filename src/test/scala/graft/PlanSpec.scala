@@ -384,6 +384,28 @@ class PlanSpec extends SparkSuite {
   private def j2s(p: org.apache.spark.sql.execution.SparkPlan): String =
     p.toString
 
+  test("q69 layout bonus: groupBy on the bucket key aggregates with " +
+      "ZERO exchanges (bucketing satisfies the distribution)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // materializing q69 (re)creates the bucketed tables in the shared
+    // catalog; the aggregation below then plans off the bucketed scan
+    SparkEntry.queries("q69_bucketed_join")(spark, sf).collect()
+    val tg = Integer.toHexString(sf.hashCode)
+    val agg = spark.table(s"graft_bkt_orders_$tg")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("tot"))
+    val root = agg.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = root.collect {
+      case e if e.nodeName.contains("Exchange") => e.nodeName
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed-key aggregation must shuffle nothing, found " +
+        s"$exchanges:\n$root")
+  }
+
   test("q70: the partition predicate prunes at the directory level — " +
       "PartitionFilters carries event_type, data filters stay empty") {
     val p = plan("q70_partition_pruning")
