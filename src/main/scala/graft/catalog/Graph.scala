@@ -13,6 +13,10 @@ object Graph {
   /** PageRank iterations; the SQL oracle unrolls one CTE per step. */
   val Iters = 5
 
+  /** BFS relaxation rounds for g3; sentinel distance for "unreached". */
+  val BfsIters = 6
+  val Unreached = 999L
+
   /** The synthetic link graph: every doc links to (7d+1), (13d+5),
     * (31d+11) mod N, self-loops removed, duplicates collapsed — a
     * deterministic expander-ish multigraph whose edge list both engines
@@ -149,6 +153,77 @@ object Graph {
         "orientation generates each triangle once as an id-ordered " +
         "wedge closed by one more equi-join; corners exploded and " +
         "counted per node (degree-orientation is the skew variant at " +
-        "web scale)")
+        "web scale)"),
+
+    QueryDef(
+      "g3_bfs_levels",
+      (s, dir) => {
+        // Single-source BFS levels by frontier relaxation (unit-weight
+        // Bellman-Ford): dist'(v) = min(dist(v), min over edges u->v
+        // of dist(u)+1), BfsIters rounds from source node 0, sentinel
+        // 999 for not-yet-reached. All-integer min-merges are
+        // order-free, so the result is exact at any parallelism and
+        // the oracle is the same recurrence unrolled as SQL CTEs —
+        // traversal completes the graph tier next to ranking (g1) and
+        // counting (g2). Each round is ONE equi-join (dist ⋈ edges on
+        // node=src) + ONE min-groupBy(dst) + ONE left join back — the
+        // same constant-depth, checkpointed loop as PageRank; at
+        // web scale this is hop-distance labeling from a seed set
+        // (crawl-frontier depth, link-spam distance-from-trust).
+        import Tables.t
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val edges = EdgeFormulas.map { case (a, b) =>
+          docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * a + b) % n).as("dst"))
+        }.reduce(_ unionAll _)
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .repartition(col("src"))
+          .localCheckpoint()
+        var dist = docs
+          .select(col("doc_id").as("node"),
+            when(col("doc_id") === 0, 0L).otherwise(Unreached).as("dist"))
+          .localCheckpoint()
+        for (_ <- 1 to BfsIters) {
+          val relaxed = edges
+            .join(dist, edges("src") === dist("node"))
+            .select(col("dst"), (col("dist") + 1L).as("cand"))
+            .groupBy("dst").agg(min(col("cand")).as("mind"))
+          dist = dist
+            .join(relaxed, dist("node") === relaxed("dst"), "left")
+            .select(dist("node"),
+              least(col("dist"), coalesce(col("mind"), lit(Unreached)))
+                .as("dist"))
+            .localCheckpoint()
+        }
+        dist.orderBy("node")
+      },
+      Some {
+        val edgeUnion = EdgeFormulas.map { case (a, b) =>
+          s"SELECT doc_id AS src, ($a*doc_id+$b) % (SELECT COUNT(*) FROM documents) AS dst FROM documents"
+        }.mkString("\n          UNION ALL ")
+        val steps = (1 to BfsIters).map { k =>
+          s"""d$k AS (
+          SELECT p.node,
+            LEAST(p.dist, COALESCE(i.mind, $Unreached)) AS dist
+          FROM d${k - 1} p LEFT JOIN (
+            SELECT e.dst, CAST(MIN(p2.dist + 1) AS BIGINT) AS mind
+            FROM d${k - 1} p2 JOIN edges e ON p2.node = e.src
+            GROUP BY e.dst) i ON p.node = i.dst)"""
+        }.mkString(",\n        ")
+        s"""WITH edges AS (
+          SELECT DISTINCT src, dst FROM (
+          $edgeUnion) WHERE src <> dst),
+        d0 AS (SELECT doc_id AS node,
+          CAST(CASE WHEN doc_id = 0 THEN 0 ELSE $Unreached END AS BIGINT)
+            AS dist FROM documents),
+        $steps
+        SELECT node, dist FROM d$BfsIters ORDER BY node"""
+      },
+      "single-source BFS levels (unit-weight Bellman-Ford relaxation): " +
+        "exact integer min-merges, one edge-join + one min-groupBy per " +
+        "round off the checkpointed edge set — traversal alongside g1 " +
+        "ranking and g2 counting; oracle is the unrolled recurrence")
   )
 }
