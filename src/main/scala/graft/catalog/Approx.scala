@@ -848,6 +848,45 @@ object Approx {
         "sum/sumsq/peak/mean, oracle from the generation formula"),
 
     QueryDef(
+      "mm6_ppm_resize",
+      (s, dir) =>
+        // REAL image resize, the thumbnail/normalize step before any
+        // vision model sees a training batch: each PPM payload (source
+        // dims 4–16 × 4–14, so ids land on BOTH sides of the 8×8 target)
+        // is nearest-neighbor resampled — output pixel (x, y) reads
+        // source pixel (⌊x·w/8⌋, ⌊y·h/8⌋) — and the MATERIALIZED output
+        // raster is summarized. The oracle recomputes the sampled source
+        // coordinate for all 64 output pixels from the generation
+        // formula: an off-by-one in either axis's coordinate math moves
+        // the bottom-right pixel and every channel sum. All-integer →
+        // exact hash. Scale shape: one mapPartitions pass, no shuffle.
+        graft.functions.Multimodal.resizeStats(
+          t(s, dir, "documents").select(col("doc_id")), 8, 8)
+          .orderBy("media_id"),
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+          FROM documents)
+        SELECT doc_id AS media_id,
+          CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+          CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+          (doc_id*31 + 3*((7*h//8)*w + 7*w//8)*7) % 256 AS r_last,
+          (doc_id*31 + (3*((7*h//8)*w + 7*w//8) + 1)*7) % 256 AS g_last,
+          (doc_id*31 + (3*((7*h//8)*w + 7*w//8) + 2)*7) % 256 AS b_last,
+          CAST(list_sum(list_transform(range(0, 64),
+            q -> (doc_id*31 + 3*((q//8*h//8)*w + (q%8)*w//8)*7) % 256))
+            AS BIGINT) AS sum_r,
+          CAST(list_sum(list_transform(range(0, 64),
+            q -> (doc_id*31 + (3*((q//8*h//8)*w + (q%8)*w//8) + 1)*7) % 256))
+            AS BIGINT) AS sum_g,
+          CAST(list_sum(list_transform(range(0, 64),
+            q -> (doc_id*31 + (3*((q//8*h//8)*w + (q%8)*w//8) + 2)*7) % 256))
+            AS BIGINT) AS sum_b
+        FROM m ORDER BY media_id"""),
+      "real nearest-neighbor image resize to a fixed 8x8 target (up- and " +
+        "down-sampling both exercised), materialized output raster " +
+        "summarized — oracle recomputes every sampled coordinate"),
+
+    QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")

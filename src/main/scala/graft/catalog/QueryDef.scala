@@ -30,20 +30,35 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType under schema inference. Supplying the read schema
-    * explicitly (ts as BIGINT raw nanos) sidesteps inference entirely — no
-    * session conf is touched, so caller-supplied sessions keep their own
-    * behavior for every other nanos-typed parquet column. The nanos are
-    * then truncated to microseconds — the same ns→µs truncation DuckDB
-    * applies in `CAST(ts AS TIMESTAMP)`, keeping both engines on identical
-    * values.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (earlier
+    * corpora) and TIMESTAMP(MICROS) (current corpora), so the reader
+    * detects the unit from the file footer instead of assuming one:
+    *   - NANOS: Spark 4 refuses to map it to TimestampType under schema
+    *     inference, so inference either throws or (with
+    *     `spark.sql.legacy.parquet.nanosAsLong`) yields LongType. Either
+    *     way we read ts explicitly as BIGINT raw nanos and truncate to
+    *     microseconds — the same ns→µs truncation DuckDB applies in
+    *     `CAST(ts AS TIMESTAMP)`.
+    *   - MICROS: inference yields TimestampType/TimestampNTZType; read
+    *     normally and normalize NTZ→TIMESTAMP (identity under the UTC
+    *     session timezone every entry point sets), which is already
+    *     exactly what DuckDB reads.
+    * Both engines therefore see identical microsecond values on either
+    * corpus vintage, and no session conf is touched.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val path = s"$dir/events.parquet"
+    val inferredTs = scala.util.Try(
+      spark.read.parquet(path).schema("ts").dataType).toOption
+    if (inferredTs.contains(TimestampType) ||
+        inferredTs.contains(TimestampNTZType))
+      spark.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
+    else
+      spark.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

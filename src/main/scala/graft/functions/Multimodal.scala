@@ -184,10 +184,9 @@ object Multimodal {
     out.array()
   }
 
-  /** Parse a binary-PPM (P6) payload: magic, whitespace/comment-tolerant
-    * header ints, single whitespace after maxval, then top-down RGB
-    * raster. */
-  private[graft] def decodePpm(data: Array[Byte]): DecodedImage = {
+  /** Parse a P6 header: magic, whitespace/comment-tolerant ints, single
+    * whitespace after maxval. Returns (width, height, rasterOffset). */
+  private def ppmHeader(data: Array[Byte]): (Int, Int, Int) = {
     require(data.length >= 2 && data(0) == 'P' && data(1) == '6', "not P6")
     var pos = 2
     def nextInt(): Int = {
@@ -209,6 +208,14 @@ object Multimodal {
     require(w > 0 && h > 0 && maxval == 255, s"bad P6 header $w x $h / $maxval")
     pos += 1 // exactly one whitespace byte after maxval
     require(data.length - pos >= w * h * 3, "truncated P6 raster")
+    (w, h, pos)
+  }
+
+  /** Parse a binary-PPM (P6) payload: magic, whitespace/comment-tolerant
+    * header ints, single whitespace after maxval, then top-down RGB
+    * raster. */
+  private[graft] def decodePpm(data: Array[Byte]): DecodedImage = {
+    val (w, h, pos) = ppmHeader(data)
     var sr = 0L; var sg = 0L; var sb = 0L
     var p = 0
     while (p < w * h) {
@@ -402,6 +409,73 @@ object Multimodal {
     * iterator pass per partition (the Scala twin of a pandas-batched
     * UDF), emitting orientation-sensitive pixel stats the oracle can
     * recompute. */
+  /** Resized-raster summary: source dims, output dims, the BOTTOM-RIGHT
+    * output pixel (sensitive to the sampling-coordinate math on both
+    * axes), and per-channel byte sums over the RESIZED raster. */
+  final case class ResizedImage(srcW: Int, srcH: Int, w: Int, h: Int,
+      rLast: Int, gLast: Int, bLast: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  /** Nearest-neighbor resize of a P6 payload to `outW`×`outH`: output
+    * pixel (x, y) samples source pixel (⌊x·w/outW⌋, ⌊y·h/outH⌋). A real
+    * resize — the output raster is materialized, then summarized — and
+    * the standard thumbnail/normalize step before any vision model sees
+    * a training batch. Handles up- AND down-sampling (source dims span
+    * both sides of the target). */
+  private[graft] def resizePpmNearest(data: Array[Byte], outW: Int,
+      outH: Int): ResizedImage = {
+    val (w, h, off) = ppmHeader(data)
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sp = off + (sy * w + x * w / outW) * 3
+        val dp = (y * outW + x) * 3
+        out(dp) = data(sp); out(dp + 1) = data(sp + 1)
+        out(dp + 2) = data(sp + 2)
+        x += 1
+      }
+      y += 1
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < outW * outH) {
+      sr += out(3 * p) & 0xff; sg += out(3 * p + 1) & 0xff
+      sb += out(3 * p + 2) & 0xff
+      p += 1
+    }
+    val lp = (outH * outW - 1) * 3
+    ResizedImage(w, h, outW, outH, out(lp) & 0xff, out(lp + 1) & 0xff,
+      out(lp + 2) & 0xff, sr, sg, sb)
+  }
+
+  /** Build PPM payloads per id and resize them partition-wise to a fixed
+    * target — same one-pass batch shape as decodeImageStats; all-integer
+    * outputs so the oracle hashes exactly. */
+  def resizeStats(ids: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("src_w", LongType), StructField("src_h", LongType),
+      StructField("out_w", LongType), StructField("out_h", LongType),
+      StructField("r_last", LongType), StructField("g_last", LongType),
+      StructField("b_last", LongType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val d = resizePpmNearest(buildPpm(id), outW, outH)
+          Row(id, d.srcW.toLong, d.srcH.toLong, d.w.toLong, d.h.toLong,
+            d.rLast.toLong, d.gLast.toLong, d.bLast.toLong,
+            d.sumR, d.sumG, d.sumB)
+        }
+      }(enc)
+  }
+
   def decodeImageStats(ids: DataFrame, builder: Long => Array[Byte]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),

@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as the streaming source sees it (ts pre-converted to
-    * microsecond TimestampType by the reader). */
-  val eventSchema: StructType = StructType(Seq(
+  /** events schema as the streaming source sees it, parameterized on the
+    * file's ts type (FileStreamSource needs the schema upfront, and the
+    * corpus has shipped with both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * — see `Tables.events`). */
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos from parquet; converted below
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -28,15 +30,26 @@ object EventStreams {
 
   /** streaming twin of `Tables.events`: parquet dir → stream of typed rows */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    // The explicit LongType schema below bypasses nanos-timestamp schema
-    // inference, so no legacy session conf is needed.
+    // Detect the ts unit from the batch footer (same rule as
+    // Tables.events), then hand FileStreamSource the matching explicit
+    // schema — nanos files additionally bypass nanos-timestamp schema
+    // inference this way, so no legacy session conf is needed.
     // FileStreamSource requires a directory: stream the table dir with a
     // glob pinned to the events file(s)
-    spark.readStream
-      .schema(eventSchema)
+    val inferredTs = scala.util.Try(
+      spark.read.option("pathGlobFilter", "events*.parquet").parquet(dir)
+        .schema("ts").dataType).toOption
+    val tsType = inferredTs match {
+      case Some(TimestampType) | Some(TimestampNTZType) => inferredTs.get
+      case _ => LongType // raw nanos; converted below
+    }
+    val raw = spark.readStream
+      .schema(eventSchema(tsType))
       .option("pathGlobFilter", "events*.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** tumbling 1h window counts + value sums with a 10-minute watermark —

@@ -64,6 +64,23 @@ class EdgeSpec extends SparkSuite {
       "events read must not flip the legacy nanos conf on the session")
   }
 
+  test("Tables.events: nanos-vintage and micros-vintage corpora decode " +
+      "to identical rows (unit detection from the footer)") {
+    import org.apache.spark.sql.functions._
+    val orig = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
+    // re-stage the same table as the LEGACY vintage: ts as raw int64
+    // nanoseconds (what the TIMESTAMP(NANOS) files yield to a reader)
+    val staged = java.nio.file.Files.createTempDirectory("graft_evnanos")
+    orig.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.mode("overwrite").parquet(s"$staged/events.parquet")
+    val legacy = graft.catalog.Tables.events(spark, staged.toString)
+    assert(legacy.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val a = orig.orderBy("event_id").collect().toSeq
+    val b = legacy.orderBy("event_id").collect().toSeq
+    assert(a == b, "both corpus vintages must decode identically")
+  }
+
   test("TopKPerKey: nulls in the order column and k > group size match " +
       "the window formulation exactly") {
     val s2 = spark; import s2.implicits._

@@ -112,6 +112,28 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("PPM resize: nearest-neighbor matches an independent per-pixel " +
+      "recomputation, and a same-size resize is the identity") {
+    for (id <- Seq(0L, 7L, 123L, 4L)) { // source dims span both sides of 8x8
+      val r = Multimodal.resizePpmNearest(Multimodal.buildPpm(id), 8, 8)
+      val w = (id % 13 + 4).toInt; val h = (id % 11 + 4).toInt
+      assert(r.srcW == w && r.srcH == h && r.w == 8 && r.h == 8)
+      def px(x: Int, y: Int, c: Int): Long = {
+        val p = (y * h / 8) * w + x * w / 8
+        (id * 31 + (3L * p + c) * 7) % 256
+      }
+      assert(r.rLast == px(7, 7, 0) && r.gLast == px(7, 7, 1)
+        && r.bLast == px(7, 7, 2))
+      val sums = (0 until 3).map(c =>
+        (for (y <- 0 until 8; x <- 0 until 8) yield px(x, y, c)).sum)
+      assert((r.sumR, r.sumG, r.sumB) == ((sums(0), sums(1), sums(2))))
+      // resize to the source's own dims = identity → sums match decodePpm
+      val same = Multimodal.resizePpmNearest(Multimodal.buildPpm(id), w, h)
+      val d = Multimodal.decodePpm(Multimodal.buildPpm(id))
+      assert((same.sumR, same.sumG, same.sumB) == ((d.sumR, d.sumG, d.sumB)))
+    }
+  }
+
   test("WAV decode rejects non-RIFF and truncated payloads") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeWav("nope".getBytes("US-ASCII"))

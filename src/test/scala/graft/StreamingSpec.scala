@@ -170,8 +170,7 @@ class StreamingSpec extends SparkSuite {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val base = java.nio.file.Files.createTempDirectory("graft_ckpt")
-      val ev = spark.read.schema(EventStreams.eventSchema)
-        .parquet(s"$sf/events.parquet")
+      val ev = Tables.events(spark, sf)
       val n = ev.count().toInt
       // ts-ordered halves: phase 1 ends with genuinely OPEN sessions in
       // state — exactly what the restart must recover to emit correctly
