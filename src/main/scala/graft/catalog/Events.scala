@@ -294,6 +294,113 @@ object Events {
       "LEFT-OUTER attribution join: every purchase emits, null-padded " +
         "when no click qualifies — batch twin of the watermarked " +
         "stream-stream left join whose null rows may only emit once " +
-        "the watermark proves no match can arrive (StreamingSpec)")
+        "the watermark proves no match can arrive (StreamingSpec)"),
+
+    QueryDef(
+      "q76_funnel",
+      (s, dir) => {
+        // 3-step ordered funnel (view → click → purchase): each step's
+        // timestamp is the user's EARLIEST qualifying event at-or-after
+        // the previous step — the product-analytics primitive behind
+        // conversion reporting. Scale shape: each stage is one filtered
+        // aggregate (per-user, bounded output) broadcast back against the
+        // next stage's filtered events — the corpus-sized table is only
+        // ever scanned and equi-joined on user_id, never self-joined
+        // row×row, and per-user state is a single timestamp. depth counts
+        // the steps reached (every funnel user has a view by
+        // construction).
+        val ev = t(s, dir, "events")
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(broadcast(s1), "user_id")
+          .filter(col("ts") >= col("view_ts"))
+          .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(broadcast(s2), "user_id")
+          .filter(col("ts") >= col("click_ts"))
+          .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+        s1.join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .withColumn("depth",
+            lit(1L) + col("click_ts").isNotNull.cast("long")
+              + col("purchase_ts").isNotNull.cast("long"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (
+          SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS view_ts
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS click_ts
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s1.view_ts
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s2.click_ts
+          GROUP BY e.user_id)
+        SELECT s1.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+          1 + (s2.user_id IS NOT NULL)::BIGINT
+            + (s3.user_id IS NOT NULL)::BIGINT AS depth
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        ORDER BY s1.user_id"""),
+      "3-step ordered conversion funnel: cascaded earliest-qualifying-" +
+        "event aggregates, per-user bounded state, no event×event " +
+        "self-join — the corpus is only scanned and equi-joined"),
+
+    QueryDef(
+      "q77_retention",
+      (s, dir) => {
+        // Cohort retention: users grouped by FIRST-ACTIVE day, counted on
+        // each later day they return — the (cohort_day, day_offset) grid
+        // every growth dashboard draws. Scale shape: activity collapses
+        // to distinct (user, day) FIRST (one shuffle, bounded by
+        // users×days), cohorts are a per-user min over that, and the
+        // grid is a groupBy over the compact activity table — the raw
+        // event table is touched exactly once.
+        val ev = t(s, dir, "events")
+        val active = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val cohort = active.groupBy("user_id")
+          .agg(min(col("day")).as("cohort_day"))
+        active.join(cohort, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH active AS (
+          SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+          FROM events),
+        cohort AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id)
+        SELECT c.cohort_day,
+          CAST(a.day - c.cohort_day AS INT) AS day_offset,
+          COUNT(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "cohort retention grid (first-active-day cohorts x day offset): " +
+        "events collapse to distinct user-days before any join, so the " +
+        "grid aggregates a users-x-days table, not the raw corpus"),
+
+    QueryDef(
+      "ev_hopping",
+      (s, dir) =>
+        graft.streaming.EventStreams.hoppingWindow(t(s, dir, "events"))
+          .orderBy("ws"),
+      Some("""SELECT ws, COUNT(*) AS n_events,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+            AS total_value
+        FROM (SELECT UNNEST([
+            time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+            time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+              - INTERVAL 30 MINUTE]) AS ws, value
+          FROM events)
+        GROUP BY ws ORDER BY ws"""),
+      "hopping (sliding) 1h windows every 30min: each event lands in two " +
+        "overlapping windows — batch twin of the watermarked streaming " +
+        "aggregation (SAME code both modes, StreamingSpec parity)")
   )
 }

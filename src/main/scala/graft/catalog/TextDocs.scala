@@ -1255,7 +1255,55 @@ object TextDocs {
         "hygiene -> language/quality gate -> exact dedup on CLEANED " +
         "text (catches the re-crawl under different dirt) -> per-shard " +
         "sequence packing; one composed query, every shuffle on a " +
-        "hash/id key")
+        "hash/id key"),
+
+    QueryDef(
+      "d31_inverted_index",
+      (s, dir) => {
+        // Inverted-index build (term → capped posting list + df/tf): the
+        // retrieval-side artifact a RAG corpus ships with. The hot-term
+        // hazard at 100 TB is collect_list on a stopword gathering the
+        // whole corpus into one task — so the posting list is capped
+        // BEFORE collection by the native O(k)-memory TopKPerKey
+        // operator (bounded heap per term, never a full per-term sort or
+        // an unbounded buffer), and only the ≤20 survivors are
+        // collected. df/total_tf come from a separate full aggregate —
+        // exact counts, bounded output.
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val stats = tok.groupBy("term")
+          .agg(count(lit(1)).as("total_tf"),
+            count_distinct(col("doc_id")).as("df"))
+        val docTerm = tok.select("term", "doc_id").distinct()
+        val capped = graft.plans.TopKPerKey.of(
+          docTerm, Seq("term"), Seq("doc_id" -> true), 20)
+        val postings = capped.groupBy("term")
+          // canonical comma-joined string form: sorts/hashes exactly in
+          // any downstream comparator (and is what an index file stores)
+          .agg(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))),
+            d => d.cast("string"))).as("postings"))
+        stats.join(postings, "term")
+          .select("term", "total_tf", "df", "postings")
+          .orderBy("term")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        tk2 AS (SELECT * FROM tk WHERE term <> ''),
+        dt AS (SELECT DISTINCT term, doc_id FROM tk2)
+        SELECT s.term, s.total_tf, s.df, p.postings
+        FROM (SELECT term, COUNT(*) AS total_tf,
+                COUNT(DISTINCT doc_id) AS df
+              FROM tk2 GROUP BY term) s
+        JOIN (SELECT term,
+                array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+              FROM dt GROUP BY term) p USING (term)
+        ORDER BY term"""),
+      "inverted-index build: term -> first-20 posting list + exact " +
+        "df/total_tf; the cap is enforced by the native O(k) TopKPerKey " +
+        "operator BEFORE collection, so a stopword's postings never " +
+        "buffer unbounded")
   )
 
 }

@@ -221,6 +221,72 @@ object Vectors {
       "feature-hashing (hashing-trick) document embeddings: md5-nibble " +
         "bucket + sign, signed bucket counts as a dense 64-dim integer " +
         "vector in long format — exact oracle, linear, the real " +
-        "text-to-vector path that composes with e1/e5/e6")
+        "text-to-vector path that composes with e1/e5/e6"),
+
+    QueryDef(
+      "e10_knn_classify",
+      (s, dir) => {
+        // kNN majority-vote classification — the eval/serving stage on
+        // top of similarity search: each query vector takes the label
+        // voted by its 5 nearest neighbors (cosine; excluding itself),
+        // ties broken (votes DESC, label ASC) so the verdict is
+        // deterministic. Candidate generation here is the e1 broadcast
+        // brute-force (exactness baseline; e3's IVF is the 100 TB
+        // candidate path — the vote stage is identical on top of
+        // either). The vote itself is a bounded groupBy: ≤ k rows per
+        // query ever exist after the rank filter.
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("qv"))
+        val c = emb.select(col("vec_id").as("c_id"),
+          dvec(col("embedding")).as("cv"), col("label").as("c_label"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id").asc)
+        val knn = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("cos", cosine(col("qv"), col("cv")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+        val votes = knn.groupBy(col("q_id"), col("c_label"))
+          .agg(count(lit(1)).as("votes"))
+        val w2 = Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("c_label").asc)
+        votes.withColumn("vr", row_number().over(w2))
+          .filter(col("vr") === 1)
+          .select(col("q_id"), col("c_label").as("pred_label"), col("votes"))
+          .orderBy("q_id")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
+            list_reduce(list_transform(range(1, len(q.e) + 1),
+              i -> q.e[i] * c.e[i]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(c.e, x -> x * x), (a, b) -> a + b)))
+              AS cos
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id % 25 = 0),
+        knn AS (
+          SELECT q_id, c_label FROM (
+            SELECT q_id, c_label,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, c_id) AS rk
+            FROM pairs) WHERE rk <= 5),
+        votes AS (
+          SELECT q_id, c_label, COUNT(*) AS votes
+          FROM knn GROUP BY q_id, c_label)
+        SELECT q_id, c_label AS pred_label, votes FROM (
+          SELECT q_id, c_label, votes,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY votes DESC, c_label) AS vr
+          FROM votes) WHERE vr = 1
+        ORDER BY q_id"""),
+      "kNN majority-vote classification over the embedding column: " +
+        "deterministic tie-break, exact cosine parity with e1; the vote " +
+        "stage is bounded (k rows/query) and composes with e3's IVF " +
+        "candidates at scale")
   )
 }

@@ -62,6 +62,17 @@ object EventStreams {
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
       .select(col("window.start").as("ws"), col("n_events"), col("total_value"))
 
+  /** hopping 1h windows sliding every 30 minutes — each event lands in
+    * two overlapping windows (the smooth-trend variant of hourlyWindow);
+    * identical aggregation to the batch ev_hopping oracle. */
+  def hoppingWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("ws"), col("n_events"), col("total_value"))
+
   /** 30-minute-gap session windows per user (streaming-native twin of the
     * batch islands query ev_session). */
   def sessionWindows(events: DataFrame): DataFrame =

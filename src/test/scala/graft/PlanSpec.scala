@@ -447,4 +447,29 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ExistingRDD"),
       s"the edge set must be checkpointed, not re-derived per step:\n$p")
   }
+
+  test("d31: the posting-list cap runs through the O(k) TopKPerKey " +
+      "operator before any collect_list buffers rows") {
+    val p = plan("d31_inverted_index")
+    assert(p.contains("TopKPerKey"),
+      s"posting cap must be the bounded-heap native operator:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-term window sort may replace the bounded heap:\n$p")
+  }
+
+  test("q76: the funnel cascades broadcast equi-joins on user_id — " +
+      "never an event-by-event product") {
+    val p = plan("q76_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"funnel stages must stay equi-join shaped:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-user stage aggregates must broadcast back:\n$p")
+  }
+
+  test("q77: retention aggregates the compact distinct user-day table, " +
+      "joined per-user — no cross product, no event self-join") {
+    val p = plan("q77_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"retention must stay equi-join shaped:\n$p")
+  }
 }

@@ -21,6 +21,22 @@ class StreamingSpec extends SparkSuite {
     assert(got == batch)
   }
 
+  test("streaming hopping window == batch ev_hopping aggregation") {
+    val stream = EventStreams.readStream(spark, sf)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.hoppingWindow(stream), "hopping", OutputMode.Complete)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("ws"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    val batch = SparkEntry.queries("ev_hopping")(spark, sf)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("ws"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(got == batch)
+    // every window overlaps its neighbors: total window-event memberships
+    // must be exactly 2x the event count
+    val n = Tables.events(spark, sf).count()
+    assert(got.toSeq.map(_._2).sum == 2 * n)
+  }
+
   test("streaming session windows match batch islands session count") {
     val stream = EventStreams.readStream(spark, sf)
     val sessions = EventStreams.runToMemory(spark,
