@@ -401,6 +401,58 @@ object Events {
         GROUP BY ws ORDER BY ws"""),
       "hopping (sliding) 1h windows every 30min: each event lands in two " +
         "overlapping windows — batch twin of the watermarked streaming " +
-        "aggregation (SAME code both modes, StreamingSpec parity)")
+        "aggregation (SAME code both modes, StreamingSpec parity)"),
+
+    QueryDef(
+      "q79_ohlc",
+      (s, dir) => {
+        // OHLC time bars (open/high/low/close/volume per 15-min bucket
+        // per event_type) — the canonical first/last-in-group downsample
+        // for time-series. Open/close are picked by row_number over the
+        // total order (ts, event_id) — deterministic under ties — and
+        // both picks ride ONE window pass each way inside the same
+        // per-(type, bucket) partition the aggregate shuffles on, so the
+        // whole query is one shuffle + two windows + one aggregate.
+        // Volume sums in DECIMAL (exact, order-independent).
+        val wAsc = Window.partitionBy(col("event_type"), col("ws"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wDesc = Window.partitionBy(col("event_type"), col("ws"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("ws", window(col("ts"), "15 minutes")("start"))
+          .withColumn("rn_a", row_number().over(wAsc))
+          .withColumn("rn_d", row_number().over(wDesc))
+          .groupBy(col("event_type"), col("ws"))
+          .agg(
+            max(when(col("rn_a") === 1, col("value"))).as("open_v"),
+            max(col("value")).as("high_v"),
+            min(col("value")).as("low_v"),
+            max(when(col("rn_d") === 1, col("value"))).as("close_v"),
+            count(lit(1)).as("n_events"),
+            sum(d2(col("value"))).cast("double").as("volume"))
+          .orderBy("event_type", "ws")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, value,
+            CAST(ts AS TIMESTAMP) AS tts,
+            time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS ws
+          FROM events),
+        r AS (SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY event_type, ws
+              ORDER BY tts ASC, event_id ASC) AS rn_a,
+            ROW_NUMBER() OVER (PARTITION BY event_type, ws
+              ORDER BY tts DESC, event_id DESC) AS rn_d
+          FROM e)
+        SELECT event_type, ws,
+          MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+          MAX(value) AS high_v,
+          MIN(value) AS low_v,
+          MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+          COUNT(*) AS n_events,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+            AS volume
+        FROM r GROUP BY 1, 2 ORDER BY event_type, ws"""),
+      "OHLC bars: first/last-in-group by deterministic (ts, event_id) " +
+        "rank, min/max/decimal-volume per 15-min bucket — the time-series " +
+        "downsample; one shuffle, windows share the aggregate's keys")
   )
 }

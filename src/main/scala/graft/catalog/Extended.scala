@@ -1229,6 +1229,76 @@ object Extended {
       None, // sketch state has no DuckDB equivalent; spec pins the bound
       "Greenwald-Khanna approximate quantiles (one-pass, mergeable, " +
         "rank-error <= n/accuracy) — the sketch tier's answer to q47's " +
-        "exact percentiles; CatalogSpec pins the rank-error bound")
+        "exact percentiles; CatalogSpec pins the rank-error bound"),
+
+    QueryDef(
+      "q78_winsorize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Winsorized (outlier-clipped) aggregation: per group, clamp
+        // every price into [p10, p90] before averaging — the robust-mean
+        // move for corpora with fat tails. Percentiles are DISCRETE
+        // rank selections (the ceil(q*n)-th smallest actual value), not
+        // interpolations: the cut is an existing 2-decimal value, so the
+        // clamped column stays DECIMAL-exact and the sum is
+        // order-independent. Rank indices use pure integer arithmetic
+        // ((n+9) div 10, (9n+9) div 10) so both engines pick the
+        // identical element — no double rounding at the boundary.
+        // Scale shape: one per-group sort window for the rank pick
+        // (group count is bounded: 3 returnflags), a 3-row broadcast of
+        // the cuts, then a plain partial-final aggregate over the
+        // clamped column.
+        val pr = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            d2(col("l_extendedprice")).as("p"))
+        val sz = pr.groupBy("rf").agg(count(lit(1)).as("n"))
+        val wRk = Window.partitionBy(col("rf")).orderBy(col("p"))
+        val cuts = pr
+          .withColumn("rn", row_number().over(wRk))
+          .join(broadcast(sz), "rf")
+          .groupBy("rf")
+          .agg(
+            max(when(col("rn") === expr("(n + 9) div 10"), col("p"))).as("lo"),
+            max(when(col("rn") === expr("(9 * n + 9) div 10"), col("p"))).as("hi"))
+        pr.join(broadcast(cuts), "rf")
+          .withColumn("w", greatest(col("lo"), least(col("hi"), col("p"))))
+          .groupBy("rf")
+          .agg(count(lit(1)).as("n_rows"),
+            max(col("lo")).cast("double").as("p10"),
+            max(col("hi")).cast("double").as("p90"),
+            sum(col("w")).cast("double").as("win_sum"))
+          .withColumn("win_mean", col("win_sum") / col("n_rows"))
+          .select(col("rf").as("l_returnflag"), col("n_rows"),
+            col("p10"), col("p90"), col("win_sum"), col("win_mean"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH pr AS (SELECT l_returnflag AS rf,
+            CAST(l_extendedprice AS DECIMAL(12,2)) AS p FROM lineitem),
+        sz AS (SELECT rf, COUNT(*) AS n FROM pr GROUP BY 1),
+        rk AS (SELECT rf, p,
+            ROW_NUMBER() OVER (PARTITION BY rf ORDER BY p) AS rn FROM pr),
+        cuts AS (SELECT rk.rf,
+            MAX(CASE WHEN rn = (n + 9) // 10 THEN p END) AS lo,
+            MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN p END) AS hi
+          FROM rk JOIN sz USING (rf) GROUP BY 1)
+        SELECT pr.rf AS l_returnflag, MAX(sz.n) AS n_rows,
+          CAST(CAST(MAX(lo) AS VARCHAR) AS DOUBLE) AS p10,
+          CAST(CAST(MAX(hi) AS VARCHAR) AS DOUBLE) AS p90,
+          -- clamp via CASE, not GREATEST/LEAST: DuckDB's GREATEST
+          -- promotes DECIMAL to DOUBLE, which would break the exact sum
+          CAST(CAST(SUM(CASE WHEN p < lo THEN lo WHEN p > hi THEN hi
+                             ELSE p END) AS VARCHAR) AS DOUBLE) AS win_sum,
+          CAST(CAST(SUM(CASE WHEN p < lo THEN lo WHEN p > hi THEN hi
+                             ELSE p END) AS VARCHAR) AS DOUBLE)
+            / MAX(sz.n) AS win_mean
+        FROM pr
+        JOIN cuts USING (rf)
+        JOIN sz USING (rf)
+        GROUP BY pr.rf
+        ORDER BY l_returnflag"""),
+      "winsorized mean per group: discrete p10/p90 rank selection " +
+        "(integer index math, identical element both engines), clamp in " +
+        "DECIMAL, order-independent exact sum — robust aggregation " +
+        "without losing oracle bit-exactness")
   )
 }

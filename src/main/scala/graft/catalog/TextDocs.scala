@@ -1303,7 +1303,126 @@ object TextDocs {
       "inverted-index build: term -> first-20 posting list + exact " +
         "df/total_tf; the cap is enforced by the native O(k) TopKPerKey " +
         "operator BEFORE collection, so a stopword's postings never " +
-        "buffer unbounded")
+        "buffer unbounded"),
+
+    QueryDef(
+      "d32_setsim_join",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Exact set-similarity self-join (Jaccard >= 0.5 over 3-shingle
+        // sets) via PREFIX FILTERING (Chaudhuri et al. ICDE'06, Bayardo
+        // et al. WWW'07 — public): the full-corpus, no-`doc_id <` answer
+        // to d6's bounded all-pairs, with EXACT output (unlike d7's
+        // recall-bounded LSH). Order the shingle universe rarest-first
+        // (df asc, shingle asc); a doc's prefix is its first
+        // |d| - ceil(tau*|d|) + 1 shingles in that order. Any pair with
+        // Jaccard >= tau must share a prefix shingle (overlap needed is
+        // >= ceil(tau*|d|) on each side, and the suffix is shorter than
+        // that), so an equi-join on PREFIX shingles finds every
+        // qualifying pair; exact verification then computes true Jaccard
+        // from the full arrays. Scale shape: one shuffle for df, one
+        // doc-partitioned window, one equi-join on prefix shingles
+        // (rarest-first ordering keeps those buckets small by
+        // construction), pair-verify on array columns — never a
+        // corpus x corpus product.
+        val tokens = t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 3)
+        val docs = tokens
+          .select(col("doc_id"), Approx.shinglesOfTokens(col("tok")).as("sh"))
+          .cache() // barrier: shingle arrays built once, reused 3x below
+        val flat = docs.select(col("doc_id"), explode(col("sh")).as("s1"))
+        val dfreq = flat.groupBy("s1").agg(count(lit(1)).as("df"))
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s1"))
+        // tau = 0.5: prefix length |d| - ceil(|d|/2) + 1, integer-exact
+        val prefix = flat.join(dfreq, "s1")
+          .withColumn("rn", row_number().over(wDoc))
+          .join(sizes, "doc_id")
+          .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
+          .select("s1", "doc_id")
+          .cache() // barrier: both sides of the candidate self-join read
+        //             the SAME prefix table — without it the df aggregate
+        //             and the per-doc window each plan (and run) twice
+        val cand = prefix.withColumnRenamed("doc_id", "id_a")
+          .join(prefix.withColumnRenamed("doc_id", "id_b"), "s1")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val ja = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val jb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        cand.join(ja, Seq("id_a")).join(jb, Seq("id_b"))
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+          .filter(col("inter") * 2 >= col("uni")) // J >= 0.5 as exact ints
+          .select(col("id_a"), col("id_b"),
+            (col("inter").cast("double") / col("uni").cast("double"))
+              .as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      // The oracle proves EXACTNESS independently of prefix filtering:
+      // it finds pairs by the shared-shingle equi-join (any pair with
+      // J > 0 shares a shingle) and counts intersections directly —
+      // a different algorithm computing the same relation.
+      Some(s"""WITH d AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len($toksSql) - 1),
+            i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))
+            AS sh
+          FROM documents WHERE len($toksSql) >= 3),
+        s AS (SELECT doc_id, unnest(sh) AS s1 FROM d),
+        sz AS (SELECT doc_id, len(sh) AS n FROM d),
+        io AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+               FROM s a JOIN s b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+        FROM io
+        JOIN sz na ON io.id_a = na.doc_id
+        JOIN sz nb ON io.id_b = nb.doc_id
+        WHERE 2 * i >= na.n + nb.n - i
+        ORDER BY id_a, id_b"""),
+      "exact set-similarity join (shingle Jaccard >= 0.5) by prefix " +
+        "filtering over the FULL corpus — d6's semantics without the " +
+        "doc_id bound and without d7's approximation; candidates come " +
+        "from an equi-join on rarest-first prefix shingles only"),
+
+    QueryDef(
+      "d33_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        // Distributed heavy hitters, sketch-then-verify: a Misra-Gries
+        // summary (<= 29 counters, one narrow pass, mergeable) surfaces
+        // every candidate that COULD exceed n/30, then one exact
+        // aggregation re-counts only those candidates and applies the
+        // true integer threshold. The sketch's candidate set varies
+        // with the merge schedule; the verified output never does —
+        // it equals the exact GROUP BY / HAVING answer (the oracle)
+        // while the expensive pass stays O(k) memory per task. At
+        // 100 TB with a huge key domain this replaces a full-domain
+        // groupBy with a bounded sketch + a sketch-sized verify join.
+        val tok = t(s, dir, "documents")
+          .select(explode(toks(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+        val mg = new graft.operators.MisraGries(30)
+        val cands = tok.as[String].select(mg.toColumn.name("cands"))
+          .select(explode(col("cands")).as("token"))
+        val total = tok.agg(count(lit(1)).as("n_total"))
+        tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(cands), Seq("token")) // sketch-sized: <= 29 rows
+          .crossJoin(broadcast(total)) // 1 row
+          .filter(col("cnt") * 30 > col("n_total"))
+          .select(col("token"), col("cnt"))
+          .orderBy("token")
+      },
+      Some(s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+        tk2 AS (SELECT token FROM tk WHERE token <> '')
+        SELECT token, COUNT(*) AS cnt FROM tk2 GROUP BY token
+        HAVING 30 * COUNT(*) > (SELECT COUNT(*) FROM tk2)
+        ORDER BY token"""),
+      "heavy hitters (tokens with count > n/30) by Misra-Gries sketch + " +
+        "exact verify: the one-pass O(k)-memory candidate pass is " +
+        "schedule-dependent, the verified output is exact and " +
+        "deterministic — matches the plain GROUP BY/HAVING oracle")
   )
 
 }

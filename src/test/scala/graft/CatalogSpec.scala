@@ -402,4 +402,84 @@ class CatalogSpec extends SparkSuite {
         s"cust $cust: the open interval is the last one")
     }
   }
+
+  test("d32 setsim join: prefix filtering loses NOTHING — result equals " +
+      "the full-corpus brute-force all-pairs join") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairSet(SparkEntry.queries("d32_setsim_join")(spark, sf))
+    val tokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(trim(col("text")), " +").as("tok"))
+      .filter(size(col("tok")) >= 3)
+    val d = tokens.select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), size(col("tok")) - 2),
+        i => concat_ws(" ", element_at(col("tok"), i),
+          element_at(col("tok"), i + 1), element_at(col("tok"), i + 2))))
+        .as("sh"))
+    val brute = pairSet(
+      d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni",
+          size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / col("uni").cast("double"))
+            .as("jaccard")))
+    assert(got.nonEmpty, "threshold must be load-bearing at spec scale")
+    assert(got == brute,
+      s"prefix filter must be lossless: got ${got.size}, brute ${brute.size}")
+  }
+
+  test("d33 Misra-Gries: candidates are a superset of the true heavy " +
+      "hitters under every partitioning; buffer bounded; output exact") {
+    import spark.implicits._
+    val tok = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(col("text")), " +")).as("token"))
+      .filter(col("token") =!= "").as[String]
+    val n = tok.count()
+    val exact = tok.groupBy("token").count()
+      .filter(col("count") * 30 > n).select("token").as[String].collect().toSet
+    assert(exact.nonEmpty && exact.size < 31,
+      "threshold must split the vocabulary at spec scale")
+    for (parts <- Seq(1, 7, 32)) {
+      val mg = new graft.operators.MisraGries(30)
+      val cands = tok.repartition(parts).select(mg.toColumn.name("c"))
+        .collect().head.toSet
+      assert(cands.size <= 29, s"parts=$parts: buffer must stay <= k-1")
+      assert(exact.subsetOf(cands),
+        s"parts=$parts: MG must never lose a true heavy hitter")
+    }
+    val got = SparkEntry.queries("d33_heavy_hitters")(spark, sf)
+      .select("token").as[String].collect().toSet
+    assert(got == exact, "verified output must equal the exact answer")
+  }
+
+  test("q78 winsorize: cuts are real data values bracketing the mean") {
+    val rows = SparkEntry.queries("q78_winsorize")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (p10, p90, mean) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      assert(p10 < p90, "cut points must spread")
+      assert(p10 <= mean && mean <= p90,
+        "clamped mean must lie inside the clamp interval")
+    }
+  }
+
+  test("q79 OHLC: every bar satisfies low <= open,close <= high and is " +
+      "aligned to its 15-minute boundary") {
+    val rows = SparkEntry.queries("q79_ohlc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h, s"open outside [low, high]: $r")
+      assert(l <= c && c <= h, s"close outside [low, high]: $r")
+      val wsMin = r.getAs[java.sql.Timestamp](1).toInstant
+        .atZone(java.time.ZoneOffset.UTC)
+      assert(wsMin.getMinute % 15 == 0 && wsMin.getSecond == 0,
+        s"bar start not 15-min aligned: $wsMin")
+    }
+  }
 }

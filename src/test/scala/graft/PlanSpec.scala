@@ -472,4 +472,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"retention must stay equi-join shaped:\n$p")
   }
+
+  test("d32: candidate generation is an equi-join on prefix shingles — " +
+      "the exact setsim join never forms a corpus x corpus product") {
+    val p = plan("d32_setsim_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"prefix-filtered setsim must stay equi-join shaped:\n$p")
+  }
+
+  test("d33: the exact verify joins broadcast the sketch-sized candidate " +
+      "set — the only full-corpus work is the narrow token pass") {
+    val p = plan("d33_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate verify must broadcast the <=29-row side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded product anywhere in the sketch-verify plan:\n$p")
+  }
+
+  test("q78: the winsorize cut frame broadcasts back to the corpus — " +
+      "one sort window, no second full-data shuffle for the clamp") {
+    val p = plan("q78_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"3-row cuts must broadcast, not shuffle, onto the corpus:\n$p")
+  }
 }
