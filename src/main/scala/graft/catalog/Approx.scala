@@ -895,6 +895,83 @@ object Approx {
             count(lit(1)).as("n"))
           .orderBy("l_returnflag"),
       None,
-      "HLL approximate distinct (sketch aggregate; estimate != oracle)")
+      "HLL approximate distinct (sketch aggregate; estimate != oracle)"),
+
+    QueryDef(
+      "e11_kmeans_train",
+      (s, dir) => {
+        // IVF codebook TRAINING — the piece e3/e6 take as given (their
+        // centroids are deterministic literals): distributed Lloyd
+        // k-means, made bit-reproducible by integer fixed-point. Every
+        // coordinate quantizes to floor(x * 1e6) once; distances, argmin
+        // and centroid updates are then pure BIGINT math — order-free
+        // sums, truncating division (Spark `div` == DuckDB `//`, both
+        // toward zero), struct-min tie-breaks — so the result is
+        // identical at any parallelism AND the whole recurrence unrolls
+        // into an exact SQL oracle (the g1 discipline applied to ML
+        // training). Scale shape per iteration: the centroid table is
+        // K*D = 512 rows — broadcast — so assignment is one broadcast
+        // join + one (vec, cell) partial-final aggregate, and the update
+        // one (cell, dim) aggregate; the corpus never self-joins, plans
+        // stay constant-depth via localCheckpoint. Quantization loses
+        // <= 1e-6 per coordinate — at 100 TB you train on a sample and
+        // serve approximate cells anyway; determinism is worth far more
+        // than the 7th decimal.
+        val KCells = 8
+        val iters = 3
+        val qflat = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("dim"),
+            floor(col("col").cast("double") * 1000000L).as("q"))
+          .localCheckpoint() // read twice per iteration x 3 iterations
+        var cent = qflat.filter(col("vec_id") < KCells)
+          .select(col("vec_id").as("cell"), col("dim"), col("q").as("c"))
+          .localCheckpoint()
+        var assign: DataFrame = null
+        for (_ <- 1 to iters) {
+          val dists = qflat.join(broadcast(cent), "dim")
+            .groupBy(col("vec_id"), col("cell"))
+            .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+          assign = dists.groupBy("vec_id")
+            .agg(min(struct(col("dist"), col("cell"))).as("best"))
+            .select(col("vec_id"), col("best").getField("cell").as("cell"))
+          val upd = assign.join(qflat, "vec_id")
+            .groupBy(col("cell"), col("dim"))
+            .agg(expr("sum(q) div count(1)").as("cn"))
+          cent = cent.join(upd, Seq("cell", "dim"), "left")
+            .select(col("cell"), col("dim"),
+              coalesce(col("cn"), col("c")).as("c"))
+            .localCheckpoint()
+        }
+        assign.orderBy("vec_id")
+      },
+      Some {
+        val steps = (1 to 3).map { k =>
+          s"""d$k AS (SELECT f.vec_id, c.cell,
+            SUM((f.q - c.c) * (f.q - c.c)) AS dist
+          FROM q0 f JOIN c${k - 1} c USING (dim) GROUP BY 1, 2),
+        a$k AS (SELECT vec_id, cell FROM d$k
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) = 1),
+        c$k AS (SELECT c${k - 1}.cell, c${k - 1}.dim,
+            COALESCE(n.cn, c${k - 1}.c) AS c
+          FROM c${k - 1} LEFT JOIN (
+            SELECT a.cell, f.dim, SUM(f.q) // COUNT(*) AS cn
+            FROM a$k a JOIN q0 f USING (vec_id) GROUP BY 1, 2) n
+          USING (cell, dim))"""
+        }.mkString(",\n        ")
+        s"""WITH q0 AS (
+          SELECT vec_id, i AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+              AS q
+          FROM embeddings, range(1, 65) t(i)),
+        c0 AS (SELECT vec_id AS cell, dim, q AS c FROM q0 WHERE vec_id < 8),
+        $steps
+        SELECT vec_id, cell FROM a3 ORDER BY vec_id"""
+      },
+      "distributed Lloyd k-means (K=8, 3 iterations) in integer " +
+        "fixed-point: bit-reproducible codebook training for the IVF " +
+        "tier — broadcast centroid join + two bounded aggregates per " +
+        "iteration, oracle = the unrolled recurrence")
   )
 }

@@ -17,6 +17,9 @@ object Graph {
   val BfsIters = 6
   val Unreached = 999L
 
+  /** Label-propagation rounds for g4. */
+  val LpIters = 4
+
   /** The synthetic link graph: every doc links to (7d+1), (13d+5),
     * (31d+11) mod N, self-loops removed, duplicates collapsed — a
     * deterministic expander-ish multigraph whose edge list both engines
@@ -224,6 +227,86 @@ object Graph {
       "single-source BFS levels (unit-weight Bellman-Ford relaxation): " +
         "exact integer min-merges, one edge-join + one min-groupBy per " +
         "round off the checkpointed edge set — traversal alongside g1 " +
-        "ranking and g2 counting; oracle is the unrolled recurrence")
+        "ranking and g2 counting; oracle is the unrolled recurrence"),
+
+    QueryDef(
+      "g4_label_prop",
+      (s, dir) => {
+        // Community detection by synchronous label propagation (Raghavan
+        // et al. 2007): each round every node adopts the MOST FREQUENT
+        // label among its neighbors — mode-based update, genuinely
+        // different math from the min-merges of BFS/CC — with the
+        // deterministic tie-break (count desc, label asc) that makes
+        // synchronous LPA reproducible (classic LPA breaks ties
+        // randomly; a data engine must not). Argmax is min(struct(-cnt,
+        // lab)) — one struct-min, no row_number over the corpus. Each
+        // round: one equi-join of the checkpointed adjacency against
+        // the label table + two bounded aggregates; constant plan depth
+        // via localCheckpoint, same discipline as g1/g3. At web scale
+        // LPA is the cheap community pass over a link graph (boilerplate
+        // site clusters, spam farms) — near-linear per round, no
+        // modularity matrix.
+        import Tables.t
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val directed = EdgeFormulas.map { case (a, b) =>
+          docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * a + b) % n).as("dst"))
+        }.reduce(_ unionAll _)
+          .filter(col("src") =!= col("dst"))
+        val und = directed
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+          .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+          .repartition(col("nbr"))
+          .localCheckpoint() // derived once, read every round
+        var lab = docs
+          .select(col("doc_id").as("node"), col("doc_id").as("lab"))
+          .localCheckpoint()
+        for (_ <- 1 to LpIters) {
+          val cnt = adj
+            .join(lab.select(col("node").as("nbr"), col("lab")), "nbr")
+            .groupBy(col("node"), col("lab"))
+            .agg(count(lit(1)).as("cnt"))
+          val pick = cnt.groupBy("node")
+            .agg(min(struct((-col("cnt")).as("negcnt"), col("lab"))).as("best"))
+            .select(col("node"), col("best").getField("lab").as("newlab"))
+          lab = lab.join(pick, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("newlab"), col("lab")).as("lab"))
+            .localCheckpoint()
+        }
+        lab.orderBy("node")
+      },
+      Some {
+        val edgeUnion = EdgeFormulas.map { case (a, b) =>
+          s"SELECT doc_id AS src, ($a*doc_id+$b) % (SELECT COUNT(*) FROM documents) AS dst FROM documents"
+        }.mkString("\n          UNION ALL ")
+        val steps = (1 to LpIters).map { k =>
+          s"""n$k AS (SELECT a.node, l.lab, COUNT(*) AS cnt
+          FROM adj a JOIN l${k - 1} l ON a.nbr = l.node GROUP BY 1, 2),
+        p$k AS (SELECT node, lab AS newlab FROM n$k
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY cnt DESC, lab ASC) = 1),
+        l$k AS (SELECT l.node, COALESCE(p.newlab, l.lab) AS lab
+          FROM l${k - 1} l LEFT JOIN p$k p USING (node))"""
+        }.mkString(",\n        ")
+        s"""WITH e0 AS (
+          $edgeUnion),
+        und AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+        adj AS (SELECT a AS node, b AS nbr FROM und
+          UNION ALL SELECT b AS node, a AS nbr FROM und),
+        l0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents),
+        $steps
+        SELECT node, lab FROM l$LpIters ORDER BY node"""
+      },
+      "synchronous label propagation (4 rounds, deterministic " +
+        "count-desc/label-asc tie-break): mode-based community update " +
+        "— one adjacency equi-join + two aggregates per round off the " +
+        "checkpointed edge set; oracle is the unrolled recurrence")
   )
 }

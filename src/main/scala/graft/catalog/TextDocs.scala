@@ -1340,13 +1340,18 @@ object TextDocs {
           .withColumn("rn", row_number().over(wDoc))
           .join(sizes, "doc_id")
           .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
-          .select("s1", "doc_id")
+          .select("s1", "doc_id", "sz")
           .cache() // barrier: both sides of the candidate self-join read
         //             the SAME prefix table — without it the df aggregate
         //             and the per-doc window each plan (and run) twice
-        val cand = prefix.withColumnRenamed("doc_id", "id_a")
-          .join(prefix.withColumnRenamed("doc_id", "id_b"), "s1")
-          .filter(col("id_a") < col("id_b"))
+        // length filter (standard PPJoin companion): J >= 0.5 forces
+        // |a| and |b| within 2x of each other — prune before the distinct
+        val cand = prefix.select(col("s1"), col("doc_id").as("id_a"),
+            col("sz").as("sz_a"))
+          .join(prefix.select(col("s1"), col("doc_id").as("id_b"),
+            col("sz").as("sz_b")), "s1")
+          .filter(col("id_a") < col("id_b") &&
+            col("sz_a") * 2 >= col("sz_b") && col("sz_b") * 2 >= col("sz_a"))
           .select("id_a", "id_b").distinct()
         val ja = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val jb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))

@@ -467,6 +467,39 @@ class CatalogSpec extends SparkSuite {
     }
   }
 
+  test("e11 k-means: every vector assigned to exactly one valid cell, " +
+      "cells differentiate, and a rerun is bit-identical (the integer " +
+      "fixed-point determinism claim)") {
+    val r1 = SparkEntry.queries("e11_kmeans_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(r1.length == nVecs, "every vector gets exactly one cell")
+    assert(r1.map(_._1).distinct.length == r1.length)
+    assert(r1.forall { case (_, c) => c >= 0 && c < 8 })
+    assert(r1.map(_._2).distinct.length > 1, "training must differentiate")
+    val r2 = SparkEntry.queries("e11_kmeans_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(r1.sameElements(r2),
+      "re-training must reproduce the identical codebook assignment")
+  }
+
+  test("g4 label propagation: labels collapse into communities, every " +
+      "label is a real node id, and the tie-break is deterministic") {
+    val r1 = SparkEntry.queries("g4_label_prop")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = r1.map(_._1).toSet
+    val labels = r1.map(_._2).toSet
+    assert(r1.length == nodes.size)
+    assert(labels.subsetOf(nodes), "labels must be node ids")
+    assert(labels.size < nodes.size,
+      "propagation must merge at least some communities")
+    assert(labels.size > 1, "graph must not collapse to one community")
+    val r2 = SparkEntry.queries("g4_label_prop")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(r1.sameElements(r2), "synchronous LPA with the deterministic " +
+      "tie-break must reproduce identical communities")
+  }
+
   test("q79 OHLC: every bar satisfies low <= open,close <= high and is " +
       "aligned to its 15-minute boundary") {
     val rows = SparkEntry.queries("q79_ohlc")(spark, sf).collect()

@@ -495,4 +495,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"3-row cuts must broadcast, not shuffle, onto the corpus:\n$p")
   }
+
+  test("e11: the 512-row centroid table joins by broadcast each " +
+      "iteration — the corpus never self-joins during training") {
+    val p = plan("e11_kmeans_train")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid attach must be a broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded product anywhere in Lloyd training:\n$p")
+  }
+
+  test("g4: each label-propagation round is an adjacency equi-join + " +
+      "bounded aggregates off the checkpointed edge set") {
+    val p = plan("g4_label_prop")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"LPA rounds must stay equi-join shaped:\n$p")
+  }
 }
