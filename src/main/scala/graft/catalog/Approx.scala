@@ -887,6 +887,43 @@ object Approx {
         "summarized — oracle recomputes every sampled coordinate"),
 
     QueryDef(
+      "mm7_wav_downsample",
+      (s, dir) =>
+        // Audio DOWNSAMPLE (decimation by 4): the temporal analog of
+        // mm6's spatial resize — keep every 4th frame of each decoded
+        // WAV, per-channel stats over the decimated signal only. Frame
+        // counts per id are 20..69, so ids hit every (count mod 4)
+        // residue and the kept-count ceiling math ((nf+3) div 4) is
+        // load-bearing. The decode+decimate runs in the same one-pass
+        // partition-wise batch shape as mm5 (no shuffle); the oracle
+        // recomputes the strided stats from the generation formula.
+        // (Production resampling low-pass-filters first; plain
+        // decimation keeps everything integer-exact — the Spark-side
+        // plumbing is identical either way.)
+        graft.functions.Multimodal.downsampleWavStats(
+          t(s, dir, "documents").select(col("doc_id")), 4)
+          .orderBy("media_id", "channel"),
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 2 + 1 AS nch, doc_id % 50 + 20 AS nf
+          FROM documents),
+        ch AS (
+          SELECT doc_id, nf, UNNEST(range(0, nch)) AS c FROM m)
+        SELECT doc_id AS media_id, CAST(c AS BIGINT) AS channel,
+          CAST((nf + 3) // 4 AS BIGINT) AS n_frames,
+          CAST(list_sum(list_transform(range(0, CAST(nf AS INT), 4),
+            f -> (doc_id*31 + f*7 + c*13) % 4096 - 2048)) AS BIGINT) AS amp_sum,
+          CAST(list_max(list_transform(range(0, CAST(nf AS INT), 4),
+            f -> abs((doc_id*31 + f*7 + c*13) % 4096 - 2048))) AS BIGINT) AS amp_peak,
+          CAST(list_sum(list_transform(range(0, CAST(nf AS INT), 4),
+            f -> (doc_id*31 + f*7 + c*13) % 4096 - 2048)) AS DOUBLE)
+            / ((nf + 3) // 4) AS amp_mean
+        FROM ch ORDER BY media_id, channel"""),
+      "audio decimation (every 4th frame) over the real WAV decode — " +
+        "per-channel stats of the downsampled signal, kept-count ceiling " +
+        "math oracle-checked across all mod-4 residues; same one-pass " +
+        "partition-wise batch shape as mm5, no shuffle"),
+
+    QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")

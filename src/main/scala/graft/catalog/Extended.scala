@@ -1299,6 +1299,40 @@ object Extended {
       "winsorized mean per group: discrete p10/p90 rank selection " +
         "(integer index math, identical element both engines), clamp in " +
         "DECIMAL, order-independent exact sum — robust aggregation " +
-        "without losing oracle bit-exactness")
+        "without losing oracle bit-exactness"),
+
+    QueryDef(
+      "q80_nullsafe_join",
+      (s, dir) => {
+        // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the one
+        // join-predicate semantic the rest of the catalog never
+        // exercises. Plain `=` silently DROPS null keys from an inner
+        // join; in a pipeline where null is a real key value (unknown
+        // source, unparseable date bucket), the null groups must match
+        // each other. Both sides bucket their keys with nullif(k % 7, 0)
+        // so the null group is populated and load-bearing — the oracle
+        // row count differs from the `=` version by exactly the null
+        // match. Spark's <=> still plans as a hash join (null-safe
+        // equality is hashable); PlanSpec pins no nested loop.
+        val ord = t(s, dir, "orders")
+          .groupBy(nullif(col("o_custkey") % 7, lit(0)).as("k"))
+          .agg(count(lit(1)).as("orders_n"))
+        val cust = t(s, dir, "customer")
+          .groupBy(nullif(col("c_custkey") % 7, lit(0)).as("k"))
+          .agg(count(lit(1)).as("cust_n"))
+        ord.join(cust, ord("k") <=> cust("k"))
+          .select(ord("k"), col("orders_n"), col("cust_n"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH o AS (SELECT nullif(o_custkey % 7, 0) AS k,
+            COUNT(*) AS orders_n FROM orders GROUP BY 1),
+        c AS (SELECT nullif(c_custkey % 7, 0) AS k,
+            COUNT(*) AS cust_n FROM customer GROUP BY 1)
+        SELECT o.k, o.orders_n, c.cust_n
+        FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+        ORDER BY o.k"""),
+      "null-safe equality join (<=> / IS NOT DISTINCT FROM): the null " +
+        "key groups match each other instead of silently dropping — " +
+        "still a hash join (null-safe equality is hashable)")
   )
 }

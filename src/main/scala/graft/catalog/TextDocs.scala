@@ -1427,7 +1427,69 @@ object TextDocs {
       "heavy hitters (tokens with count > n/30) by Misra-Gries sketch + " +
         "exact verify: the one-pass O(k)-memory candidate pass is " +
         "schedule-dependent, the verified output is exact and " +
-        "deterministic — matches the plain GROUP BY/HAVING oracle")
+        "deterministic — matches the plain GROUP BY/HAVING oracle"),
+
+    QueryDef(
+      "d34_containment_probe",
+      (s, dir) => {
+        // Directed CONTAINMENT join (|probe ∩ doc| / |probe| >= 0.8):
+        // the asymmetric near-superset relation Jaccard misses — a tiny
+        // quotation/benchmark snippet inside a big document scores ~0 on
+        // Jaccard but 1.0 on containment. This is d18's decontamination
+        // question asked with a graded score instead of a binary
+        // any-overlap flag: probes (first-14-token snippets of every
+        // 29th doc — the stand-in for an external benchmark/quotation
+        // set) against the WHOLE corpus. Exact, via the count-join
+        // shape: probe shingles equi-join corpus shingles, per-pair
+        // intersection counts from ONE groupBy, integer threshold
+        // (5i >= 4|S|) — never an all-pairs product; both probe and
+        // corpus sides shuffle only on the shingle key, so the plan is
+        // the d21 count-join at heart and scales the same way.
+        val tk = t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tok"))
+        val d = tk.filter(size(col("tok")) >= 3)
+          .select(col("doc_id"), Approx.shinglesOfTokens(col("tok")).as("sh"))
+        val sn = tk.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("sid"), slice(col("tok"), 1, 14).as("st"))
+          .filter(size(col("st")) >= 3)
+          .select(col("sid"), Approx.shinglesOfTokens(col("st")).as("ssh"))
+          .cache() // probe table read twice: sizes + flattened shingles
+        val ps = sn.select(col("sid"), size(col("ssh")).as("n"))
+        val pf = sn.select(col("sid"), explode(col("ssh")).as("s1"))
+        val cf = d.select(col("doc_id"), explode(col("sh")).as("s1"))
+        pf.join(cf, "s1")
+          .groupBy("sid", "doc_id").agg(count(lit(1)).as("i"))
+          .join(ps, "sid")
+          .filter(col("i") * 5 >= col("n") * 4 && col("doc_id") =!= col("sid"))
+          .select(col("sid"), col("doc_id"),
+            (col("i").cast("double") / col("n").cast("double"))
+              .as("containment"))
+          .orderBy("sid", "doc_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $toksSql AS tok FROM documents),
+        d AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(tok) - 1),
+            i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+          FROM tk WHERE len(tok) >= 3),
+        sn AS (SELECT doc_id AS sid, list_distinct(list_transform(
+            range(1, len(tok[1:14]) - 1),
+            i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS ssh
+          FROM tk WHERE doc_id % 29 = 0 AND len(tok[1:14]) >= 3),
+        ps AS (SELECT sid, len(ssh) AS n FROM sn),
+        pf AS (SELECT sid, unnest(ssh) AS s1 FROM sn),
+        cf AS (SELECT doc_id, unnest(sh) AS s1 FROM d),
+        io AS (SELECT sid, doc_id, COUNT(*) AS i
+               FROM pf JOIN cf USING (s1) GROUP BY 1, 2)
+        SELECT sid, doc_id,
+          CAST(i AS DOUBLE) / CAST(n AS DOUBLE) AS containment
+        FROM io JOIN ps USING (sid)
+        WHERE 5 * i >= 4 * n AND doc_id <> sid
+        ORDER BY sid, doc_id"""),
+      "directed containment join (snippet-in-document >= 0.8): the " +
+        "asymmetric relation Jaccard misses — exact per-pair scores " +
+        "from one shingle equi-join + one count groupBy, never an " +
+        "all-pairs product; the graded form of d18's decontamination")
   )
 
 }

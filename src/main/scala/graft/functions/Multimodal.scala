@@ -328,7 +328,8 @@ object Multimodal {
   /** Parse a PCM WAV payload: RIFF/WAVE magic, chunk walk (word-aligned —
     * odd-length chunks carry a pad byte), fmt validation (PCM, 16-bit),
     * unknown chunks skipped, interleaved LE int16 frames. */
-  private[graft] def decodeWav(data: Array[Byte]): DecodedAudio = {
+  private[graft] def decodeWav(data: Array[Byte], stride: Int = 1)
+      : DecodedAudio = {
     require(data.length >= 12 && data(0) == 'R' && data(1) == 'I'
       && data(2) == 'F' && data(3) == 'F', "not RIFF")
     require(new String(data, 8, 4, "US-ASCII") == "WAVE", "not WAVE")
@@ -356,7 +357,11 @@ object Multimodal {
     val sums = new Array[Long](nCh)
     val sumSqs = new Array[Long](nCh)
     val peaks = new Array[Int](nCh)
+    // stride > 1 = integer decimation (mm7): keep frames 0, stride, 2·
+    // stride, …; nFrames reports the KEPT count so means divide by what
+    // was actually accumulated. stride == 1 is the full mm5 decode.
     var f = 0
+    var kept = 0
     while (f < nFrames) {
       var c = 0
       while (c < nCh) {
@@ -366,9 +371,10 @@ object Multimodal {
         if (math.abs(s) > peaks(c)) peaks(c) = math.abs(s)
         c += 1
       }
-      f += 1
+      kept += 1
+      f += stride
     }
-    DecodedAudio(nCh, nFrames, sums, sumSqs, peaks)
+    DecodedAudio(nCh, kept, sums, sumSqs, peaks)
   }
 
   /** Build WAV payloads per id and decode them partition-wise — one row
@@ -391,6 +397,35 @@ object Multimodal {
           val d = decodeWav(buildWav(id))
           (0 until d.nCh).map { c =>
             Row(id, c.toLong, d.nFrames.toLong, d.sums(c), d.sumSqs(c),
+              d.peaks(c).toLong, d.sums(c).toDouble / d.nFrames)
+          }
+        }
+      }(enc)
+  }
+
+  /** mm7: audio DOWNSAMPLE by integer decimation — keep every `stride`-th
+    * frame, stats over the decimated signal only. (Production resampling
+    * low-pass-filters before decimating to avoid aliasing; plain
+    * decimation keeps the math integer-exact and oracle-checkable, and
+    * the partition-wise batch shape — the part that matters at 100 TB —
+    * is identical either way.) */
+  def downsampleWavStats(ids: DataFrame, stride: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("channel", LongType),
+      StructField("n_frames", LongType),
+      StructField("amp_sum", LongType),
+      StructField("amp_peak", LongType),
+      StructField("amp_mean", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val d = decodeWav(buildWav(id), stride)
+          (0 until d.nCh).map { c =>
+            Row(id, c.toLong, d.nFrames.toLong, d.sums(c),
               d.peaks(c).toLong, d.sums(c).toDouble / d.nFrames)
           }
         }

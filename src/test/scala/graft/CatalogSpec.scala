@@ -500,6 +500,25 @@ class CatalogSpec extends SparkSuite {
       "tie-break must reproduce identical communities")
   }
 
+  test("d34 containment: every match is a genuine non-self asymmetric " +
+      "containment in (0.8, 1.0]") {
+    val rows = SparkEntry.queries("d34_containment_probe")(spark, sf).collect()
+    assert(rows.nonEmpty, "probe set must hit at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "self-matches are excluded")
+      val c = r.getDouble(2)
+      assert(c >= 0.8 && c <= 1.0, s"containment out of range: $c")
+    }
+  }
+
+  test("q80 null-safe join: the null key group matches itself — the row " +
+      "a plain = join silently drops") {
+    val rows = SparkEntry.queries("q80_nullsafe_join")(spark, sf).collect()
+    assert(rows.exists(_.isNullAt(0)),
+      "the null bucket must appear in the joined output")
+    assert(rows.count(_.isNullAt(0)) == 1)
+  }
+
   test("q79 OHLC: every bar satisfies low <= open,close <= high and is " +
       "aligned to its 15-minute boundary") {
     val rows = SparkEntry.queries("q79_ohlc")(spark, sf).collect()

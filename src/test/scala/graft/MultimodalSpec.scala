@@ -144,6 +144,30 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("WAV strided decode: decimation matches an independent " +
+      "recomputation across mono/stereo and every mod-4 frame residue, " +
+      "and stride=1 is the unchanged full decode") {
+    // ids 20..27 cover nch 1/2 x nFrames % 4 in {0,1,2,3}
+    for (id <- 20L to 27L; stride <- Seq(1, 4)) {
+      val d = Multimodal.decodeWav(Multimodal.buildWav(id), stride)
+      val nCh = (id % 2 + 1).toInt
+      val total = (id % 50 + 20).toInt
+      val keptFrames = 0 until total by stride
+      assert(d.nCh == nCh)
+      assert(d.nFrames == keptFrames.size,
+        s"id=$id stride=$stride: kept-count ceiling math")
+      for (c <- 0 until nCh) {
+        val samples = keptFrames.map(f => Multimodal.wavSample(id, f, c).toInt)
+        assert(d.sums(c) == samples.map(_.toLong).sum)
+        assert(d.sumSqs(c) == samples.map(s => s.toLong * s).sum)
+        assert(d.peaks(c) == samples.map(math.abs).max)
+      }
+      if (stride == 1)
+        assert(d == Multimodal.decodeWav(Multimodal.buildWav(id)),
+          "default decode must be byte-for-byte the stride-1 decode")
+    }
+  }
+
   test("decodeImage dispatches on magic and rejects unknown formats") {
     assert(Multimodal.decodeImage(Multimodal.buildPpm(3L))
       == Multimodal.decodePpm(Multimodal.buildPpm(3L)))

@@ -511,4 +511,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"LPA rounds must stay equi-join shaped:\n$p")
   }
+
+  test("d34: containment probing is the count-join shape — shingle " +
+      "equi-join + one groupBy, never an all-pairs product") {
+    val p = plan("d34_containment_probe")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"containment must stay count-join shaped:\n$p")
+  }
+
+  test("q80: null-safe equality still plans as a HASH join (the <=> key " +
+      "is hashable), never a nested loop") {
+    val p = plan("q80_nullsafe_join")
+    assert(p.contains("HashJoin"),
+      s"<=> must hash-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"null-safe equality must not fall back to a loop join:\n$p")
+  }
 }
