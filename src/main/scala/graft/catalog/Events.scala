@@ -453,6 +453,64 @@ object Events {
         FROM r GROUP BY 1, 2 ORDER BY event_type, ws"""),
       "OHLC bars: first/last-in-group by deterministic (ts, event_id) " +
         "rank, min/max/decimal-volume per 15-min bucket — the time-series " +
-        "downsample; one shuffle, windows share the aggregate's keys")
+        "downsample; one shuffle, windows share the aggregate's keys"),
+
+    QueryDef(
+      "q81_concurrency",
+      (s, dir) => {
+        // Interval-overlap concurrency: each event holds a resource for
+        // 10 minutes — how many are held at every instant? The classic
+        // sweep: explode intervals to +1/-1 boundary events, then a
+        // GLOBAL running sum. `SUM() OVER (ORDER BY t)` plans as
+        // Exchange SinglePartition — one task sums the world — so this
+        // generalizes q54's scalable-rownum machinery from counting to
+        // summing: range-partition by the sweep order, partial-sum
+        // within each partition, add per-partition PREFIX offsets
+        // (driver sees one sum per partition — partition metadata, not
+        // rows). Tie order (t, delta DESC, event_id) starts-before-ends
+        // at the same instant, so touching intervals overlap —
+        // identical on both engines, fully deterministic.
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("t0"))
+        val bounds = ev
+          .select(col("event_id"), col("t0").as("t"), lit(1L).as("delta"))
+          .unionAll(ev.select(col("event_id"),
+            (col("t0") + 600000000L).as("t"), lit(-1L).as("delta")))
+        val parted = bounds
+          .repartitionByRange(col("t"), col("delta").desc, col("event_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint() // pin pid assignment across the two jobs
+        val sums = parted.groupBy("pid").agg(sum(col("delta")).as("ps"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        var acc = 0L
+        val offsets = sums.map { case (pid, v) =>
+          val o = (pid, acc); acc += v; o
+        }.toSeq
+        import s.implicits._
+        val offDf = offsets.toDF("pid", "off")
+        val w = Window.partitionBy(col("pid"))
+          .orderBy(col("t"), col("delta").desc, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        parted.join(broadcast(offDf), "pid")
+          .withColumn("concurrent", col("off") + sum(col("delta")).over(w))
+          .select(timestamp_micros(col("t")).as("bt"), col("event_id"),
+            col("delta"), col("concurrent"))
+          .orderBy(col("bt"), col("delta").desc, col("event_id"))
+      },
+      Some("""WITH b AS (
+          SELECT event_id, CAST(ts AS TIMESTAMP) AS bt,
+            CAST(1 AS BIGINT) AS delta FROM events
+          UNION ALL
+          SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE,
+            CAST(-1 AS BIGINT) FROM events)
+        SELECT bt, event_id, delta,
+          CAST(SUM(delta) OVER (ORDER BY bt, delta DESC, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS concurrent
+        FROM b ORDER BY bt, delta DESC, event_id"""),
+      "interval-overlap concurrency sweep: +1/-1 boundaries, global " +
+        "running sum WITHOUT SinglePartition — range partition + " +
+        "within-partition partial sums + broadcast prefix offsets " +
+        "(q54's scalable pattern generalized from counting to summing)")
   )
 }

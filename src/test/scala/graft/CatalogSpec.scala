@@ -519,6 +519,16 @@ class CatalogSpec extends SparkSuite {
     assert(rows.count(_.isNullAt(0)) == 1)
   }
 
+  test("q81 concurrency sweep: never negative, ends at exactly zero, " +
+      "and genuinely overlaps") {
+    val rows = SparkEntry.queries("q81_concurrency")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val running = rows.map(_.getLong(3))
+    assert(running.forall(_ >= 0L), "a -1 must never precede its +1")
+    assert(running.last == 0L, "every interval that opens must close")
+    assert(running.max > 1L, "the 10-min hold must create real overlap")
+  }
+
   test("q79 OHLC: every bar satisfies low <= open,close <= high and is " +
       "aligned to its 15-minute boundary") {
     val rows = SparkEntry.queries("q79_ohlc")(spark, sf).collect()

@@ -519,6 +519,15 @@ class PlanSpec extends SparkSuite {
       s"containment must stay count-join shaped:\n$p")
   }
 
+  test("q81: the global running sum never plans a SinglePartition " +
+      "exchange — range partitions + broadcast prefix offsets instead") {
+    val p = plan("q81_concurrency")
+    assert(!p.contains("SinglePartition"),
+      s"the sweep must not funnel through one task:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"prefix offsets must attach by broadcast:\n$p")
+  }
+
   test("q80: null-safe equality still plans as a HASH join (the <=> key " +
       "is hashable), never a nested loop") {
     val p = plan("q80_nullsafe_join")
