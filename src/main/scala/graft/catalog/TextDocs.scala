@@ -1489,7 +1489,86 @@ object TextDocs {
       "directed containment join (snippet-in-document >= 0.8): the " +
         "asymmetric relation Jaccard misses — exact per-pair scores " +
         "from one shingle equi-join + one count groupBy, never an " +
-        "all-pairs product; the graded form of d18's decontamination")
+        "all-pairs product; the graded form of d18's decontamination"),
+
+    QueryDef(
+      "d35_bm25",
+      (s, dir) => {
+        // BM25 lexical retrieval scoring (Robertson et al.; k1=1.2,
+        // b=0.75) for a 3-term query over the corpus — the scorer that
+        // pairs with d31's inverted index to complete the retrieval
+        // story next to the ANN tiers. Two libm/determinism moves:
+        // (1) idf is the RATIONAL proxy (N−df+0.5)/(df+0.5) — d15's
+        // ln-free discipline (ln is monotone, ranking unchanged);
+        // (2) the per-doc score is the sum of THREE FIXED COLUMNS in
+        // one syntactic order — a groupBy sum over doubles would be
+        // schedule-dependent. Every arithmetic op is IEEE double with
+        // the identical tree in the oracle, so top-20 is bit-exact.
+        // Query mixes two stopword-frequent terms with one rare term
+        // ('dup', df 26/500) so both tf saturation AND idf are
+        // load-bearing. Scale shape: stats are two aggregates, the
+        // 3-row df table and the 1-row totals broadcast; final top-20
+        // is TakeOrderedAndProject (never a global sort).
+        val terms = Seq("join", "merge", "dup")
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tot = tok.agg(count(lit(1)).as("ll"),
+          count_distinct(col("doc_id")).as("nn"))
+        val dfT = tok.filter(col("term").isInCollection(terms))
+          .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+        val tfT = tok.filter(col("term").isInCollection(terms))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val scored = tfT.join(broadcast(dfT), "term").join(dl, "doc_id")
+          .crossJoin(broadcast(tot)) // 1 row
+          .withColumn("score",
+            (col("nn") - col("df") + 0.5) / (col("df") + 0.5) *
+              (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") * col("nn") / col("ll"))))
+        def sTerm(tm: String) = coalesce(
+          max(when(col("term") === tm, col("score"))), lit(0.0))
+        scored.groupBy("doc_id")
+          .agg(sTerm("join").as("s_join"), sTerm("merge").as("s_merge"),
+            sTerm("dup").as("s_dup"))
+          .withColumn("bm25", col("s_join") + col("s_merge") + col("s_dup"))
+          .select("doc_id", "bm25")
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        tk2 AS (SELECT * FROM tk WHERE term <> ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk2 GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS ll, COUNT(DISTINCT doc_id) AS nn
+                FROM tk2),
+        dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk2
+                WHERE term IN ('join', 'merge', 'dup') GROUP BY 1),
+        tft AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk2
+                WHERE term IN ('join', 'merge', 'dup') GROUP BY 1, 2),
+        scored AS (
+          SELECT t.doc_id, t.term,
+            (nn - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) *
+              (tf * CAST(2.2 AS DOUBLE)) /
+              (tf + CAST(1.2 AS DOUBLE) *
+                (CAST(0.25 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * dl * nn / ll)) AS score
+          FROM tft t JOIN dft USING (term) JOIN dl USING (doc_id), tot),
+        psc AS (SELECT doc_id,
+            COALESCE(MAX(CASE WHEN term = 'join' THEN score END),
+              CAST(0 AS DOUBLE)) AS s_join,
+            COALESCE(MAX(CASE WHEN term = 'merge' THEN score END),
+              CAST(0 AS DOUBLE)) AS s_merge,
+            COALESCE(MAX(CASE WHEN term = 'dup' THEN score END),
+              CAST(0 AS DOUBLE)) AS s_dup
+          FROM scored GROUP BY doc_id)
+        SELECT doc_id, s_join + s_merge + s_dup AS bm25
+        FROM psc ORDER BY bm25 DESC, doc_id LIMIT 20"""),
+      "BM25 top-20 retrieval (k1=1.2, b=0.75, rational idf proxy — " +
+        "d15's ln-free discipline): fixed-column per-term sums keep the " +
+        "double math schedule-independent and bit-exact vs the oracle; " +
+        "stats broadcast, top-k is TakeOrderedAndProject")
   )
 
 }

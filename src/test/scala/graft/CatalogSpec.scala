@@ -519,6 +519,20 @@ class CatalogSpec extends SparkSuite {
     assert(rows.count(_.isNullAt(0)) == 1)
   }
 
+  test("d35 BM25: rarity wins — every top-5 doc contains the rare " +
+      "query term, and the ranking is strictly ordered") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("d35_bm25")(spark, sf).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val dupDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(array_contains(split(trim(col("text")), " +"), "dup"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.take(5).forall(r => dupDocs.contains(r.getLong(0))),
+      "idf must dominate: rare-term docs outrank tf-heavy common-term docs")
+  }
+
   test("q81 concurrency sweep: never negative, ends at exactly zero, " +
       "and genuinely overlaps") {
     val rows = SparkEntry.queries("q81_concurrency")(spark, sf).collect()

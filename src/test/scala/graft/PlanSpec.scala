@@ -528,6 +528,13 @@ class PlanSpec extends SparkSuite {
       s"prefix offsets must attach by broadcast:\n$p")
   }
 
+  test("d35: BM25 top-20 plans as TakeOrderedAndProject — never a " +
+      "global sort of every scored document") {
+    val p = plan("d35_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bounded top-k must not global-sort:\n$p")
+  }
+
   test("q80: null-safe equality still plans as a HASH join (the <=> key " +
       "is hashable), never a nested loop") {
     val p = plan("q80_nullsafe_join")
