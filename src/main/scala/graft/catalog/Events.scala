@@ -511,6 +511,54 @@ object Events {
       "interval-overlap concurrency sweep: +1/-1 boundaries, global " +
         "running sum WITHOUT SinglePartition — range partition + " +
         "within-partition partial sums + broadcast prefix offsets " +
-        "(q54's scalable pattern generalized from counting to summing)")
+        "(q54's scalable pattern generalized from counting to summing)"),
+
+    QueryDef(
+      "ev_session_window",
+      (s, dir) =>
+        // Spark's BUILT-IN session_window against ev_session's manual
+        // lag/island algorithm: the two must agree exactly — merge when
+        // the next event starts strictly inside [last, last+30min), new
+        // session at exactly +30min (the built-in's half-open interval
+        // overlap == the manual >= gap test). The oracle is the SAME
+        // island CTE as ev_session, so a green row here cross-validates
+        // the built-in operator against the independent DuckDB
+        // recurrence. The same expression drives streaming
+        // sessionization with a watermark (Spark merges sessions in the
+        // state store) — this is the batch face of that surface; the
+        // custom state-store variants (timeoutSessions) remain for
+        // emit-on-timeout semantics the built-in cannot express.
+        t(s, dir, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(min(col("ts")).as("session_start"),
+            count(lit(1)).as("n_events"),
+            sum(d2(col("value"))).cast("double").as("session_value"))
+          .select(col("user_id"), col("session_start"), col("n_events"),
+            col("session_value"))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+            LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+              (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+          FROM events),
+        g AS (
+          SELECT *, CASE WHEN prev_us IS NULL
+              OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+        sess AS (
+          SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+          FROM g)
+        SELECT user_id, MIN(ts) AS session_start,
+          COUNT(*) AS n_events,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+            AS session_value
+        FROM sess GROUP BY user_id, sess_id
+        ORDER BY user_id, session_start"""),
+      "built-in session_window vs the manual island algorithm: exact " +
+        "agreement including the boundary (new session at exactly " +
+        "+30min) — cross-validates Spark's native session operator " +
+        "against the independent DuckDB recurrence")
   )
 }
