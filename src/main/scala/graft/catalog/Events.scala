@@ -559,6 +559,38 @@ object Events {
       "built-in session_window vs the manual island algorithm: exact " +
         "agreement including the boundary (new session at exactly " +
         "+30min) — cross-validates Spark's native session operator " +
-        "against the independent DuckDB recurrence")
+        "against the independent DuckDB recurrence"),
+
+    QueryDef(
+      "ev_trending",
+      (s, dir) => {
+        // Trending keys: top-3 props.k per 1-hour window by count with
+        // the deterministic (cnt desc, k asc) tie-break. The windowed
+        // count is ONE aggregation (streaming-legal in append mode —
+        // EventStreams.trendingCounts is the identical code with a
+        // watermark; StreamingSpec pins parity), and the per-window
+        // top-3 runs through the native O(k)-memory TopKPerKey operator
+        // — a hot window never buffers its full key distribution. The
+        // dashboard staple: what's hot right now, incrementally.
+        val counts = graft.streaming.EventStreams
+          .trendingCounts(t(s, dir, "events"))
+        graft.plans.TopKPerKey.of(counts, Seq("ws"),
+          Seq("cnt" -> false, "k" -> true), 3)
+          .select("ws", "k", "cnt")
+          .orderBy(col("ws"), col("cnt").desc, col("k"))
+      },
+      Some("""WITH c AS (
+          SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+            COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws
+            ORDER BY cnt DESC, k ASC) AS rn FROM c)
+        SELECT ws, k, cnt FROM r WHERE rn <= 3
+        ORDER BY ws, cnt DESC, k"""),
+      "trending top-3 keys per hour: one streaming-legal windowed count " +
+        "+ the native O(k) TopKPerKey per window (deterministic " +
+        "tie-break); same code runs watermarked in append mode — " +
+        "StreamingSpec pins streaming == batch")
   )
 }

@@ -1447,6 +1447,10 @@ object TextDocs {
         // the d21 count-join at heart and scales the same way.
         val tk = t(s, dir, "documents")
           .select(col("doc_id"), toks(col("text")).as("tok"))
+          .cache() // barrier: the shingle lambdas below reference tok 3x
+        //             per element — without it CollapseProject inlines the
+        //             regex split into every element_at (the minhashLshPairs
+        //             lesson; measured 8.4s -> ~1s at sf0.1)
         val d = tk.filter(size(col("tok")) >= 3)
           .select(col("doc_id"), Approx.shinglesOfTokens(col("tok")).as("sh"))
         val sn = tk.filter(col("doc_id") % 29 === 0)

@@ -73,6 +73,21 @@ object EventStreams {
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
       .select(col("window.start").as("ws"), col("n_events"), col("total_value"))
 
+  /** Trending-key counts: per 1-hour window, how often each `k` (from
+    * the props JSON) occurred. ONE windowed aggregation — legal in
+    * append-mode streaming — whose finalized rows feed a per-window
+    * top-K post-pass (the native O(k) TopKPerKey in the batch/catalog
+    * face, the same operator applied over the sink table in the
+    * streaming face; streaming can't stack a second aggregation before
+    * the watermark finalizes the first). */
+  def trendingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("k"), col("cnt"))
+
   /** 30-minute-gap session windows per user (streaming-native twin of the
     * batch islands query ev_session). */
   def sessionWindows(events: DataFrame): DataFrame =

@@ -37,6 +37,22 @@ class StreamingSpec extends SparkSuite {
     assert(got.toSeq.map(_._2).sum == 2 * n)
   }
 
+  test("streaming trending counts + batch TopKPerKey post-pass == the " +
+      "batch ev_trending rows") {
+    val stream = EventStreams.readStream(spark, sf)
+    val counts = EventStreams.runToMemory(spark,
+      EventStreams.trendingCounts(stream), "trending", OutputMode.Complete)
+    val got = graft.plans.TopKPerKey.of(counts, Seq("ws"),
+      Seq("cnt" -> false, "k" -> true), 3)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("ws"),
+        r.getAs[Long]("k"), r.getAs[Long]("cnt"))).toSet
+    val batch = SparkEntry.queries("ev_trending")(spark, sf)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("ws"),
+        r.getAs[Long]("k"), r.getAs[Long]("cnt"))).toSet
+    assert(got == batch,
+      "the finalized streaming counts must select the identical top-3")
+  }
+
   test("streaming session windows match batch islands session count") {
     val stream = EventStreams.readStream(spark, sf)
     val sessions = EventStreams.runToMemory(spark,
