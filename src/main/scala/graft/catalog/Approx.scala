@@ -178,6 +178,68 @@ object Approx {
       SELECT q_id, c_id, rk, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
+  /** e11/e12 shared training loop — integer fixed-point Lloyd k-means
+    * (K=8, 3 iterations; see e11's scaladoc for the determinism
+    * argument). Returns (quantized long-format corpus, final codebook
+    * c3, final training assignment a3). */
+  private def lloydTrain(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import Tables.t
+    val KCells = 8
+    val iters = 3
+    val qflat = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        floor(col("col").cast("double") * 1000000L).as("q"))
+      .localCheckpoint() // read twice per iteration x 3 iterations
+    var cent = qflat.filter(col("vec_id") < KCells)
+      .select(col("vec_id").as("cell"), col("dim"), col("q").as("c"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      val dists = qflat.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      assign = dists.groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cell"))).as("best"))
+        .select(col("vec_id"), col("best").getField("cell").as("cell"))
+      val upd = assign.join(qflat, "vec_id")
+        .groupBy(col("cell"), col("dim"))
+        .agg(expr("sum(q) div count(1)").as("cn"))
+      cent = cent.join(upd, Seq("cell", "dim"), "left")
+        .select(col("cell"), col("dim"),
+          coalesce(col("cn"), col("c")).as("c"))
+        .localCheckpoint()
+    }
+    (qflat, cent, assign)
+  }
+
+  /** the e11 training recurrence as oracle CTEs (q0, c0, d1..a3..c3) —
+    * e11 selects from a3; e12 chains its serving CTEs on c3. */
+  private val kmeansCtes: String = {
+    val steps = (1 to 3).map { k =>
+      s"""d$k AS (SELECT f.vec_id, c.cell,
+            SUM((f.q - c.c) * (f.q - c.c)) AS dist
+          FROM q0 f JOIN c${k - 1} c USING (dim) GROUP BY 1, 2),
+        a$k AS (SELECT vec_id, cell FROM d$k
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) = 1),
+        c$k AS (SELECT c${k - 1}.cell, c${k - 1}.dim,
+            COALESCE(n.cn, c${k - 1}.c) AS c
+          FROM c${k - 1} LEFT JOIN (
+            SELECT a.cell, f.dim, SUM(f.q) // COUNT(*) AS cn
+            FROM a$k a JOIN q0 f USING (vec_id) GROUP BY 1, 2) n
+          USING (cell, dim))"""
+    }.mkString(",\n        ")
+    s"""q0 AS (
+          SELECT vec_id, i AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+              AS q
+          FROM embeddings, range(1, 65) t(i)),
+        c0 AS (SELECT vec_id AS cell, dim, q AS c FROM q0 WHERE vec_id < 8),
+        $steps"""
+  }
+
   private def e3OracleSql: String = {
     val dims = 64
     def centroid(c: Int): Seq[Double] =
@@ -954,61 +1016,89 @@ object Approx {
         // <= 1e-6 per coordinate — at 100 TB you train on a sample and
         // serve approximate cells anyway; determinism is worth far more
         // than the 7th decimal.
-        val KCells = 8
-        val iters = 3
-        val qflat = t(s, dir, "embeddings")
-          .select(col("vec_id"), posexplode(col("embedding")))
-          .select(col("vec_id"), (col("pos") + 1).as("dim"),
-            floor(col("col").cast("double") * 1000000L).as("q"))
-          .localCheckpoint() // read twice per iteration x 3 iterations
-        var cent = qflat.filter(col("vec_id") < KCells)
-          .select(col("vec_id").as("cell"), col("dim"), col("q").as("c"))
-          .localCheckpoint()
-        var assign: DataFrame = null
-        for (_ <- 1 to iters) {
-          val dists = qflat.join(broadcast(cent), "dim")
-            .groupBy(col("vec_id"), col("cell"))
-            .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
-          assign = dists.groupBy("vec_id")
-            .agg(min(struct(col("dist"), col("cell"))).as("best"))
-            .select(col("vec_id"), col("best").getField("cell").as("cell"))
-          val upd = assign.join(qflat, "vec_id")
-            .groupBy(col("cell"), col("dim"))
-            .agg(expr("sum(q) div count(1)").as("cn"))
-          cent = cent.join(upd, Seq("cell", "dim"), "left")
-            .select(col("cell"), col("dim"),
-              coalesce(col("cn"), col("c")).as("c"))
-            .localCheckpoint()
-        }
+        val (_, _, assign) = lloydTrain(s, dir)
         assign.orderBy("vec_id")
       },
-      Some {
-        val steps = (1 to 3).map { k =>
-          s"""d$k AS (SELECT f.vec_id, c.cell,
-            SUM((f.q - c.c) * (f.q - c.c)) AS dist
-          FROM q0 f JOIN c${k - 1} c USING (dim) GROUP BY 1, 2),
-        a$k AS (SELECT vec_id, cell FROM d$k
-          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-            ORDER BY dist, cell) = 1),
-        c$k AS (SELECT c${k - 1}.cell, c${k - 1}.dim,
-            COALESCE(n.cn, c${k - 1}.c) AS c
-          FROM c${k - 1} LEFT JOIN (
-            SELECT a.cell, f.dim, SUM(f.q) // COUNT(*) AS cn
-            FROM a$k a JOIN q0 f USING (vec_id) GROUP BY 1, 2) n
-          USING (cell, dim))"""
-        }.mkString(",\n        ")
-        s"""WITH q0 AS (
-          SELECT vec_id, i AS dim,
-            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
-              AS q
-          FROM embeddings, range(1, 65) t(i)),
-        c0 AS (SELECT vec_id AS cell, dim, q AS c FROM q0 WHERE vec_id < 8),
-        $steps
-        SELECT vec_id, cell FROM a3 ORDER BY vec_id"""
-      },
+      Some(s"""WITH $kmeansCtes
+        SELECT vec_id, cell FROM a3 ORDER BY vec_id"""),
       "distributed Lloyd k-means (K=8, 3 iterations) in integer " +
         "fixed-point: bit-reproducible codebook training for the IVF " +
         "tier — broadcast centroid join + two bounded aggregates per " +
-        "iteration, oracle = the unrolled recurrence")
+        "iteration, oracle = the unrolled recurrence"),
+
+    QueryDef(
+      "e12_ivf_trained",
+      (s, dir) => {
+        // IVF SERVING over the TRAINED codebook — closes the loop e3
+        // opened with literal centroids: e11's Lloyd output (c3) coarse-
+        // quantizes the corpus (one more broadcast-join assignment
+        // pass), each query probes its top-2 trained cells, and the
+        // probed candidates re-rank by EXACT integer L2 over the full
+        // quantized vectors. Every stage is BIGINT math, so the entire
+        // train→assign→probe→re-rank pipeline carries one exact SQL
+        // oracle. Scale shape: probes touch 2/8 of the corpus per query
+        // (the IVF bargain); the re-rank join attaches two quantized
+        // arrays per candidate pair — e7's ADC would slot in here when
+        // even the shortlist vectors are too wide to read.
+        val (qflat, cent, _) = lloydTrain(s, dir)
+        val d4 = qflat.join(broadcast(cent), "dim")
+          .groupBy(col("vec_id"), col("cell"))
+          .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+          .localCheckpoint() // feeds BOTH the assignment and the probes
+        val a4 = d4.groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cell"))).as("best"))
+          .select(col("vec_id").as("c_id"), col("best").getField("cell").as("pcell"))
+        val wq = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+        val probes = d4.filter(col("vec_id") < 8)
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id").as("q_id"), col("cell").as("pcell"))
+        val cand = probes.join(a4, "pcell")
+          .filter(col("c_id") =!= col("q_id"))
+          .select("q_id", "c_id")
+        val qa = t(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000L)).as("qv"))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
+        cand
+          .join(qa.select(col("vec_id").as("q_id"), col("qv").as("qva")), "q_id")
+          .join(qa.select(col("vec_id").as("c_id"), col("qv").as("qvb")), "c_id")
+          .withColumn("dist", aggregate(
+            zip_with(col("qva"), col("qvb"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("q_id", "c_id", "rk", "dist")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH $kmeansCtes,
+        d4 AS (SELECT f.vec_id, c.cell,
+            SUM((f.q - c.c) * (f.q - c.c)) AS dist
+          FROM q0 f JOIN c3 c USING (dim) GROUP BY 1, 2),
+        a4 AS (SELECT vec_id AS c_id, cell AS pcell FROM d4
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) = 1),
+        probes AS (SELECT vec_id AS q_id, cell AS pcell FROM d4
+          WHERE vec_id < 8
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY dist, cell) <= 2),
+        cand AS (SELECT p.q_id, a.c_id FROM probes p JOIN a4 a USING (pcell)
+          WHERE a.c_id <> p.q_id),
+        qa AS (SELECT vec_id, list(q ORDER BY dim) AS qv FROM q0
+          GROUP BY vec_id),
+        rr AS (SELECT c.q_id, c.c_id,
+            list_reduce(list_transform(range(1, 65),
+              i -> (x.qv[i] - y.qv[i]) * (x.qv[i] - y.qv[i])),
+              (a, b) -> a + b) AS dist
+          FROM cand c
+          JOIN qa x ON x.vec_id = c.q_id
+          JOIN qa y ON y.vec_id = c.c_id)
+        SELECT q_id, c_id, rk, dist FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY dist, c_id) AS BIGINT) AS rk FROM rr)
+        WHERE rk <= 3 ORDER BY q_id, rk"""),
+      "IVF serving through the TRAINED codebook (e11's c3): assignment " +
+        "+ top-2-cell probes + exact integer-L2 re-rank, all BIGINT — " +
+        "the full train-to-serve ANN path under one exact oracle")
   )
 }

@@ -505,6 +505,15 @@ class PlanSpec extends SparkSuite {
       s"no unbounded product anywhere in Lloyd training:\n$p")
   }
 
+  test("e12: trained-IVF serving keeps the e11 shape — broadcast " +
+      "codebook, equi-join candidate probes, no corpus product") {
+    val p = plan("e12_ivf_trained")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the trained codebook must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"probe candidates must come from equi-joins only:\n$p")
+  }
+
   test("g4: each label-propagation round is an adjacency equi-join + " +
       "bounded aggregates off the checkpointed edge set") {
     val p = plan("g4_label_prop")
