@@ -591,6 +591,59 @@ object Events {
       "trending top-3 keys per hour: one streaming-legal windowed count " +
         "+ the native O(k) TopKPerKey per window (deterministic " +
         "tie-break); same code runs watermarked in append mode — " +
-        "StreamingSpec pins streaming == batch")
+        "StreamingSpec pins streaming == batch"),
+
+    QueryDef(
+      "q84_ab_test",
+      (s, dir) => {
+        // Experimentation primitive: a two-proportion z-test per metric
+        // (variant = user_id parity, conversion = purchase events).
+        // The z statistic is pure IEEE double math — counts are exact
+        // integers, and +,-,*,/,sqrt are all correctly rounded, so the
+        // IDENTICAL expression tree yields the bit-identical statistic
+        // in both engines (the e1-cosine discipline applied to a
+        // statistic). One pass: conditional aggregation per variant,
+        // 1-row frames joined — no per-variant rescan.
+        val ev = t(s, dir, "events")
+          .withColumn("variant", (col("user_id") % 2).cast("long"))
+          .withColumn("conv", when(col("event_type") === "purchase", 1L)
+            .otherwise(0L))
+        val agg = ev.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        val a = agg.filter(col("variant") === 0)
+          .select(col("n").as("n_a"), col("c").as("c_a"))
+        val b = agg.filter(col("variant") === 1)
+          .select(col("n").as("n_b"), col("c").as("c_b"))
+        a.crossJoin(b) // two 1-row frames
+          .withColumn("p_a", col("c_a").cast("double") / col("n_a"))
+          .withColumn("p_b", col("c_b").cast("double") / col("n_b"))
+          .withColumn("p_pool",
+            (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")))
+          .withColumn("z",
+            (col("p_a") - col("p_b")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .select("n_a", "c_a", "n_b", "c_b", "p_a", "p_b", "z")
+      },
+      Some("""WITH v AS (
+          SELECT user_id % 2 AS variant,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+          FROM events),
+        agg AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+          FROM v GROUP BY 1),
+        a AS (SELECT n AS n_a, c AS c_a FROM agg WHERE variant = 0),
+        b AS (SELECT n AS n_b, c AS c_b FROM agg WHERE variant = 1)
+        SELECT n_a, CAST(c_a AS BIGINT) AS c_a,
+          n_b, CAST(c_b AS BIGINT) AS c_b,
+          CAST(c_a AS DOUBLE) / n_a AS p_a,
+          CAST(c_b AS DOUBLE) / n_b AS p_b,
+          (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+            / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+              * (CAST(1.0 AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+              * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) AS z
+        FROM a, b"""),
+      "two-proportion A/B z-test in one pass: exact integer counts, " +
+        "IEEE-identical statistic (+,-,*,/,sqrt all correctly rounded) " +
+        "— bit-exact vs the oracle, no per-variant rescan")
   )
 }

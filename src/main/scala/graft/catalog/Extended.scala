@@ -1333,6 +1333,77 @@ object Extended {
         ORDER BY o.k"""),
       "null-safe equality join (<=> / IS NOT DISTINCT FROM): the null " +
         "key groups match each other instead of silently dropping — " +
-        "still a hash join (null-safe equality is hashable)")
+        "still a hash join (null-safe equality is hashable)"),
+
+    QueryDef(
+      "q82_try_arith",
+      (s, dir) => {
+        // ANSI-safe arithmetic: Spark 4 runs ANSI mode ON (a divide-by-
+        // zero or out-of-range access ERRORS instead of silently
+        // nulling), so production pipelines need the try_* escape
+        // hatches. Both failure classes are load-bearing here: every
+        // 7th custkey makes the divisor 0 (try_divide → NULL) and every
+        // order tries an out-of-bounds array index (try_element_at →
+        // NULL beyond position 3). The oracle mirrors with NULLIF and
+        // DuckDB's natively-NULL OOB list indexing; the null accounting
+        // in the aggregate proves the NULLs actually happened.
+        val arr = array(lit(10L), lit(20L), lit(30L))
+        t(s, dir, "orders")
+          .withColumn("per_bucket",
+            try_divide(d2(col("o_totalprice")), (col("o_custkey") % 7))
+              .cast("double"))
+          .withColumn("pick",
+            try_element_at(arr, (col("o_orderkey") % 5 + 1).cast("int")))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            count(col("per_bucket")).as("n_div_ok"),
+            count(col("pick")).as("n_pick_ok"),
+            sum(d2(col("pick"))).cast("double").as("pick_sum"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+          COUNT(CAST(o_totalprice AS DECIMAL(12,2))
+            / NULLIF(o_custkey % 7, 0)) AS n_div_ok,
+          COUNT(([10, 20, 30])[CAST(o_orderkey % 5 + 1 AS INT)]) AS n_pick_ok,
+          CAST(CAST(SUM(CAST(([10, 20, 30])[CAST(o_orderkey % 5 + 1 AS INT)]
+            AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS pick_sum
+        FROM orders GROUP BY 1 ORDER BY o_orderpriority"""),
+      "ANSI-safe arithmetic surface: try_divide and try_element_at " +
+        "return NULL where ANSI mode would error (divide-by-zero, " +
+        "out-of-bounds) — null accounting proves both paths fire"),
+
+    QueryDef(
+      "q83_map_ops",
+      (s, dir) => {
+        // MAP-type surface (arrays and structs are exercised all over
+        // the catalog; maps were not): build a map per order from a
+        // key:value string via str_to_map, read it back with
+        // element_at, and relationalize it with explode — the
+        // round-trip every semi-structured pipeline needs. The oracle
+        // never materializes a MAP: it recomputes the exploded
+        // relational form directly from the same string, which is
+        // exactly the point — the map column is an in-flight
+        // representation, the relational form is the data.
+        t(s, dir, "orders")
+          .withColumn("m", expr(
+            "str_to_map(concat('status:', o_orderstatus, ',prio:', o_orderpriority), ',', ':')"))
+          .withColumn("status_val", element_at(col("m"), "status"))
+          .select(col("o_orderkey"), col("status_val"),
+            explode(col("m")).as(Seq("mk", "mv")))
+          .filter(col("o_orderkey") % 97 === 0)
+          .orderBy("o_orderkey", "mk")
+      },
+      Some("""WITH m AS (
+          SELECT o_orderkey, o_orderstatus AS status_val,
+            'status' AS mk, o_orderstatus AS mv FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus,
+            'prio', o_orderpriority FROM orders)
+        SELECT o_orderkey, status_val, mk, mv FROM m
+        WHERE o_orderkey % 97 = 0
+        ORDER BY o_orderkey, mk"""),
+      "map-type surface: str_to_map build, element_at lookup, explode " +
+        "to (key, value) rows — the oracle recomputes the relational " +
+        "form without ever holding a map")
   )
 }
