@@ -131,6 +131,62 @@ object TextDocs {
             ELSE 'fr' END AS pred_lang
           FROM sc)"""
 
+  /** d32/d36 shared: exact set-similarity self-join (Jaccard >= 0.5
+    * over 3-shingle sets) via PREFIX FILTERING (Chaudhuri et al.
+    * ICDE'06, Bayardo et al. WWW'07 — public): the full-corpus,
+    * no-`doc_id <` answer to d6's bounded all-pairs, with EXACT output
+    * (unlike d7's recall-bounded LSH). Order the shingle universe
+    * rarest-first (df asc, shingle asc); a doc's prefix is its first
+    * |d| − ceil(tau·|d|) + 1 shingles in that order. Any pair with
+    * Jaccard >= tau must share a prefix shingle (overlap needed is
+    * >= ceil(tau·|d|) on each side, and the suffix is shorter than
+    * that), so an equi-join on PREFIX shingles finds every qualifying
+    * pair; the PPJoin length filter (sizes within 2x at tau = 0.5)
+    * prunes before the distinct, and exact verification computes true
+    * Jaccard from the full arrays. Scale shape: one shuffle for df,
+    * one doc-partitioned window, one equi-join on prefix shingles
+    * (rarest-first ordering keeps those buckets small by
+    * construction), pair-verify on array columns — never a
+    * corpus x corpus product. */
+  private def setsimPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = t(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+    val docs = tokens
+      .select(col("doc_id"), Approx.shinglesOfTokens(col("tok")).as("sh"))
+      .cache() // barrier: shingle arrays built once, reused 3x below
+    val flat = docs.select(col("doc_id"), explode(col("sh")).as("s1"))
+    val dfreq = flat.groupBy("s1").agg(count(lit(1)).as("df"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s1"))
+    // tau = 0.5: prefix length |d| - ceil(|d|/2) + 1, integer-exact
+    val prefix = flat.join(dfreq, "s1")
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
+      .select("s1", "doc_id", "sz")
+      .cache() // barrier: both sides of the candidate self-join read the
+    //             SAME prefix table — without it the df aggregate and
+    //             the per-doc window each plan (and run) twice
+    val cand = prefix.select(col("s1"), col("doc_id").as("id_a"),
+        col("sz").as("sz_a"))
+      .join(prefix.select(col("s1"), col("doc_id").as("id_b"),
+        col("sz").as("sz_b")), "s1")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * 2 >= col("sz_b") && col("sz_b") * 2 >= col("sz_a"))
+      .select("id_a", "id_b").distinct()
+    val ja = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val jb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(ja, Seq("id_a")).join(jb, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter") * 2 >= col("uni")) // J >= 0.5 as exact ints
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("uni").cast("double"))
+          .as("jaccard"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1307,63 +1363,7 @@ object TextDocs {
 
     QueryDef(
       "d32_setsim_join",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        // Exact set-similarity self-join (Jaccard >= 0.5 over 3-shingle
-        // sets) via PREFIX FILTERING (Chaudhuri et al. ICDE'06, Bayardo
-        // et al. WWW'07 — public): the full-corpus, no-`doc_id <` answer
-        // to d6's bounded all-pairs, with EXACT output (unlike d7's
-        // recall-bounded LSH). Order the shingle universe rarest-first
-        // (df asc, shingle asc); a doc's prefix is its first
-        // |d| - ceil(tau*|d|) + 1 shingles in that order. Any pair with
-        // Jaccard >= tau must share a prefix shingle (overlap needed is
-        // >= ceil(tau*|d|) on each side, and the suffix is shorter than
-        // that), so an equi-join on PREFIX shingles finds every
-        // qualifying pair; exact verification then computes true Jaccard
-        // from the full arrays. Scale shape: one shuffle for df, one
-        // doc-partitioned window, one equi-join on prefix shingles
-        // (rarest-first ordering keeps those buckets small by
-        // construction), pair-verify on array columns — never a
-        // corpus x corpus product.
-        val tokens = t(s, dir, "documents")
-          .select(col("doc_id"), toks(col("text")).as("tok"))
-          .filter(size(col("tok")) >= 3)
-        val docs = tokens
-          .select(col("doc_id"), Approx.shinglesOfTokens(col("tok")).as("sh"))
-          .cache() // barrier: shingle arrays built once, reused 3x below
-        val flat = docs.select(col("doc_id"), explode(col("sh")).as("s1"))
-        val dfreq = flat.groupBy("s1").agg(count(lit(1)).as("df"))
-        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s1"))
-        // tau = 0.5: prefix length |d| - ceil(|d|/2) + 1, integer-exact
-        val prefix = flat.join(dfreq, "s1")
-          .withColumn("rn", row_number().over(wDoc))
-          .join(sizes, "doc_id")
-          .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
-          .select("s1", "doc_id", "sz")
-          .cache() // barrier: both sides of the candidate self-join read
-        //             the SAME prefix table — without it the df aggregate
-        //             and the per-doc window each plan (and run) twice
-        // length filter (standard PPJoin companion): J >= 0.5 forces
-        // |a| and |b| within 2x of each other — prune before the distinct
-        val cand = prefix.select(col("s1"), col("doc_id").as("id_a"),
-            col("sz").as("sz_a"))
-          .join(prefix.select(col("s1"), col("doc_id").as("id_b"),
-            col("sz").as("sz_b")), "s1")
-          .filter(col("id_a") < col("id_b") &&
-            col("sz_a") * 2 >= col("sz_b") && col("sz_b") * 2 >= col("sz_a"))
-          .select("id_a", "id_b").distinct()
-        val ja = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val jb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        cand.join(ja, Seq("id_a")).join(jb, Seq("id_b"))
-          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-          .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-          .filter(col("inter") * 2 >= col("uni")) // J >= 0.5 as exact ints
-          .select(col("id_a"), col("id_b"),
-            (col("inter").cast("double") / col("uni").cast("double"))
-              .as("jaccard"))
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) => setsimPairs(s, dir).orderBy("id_a", "id_b"),
       // The oracle proves EXACTNESS independently of prefix filtering:
       // it finds pairs by the shared-shingle equi-join (any pair with
       // J > 0 shares a shingle) and counts intersections directly —
@@ -1572,7 +1572,83 @@ object TextDocs {
       "BM25 top-20 retrieval (k1=1.2, b=0.75, rational idf proxy — " +
         "d15's ln-free discipline): fixed-column per-term sums keep the " +
         "double math schedule-independent and bit-exact vs the oracle; " +
-        "stats broadcast, top-k is TakeOrderedAndProject")
+        "stats broadcast, top-k is TakeOrderedAndProject"),
+
+    QueryDef(
+      "d36_pair_mining",
+      (s, dir) => {
+        // Contrastive pair mining — the supervision step of embedding-
+        // model training (SimCSE/CLIP-style): positives are the corpus's
+        // REAL near-duplicate pairs (d32's exact Jaccard >= 0.5 join,
+        // read as supervision instead of waste — this corpus has no
+        // byte-identical dups, so exact-fingerprint positives would be
+        // vacuous), negatives are hash-derived pseudo-random partners
+        // anti-joined against the positive set so a sampled "negative"
+        // can never be a true near-dup. Everything is deterministic —
+        // the negative generator is a pure function of the anchor id
+        // (the d22/d27 stability argument applied to pair sampling), so
+        // the mined set is reproducible run-to-run. Scale shape: the
+        // positive mine is d32's prefix-filtered join; negatives are
+        // two id equi-joins + one normalized equi anti-join; no RNG, no
+        // corpus product.
+        val n = t(s, dir, "documents").count()
+        val posPairs = setsimPairs(s, dir)
+          .select(col("id_a"), col("id_b")).cache() // read 2x: pos + anti
+        val pos = posPairs
+          .select(col("id_a").as("anchor"), col("id_b").as("other"),
+            lit(1L).as("label"))
+        val anchors = pos.select("anchor").distinct()
+        val negCand = anchors
+          .withColumn("other", explode(array(
+            (col("anchor") * 7 + 13) % n, (col("anchor") * 31 + 7) % n)))
+          .filter(col("other") =!= col("anchor"))
+          .distinct()
+        val negs = negCand
+          .withColumn("lo", least(col("anchor"), col("other")))
+          .withColumn("hi", greatest(col("anchor"), col("other")))
+          .join(posPairs.select(col("id_a").as("lo"), col("id_b").as("hi")),
+            Seq("lo", "hi"), "left_anti") // normalized equi anti-join
+          .select(col("anchor"), col("other"), lit(0L).as("label"))
+        pos.unionAll(negs).orderBy("anchor", "other", "label")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len($toksSql) - 1),
+            i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))
+            AS sh
+          FROM documents WHERE len($toksSql) >= 3),
+        sp AS (SELECT doc_id, unnest(sh) AS s1 FROM d),
+        sz AS (SELECT doc_id, len(sh) AS nsh FROM d),
+        io AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+               FROM sp a JOIN sp b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pos AS (SELECT id_a AS anchor, id_b AS other,
+            CAST(1 AS BIGINT) AS label
+          FROM io
+          JOIN sz na ON io.id_a = na.doc_id
+          JOIN sz nb ON io.id_b = nb.doc_id
+          WHERE 2 * i >= na.nsh + nb.nsh - i),
+        anchors AS (SELECT DISTINCT anchor FROM pos),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        negcand AS (
+          SELECT DISTINCT anchor, other FROM (
+            SELECT anchor, (anchor * 7 + 13) % n AS other FROM anchors, nn
+            UNION ALL
+            SELECT anchor, (anchor * 31 + 7) % n FROM anchors, nn)
+          WHERE other <> anchor),
+        negs AS (
+          SELECT c.anchor, c.other, CAST(0 AS BIGINT) AS label
+          FROM negcand c
+          LEFT JOIN pos p ON p.anchor = LEAST(c.anchor, c.other)
+            AND p.other = GREATEST(c.anchor, c.other)
+          WHERE p.anchor IS NULL)
+        SELECT anchor, other, label FROM pos
+        UNION ALL SELECT anchor, other, label FROM negs
+        ORDER BY anchor, other, label"""),
+      "contrastive pair mining: real near-dup pairs (d32's exact " +
+        "setsim join) as positives, hash-derived deterministic " +
+        "negatives anti-joined against the positive set — reproducible " +
+        "supervision for embedding training, all equi-joins")
   )
 
 }

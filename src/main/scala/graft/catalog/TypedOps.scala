@@ -60,6 +60,56 @@ object TypedOps {
           FROM documents) WHERE rk = 1 ORDER BY source"""),
       "typed Aggregator[IN,BUF,OUT] via groupByKey().agg(): per-source " +
         "argmax with deterministic tiebreak — the custom-UDAF escape " +
-        "hatch, O(1) buffer, order-independent merge")
+        "hatch, O(1) buffer, order-independent merge"),
+
+    QueryDef(
+      "q85_typed_cogroup",
+      (s, dir) => {
+        // KeyValueGroupedDataset.cogroup — the one typed escape hatch
+        // q55's Aggregator doesn't cover: both sides group on the key
+        // and an arbitrary function sees the two iterators together
+        // (the imperative form of a full-outer join + aggregate, for
+        // logic genuinely beyond declarative ops). Determinism
+        // discipline inside the lambda: per-order money converts to
+        // BigDecimal and sums exactly (decimal addition is
+        // order-independent, so iterator order — which Spark does NOT
+        // guarantee — cannot change the result), then one correctly-
+        // rounded doubleValue at the end. Customers with no orders
+        // emit the zero row the oracle's LEFT JOIN produces. Plans as
+        // one CoGroup over two shuffles — same cost as the join it
+        // mirrors; use the declarative form unless the lambda earns
+        // its keep.
+        import s.implicits._
+        val c = Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .as[(Long, String)]
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice"))
+          .as[(Long, Double)]
+        c.groupByKey(_._1).cogroup(o.groupByKey(_._1)) { (k, cs, os) =>
+          val cl = cs.toList
+          if (cl.isEmpty) Iterator.empty // orphan orders: none in TPC-H
+          else {
+            var n = 0L
+            var total = java.math.BigDecimal.ZERO
+            os.foreach { x =>
+              n += 1
+              total = total.add(java.math.BigDecimal.valueOf(x._2))
+            }
+            Iterator((k, cl.head._2, n, total.doubleValue))
+          }
+        }.toDF("c_custkey", "segment", "n_orders", "total_spend")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment AS segment,
+          COUNT(o_custkey) AS n_orders,
+          CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))),
+            0) AS VARCHAR) AS DOUBLE) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2 ORDER BY c_custkey"""),
+      "typed cogroup (KeyValueGroupedDataset): both sides' iterators in " +
+        "one lambda — the imperative escape hatch; BigDecimal sums keep " +
+        "the result independent of Spark's unguaranteed iterator order, " +
+        "matching the LEFT JOIN + aggregate oracle exactly")
   )
 }
