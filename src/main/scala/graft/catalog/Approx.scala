@@ -178,11 +178,32 @@ object Approx {
       SELECT q_id, c_id, rk, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
-  /** e11/e12 shared training loop — integer fixed-point Lloyd k-means
-    * (K=8, 3 iterations; see e11's scaladoc for the determinism
-    * argument). Returns (quantized long-format corpus, final codebook
-    * c3, final training assignment a3). */
+  /** e11/e12 each need the trained codebook; train once per
+    * (session, dir) — the checkpointed RDDs stay valid for the session
+    * lifetime, and the WeakHashMap lets a closed session's entries be
+    * collected (the E2E memoization discipline). Training is
+    * bit-deterministic, so memoization is invisible to results. */
+  private val trained = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (DataFrame, DataFrame, DataFrame)]]())
+
   private def lloydTrain(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val perDir = trained.synchronized {
+      var m = trained.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; trained.put(s, m) }
+      m
+    }
+    perDir.synchronized {
+      perDir.getOrElseUpdate(dir, lloydTrainUncached(s, dir))
+    }
+  }
+
+  /** integer fixed-point Lloyd k-means (K=8, 3 iterations; see e11's
+    * scaladoc for the determinism argument). Returns (quantized
+    * long-format corpus, final codebook c3, final training assignment
+    * a3). */
+  private def lloydTrainUncached(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import Tables.t
     val KCells = 8
