@@ -1404,6 +1404,72 @@ object Extended {
         ORDER BY o_orderkey, mk"""),
       "map-type surface: str_to_map build, element_at lookup, explode " +
         "to (key, value) rows — the oracle recomputes the relational " +
-        "form without ever holding a map")
+        "form without ever holding a map"),
+
+    QueryDef(
+      "q86_skyline",
+      (s, dir) => {
+        // Pareto skyline (maximize price AND recency): the points no
+        // other point beats on both axes. The textbook formulation is a
+        // quadratic NOT EXISTS self-join; the 2-D skyline collapses to
+        // ONE descending running max — a point survives iff its y is
+        // the max of its x-group AND strictly above every y seen at
+        // larger x. That running max is GLOBAL, so it runs through the
+        // q81 machinery (range partition by x desc + per-partition max
+        // + broadcast prefix offsets) instead of a SinglePartition
+        // window — the driver sees one value per partition. Dates
+        // compare as epoch days (exact ints). CatalogSpec cross-checks
+        // against the quadratic dominance definition at sf0.001.
+        import org.apache.spark.sql.expressions.Window
+        val pts = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderdate").cast("date").as("odate"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).as("yd"))
+        val gx = pts.groupBy(col("price")).agg(max(col("yd")).as("gyd"))
+        val parted = gx.repartitionByRange(col("price").desc)
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint() // pin pid assignment across the two jobs
+        val pmax = parted.groupBy("pid").agg(max(col("gyd")).as("pm"))
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).sortBy(_._1)
+        var run: Option[Int] = None
+        val offsets = pmax.map { case (pid, pm) =>
+          val o = (pid, run.map(_.toLong))
+          run = Some(run.fold(pm)(math.max(_, pm)))
+          o
+        }.toSeq
+        import s.implicits._
+        val offDf = offsets.toDF("pid", "off")
+        val w = Window.partitionBy(col("pid")).orderBy(col("price").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = parted
+          .withColumn("wmax", max(col("gyd")).over(w).cast("long"))
+          .join(broadcast(offDf), "pid")
+          .withColumn("maxgt", greatest(col("wmax"), col("off")))
+        pts.join(ranked.select("price", "gyd", "maxgt"), "price")
+          .filter(col("yd") === col("gyd") &&
+            (col("maxgt").isNull || col("gyd") > col("maxgt")))
+          .select(col("o_orderkey"), col("price"), col("odate"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH pts AS (
+          SELECT o_orderkey, o_totalprice AS price,
+            CAST(o_orderdate AS DATE) AS odate,
+            datediff('day', DATE '1970-01-01',
+              CAST(o_orderdate AS DATE)) AS yd
+          FROM orders),
+        gx AS (SELECT price, MAX(yd) AS gyd FROM pts GROUP BY price),
+        rm AS (SELECT price, gyd,
+            MAX(gyd) OVER (ORDER BY price DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxgt
+          FROM gx)
+        SELECT p.o_orderkey, p.price, p.odate
+        FROM pts p JOIN rm USING (price)
+        WHERE p.yd = rm.gyd AND (rm.maxgt IS NULL OR rm.gyd > rm.maxgt)
+        ORDER BY p.o_orderkey"""),
+      "2-D Pareto skyline via ONE descending running max instead of the " +
+        "quadratic dominance join — global prefix max through the q81 " +
+        "range-partition machinery, no SinglePartition; quadratic " +
+        "cross-check pinned in CatalogSpec")
   )
 }

@@ -533,6 +533,24 @@ class CatalogSpec extends SparkSuite {
       "idf must dominate: rare-term docs outrank tf-heavy common-term docs")
   }
 
+  test("q86 skyline: the running-max formulation equals the quadratic " +
+      "dominance definition exactly") {
+    val got = SparkEntry.queries("q86_skyline")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val pts = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice").as("x"),
+        col("o_orderdate").cast("date").cast("string").as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y)
+      }
+    }.map(_._1).toSet
+    assert(got.nonEmpty && got == brute,
+      s"skyline must match brute-force dominance: got ${got.size}, " +
+        s"brute ${brute.size}")
+  }
+
   test("q81 concurrency sweep: never negative, ends at exactly zero, " +
       "and genuinely overlaps") {
     val rows = SparkEntry.queries("q81_concurrency")(spark, sf).collect()

@@ -528,6 +528,13 @@ class PlanSpec extends SparkSuite {
       s"containment must stay count-join shaped:\n$p")
   }
 
+  test("q86: the skyline's global running max never plans a " +
+      "SinglePartition exchange") {
+    val p = plan("q86_skyline")
+    assert(!p.contains("SinglePartition"),
+      s"the descending prefix max must not funnel through one task:\n$p")
+  }
+
   test("q81: the global running sum never plans a SinglePartition " +
       "exchange — range partitions + broadcast prefix offsets instead") {
     val p = plan("q81_concurrency")
