@@ -1007,6 +1007,58 @@ object Approx {
         "partition-wise batch shape as mm5, no shuffle"),
 
     QueryDef(
+      "mm8_ahash_dedup",
+      (s, dir) => {
+        // Media dedup by perceptual hash — the multimodal twin of d1:
+        // a corpus of re-used creatives (class = id % 40) where every
+        // 5th payload carries a one-byte brightness bump that breaks
+        // byte-exact hashing but (usually) not the perceptual aHash.
+        // One decode+hash pass, one window over the hash — cluster
+        // assignment (representative + size) per image, exactly the
+        // d1 shape over pixels instead of text. The oracle recomputes
+        // every sampled 8x8 gray value, the truncating mean, and the
+        // 64-bit threshold string from the generation formula: an
+        // off-by-one in resample coordinates, gray math, or the noise
+        // path diverges the hash of every image.
+        val h = graft.functions.Multimodal.ahashBits(
+          t(s, dir, "documents").select(col("doc_id")))
+        val w = Window.partitionBy(col("ahash"))
+        h.withColumn("rep", min(col("media_id")).over(w))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 40 AS cls,
+            (doc_id % 40) % 13 + 4 AS w, (doc_id % 40) % 11 + 4 AS h
+          FROM documents),
+        px AS (
+          SELECT doc_id, cls, q,
+            3 * ((q // 8 * h // 8) * w + (q % 8) * w // 8) AS base
+          FROM m, range(0, 64) t(q)),
+        gg AS (
+          SELECT doc_id, q,
+            ((CASE WHEN doc_id % 5 = 1 AND base = 0
+                THEN ((cls * 31 + base * 7) % 256 + 1) % 256
+                ELSE (cls * 31 + base * 7) % 256 END)
+             + (cls * 31 + (base + 1) * 7) % 256
+             + (cls * 31 + (base + 2) * 7) % 256) // 3 AS gq
+          FROM px),
+        mn AS (SELECT doc_id, SUM(gq) // 64 AS mean FROM gg GROUP BY 1),
+        bits AS (
+          SELECT g.doc_id,
+            string_agg(CASE WHEN gq > mean THEN '1' ELSE '0' END,
+              '' ORDER BY q) AS ahash
+          FROM gg g JOIN mn USING (doc_id) GROUP BY g.doc_id)
+        SELECT doc_id AS media_id, ahash,
+          MIN(doc_id) OVER (PARTITION BY ahash) AS rep,
+          COUNT(*) OVER (PARTITION BY ahash) AS cluster_size
+        FROM bits ORDER BY media_id"""),
+      "perceptual-hash image dedup (aHash: 8x8 resample, truncating " +
+        "gray mean, 64-bit threshold string): byte-level noise that " +
+        "breaks exact hashing clusters with its class — d1's dedup " +
+        "shape over pixels, oracle recomputes every bit"),
+
+    QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")

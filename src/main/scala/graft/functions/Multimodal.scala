@@ -432,6 +432,48 @@ object Multimodal {
       }(enc)
   }
 
+  /** mm8: perceptual average-hash (aHash — public knowledge: resample
+    * to 8x8, grayscale, threshold each pixel at the mean) over a
+    * re-used-creative corpus: payload class = id % 40, and every
+    * id % 5 == 1 payload carries a one-byte brightness bump — a
+    * byte-exact hash splits those from their class, the perceptual
+    * hash usually does not (a bit only flips when the bumped gray
+    * crosses the mean). The hash is a 64-char '0'/'1' string so no
+    * engine's signed-shift semantics are in play. Same one-pass
+    * partition-wise batch shape as every mm decoder. */
+  def ahashBits(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = buildPpm(id % 40)
+          val (_, _, off) = ppmHeader(payload)
+          if (id % 5 == 1)
+            payload(off) = (((payload(off) & 0xff) + 1) % 256).toByte
+          val raster = resampleNearestRaster(payload, 8, 8)
+          val g = new Array[Int](64)
+          var p = 0
+          var sum = 0L
+          while (p < 64) {
+            g(p) = ((raster(3 * p) & 0xff) + (raster(3 * p + 1) & 0xff) +
+              (raster(3 * p + 2) & 0xff)) / 3
+            sum += g(p)
+            p += 1
+          }
+          val mean = sum / 64
+          val sb = new StringBuilder(64)
+          p = 0
+          while (p < 64) { sb.append(if (g(p) > mean) '1' else '0'); p += 1 }
+          Row(id, sb.toString)
+        }
+      }(enc)
+  }
+
   /** Magic-dispatched raster decode (throwing form — `decodeAny` is the
     * quarantining entry point for mixed corpora). */
   private[graft] def decodeImage(data: Array[Byte]): DecodedImage =
@@ -456,8 +498,11 @@ object Multimodal {
     * the standard thumbnail/normalize step before any vision model sees
     * a training batch. Handles up- AND down-sampling (source dims span
     * both sides of the target). */
-  private[graft] def resizePpmNearest(data: Array[Byte], outW: Int,
-      outH: Int): ResizedImage = {
+  /** nearest-neighbor resample of a PPM payload to outW x outH — the
+    * raster-producing core shared by mm6's resize stats and mm8's
+    * perceptual hash */
+  private def resampleNearestRaster(data: Array[Byte], outW: Int,
+      outH: Int): Array[Byte] = {
     val (w, h, off) = ppmHeader(data)
     val out = new Array[Byte](outW * outH * 3)
     var y = 0
@@ -473,6 +518,13 @@ object Multimodal {
       }
       y += 1
     }
+    out
+  }
+
+  private[graft] def resizePpmNearest(data: Array[Byte], outW: Int,
+      outH: Int): ResizedImage = {
+    val (w, h, _) = ppmHeader(data)
+    val out = resampleNearestRaster(data, outW, outH)
     var sr = 0L; var sg = 0L; var sb = 0L
     var p = 0
     while (p < outW * outH) {

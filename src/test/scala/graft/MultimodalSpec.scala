@@ -168,6 +168,46 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("aHash: the one-byte brightness bump breaks byte-exact hashing " +
+      "but not the perceptual hash — and the hash matches a direct " +
+      "recomputation") {
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("doc_id")
+    val got = Multimodal.ahashBits(ids).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent recomputation from the generation formula
+    def ref(id: Long): String = {
+      val cls = id % 40
+      val w = (cls % 13 + 4).toInt; val h = (cls % 11 + 4).toInt
+      val g = (0 until 64).map { q =>
+        val base = 3 * ((q / 8 * h / 8) * w + (q % 8) * w / 8)
+        val v = (0 until 3).map { c =>
+          val raw = ((cls * 31 + (base + c) * 7) % 256).toInt
+          if (id % 5 == 1 && base + c == 0) (raw + 1) % 256 else raw
+        }
+        (v.sum / 3)
+      }
+      val mean = g.map(_.toLong).sum / 64
+      g.map(x => if (x > mean) '1' else '0').mkString
+    }
+    (0L until 200L).foreach { id =>
+      assert(got(id) == ref(id), s"ahash mismatch for id $id")
+    }
+    // perceptual property on this corpus: every noisy variant hashes
+    // with its clean class, while the payload BYTES differ
+    (0L until 200L).filter(_ % 5 == 1).foreach { id =>
+      assert(got(id) == got(id % 40) || id == id % 40,
+        s"noisy $id must cluster with class ${id % 40}")
+    }
+    // and the bumped payload really does differ byte-wise from its class
+    val clean = Multimodal.buildPpm(1L)
+    val noisy = clean.clone()
+    val rasterOff = new String(clean, "ISO-8859-1").lastIndexOf("255\n") + 4
+    noisy(rasterOff) = (((noisy(rasterOff) & 0xff) + 1) % 256).toByte
+    assert(!java.util.Arrays.equals(clean, noisy),
+      "a byte-exact fingerprint would split the bumped payload")
+  }
+
   test("decodeImage dispatches on magic and rejects unknown formats") {
     assert(Multimodal.decodeImage(Multimodal.buildPpm(3L))
       == Multimodal.decodePpm(Multimodal.buildPpm(3L)))
