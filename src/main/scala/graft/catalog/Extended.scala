@@ -1470,6 +1470,46 @@ object Extended {
       "2-D Pareto skyline via ONE descending running max instead of the " +
         "quadratic dominance join — global prefix max through the q81 " +
         "range-partition machinery, no SinglePartition; quadratic " +
-        "cross-check pinned in CatalogSpec")
+        "cross-check pinned in CatalogSpec"),
+
+    QueryDef(
+      "q87_histogram",
+      (s, dir) => {
+        // Equi-width histogram (20 bins over price) with INTEGER-exact
+        // bin assignment: prices convert to exact cents (2-decimal
+        // DECIMAL × 100), the bin is pure integer math — (c − cmin) ·
+        // 20 div (cmax − cmin + 1) — so no float boundary can put a row
+        // in different bins on different engines. The min/max frame is
+        // 1 row, broadcast; the histogram itself is one partial-final
+        // aggregate. Per-bin min/max prices come back as exact
+        // decimals. The binning primitive under every distribution
+        // dashboard, done so it hash-matches.
+        val pr = t(s, dir, "lineitem")
+          .select((d2(col("l_extendedprice")) * 100).cast("long").as("c"),
+            d2(col("l_extendedprice")).as("p"))
+        val mm = pr.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+        pr.crossJoin(broadcast(mm)) // 1 row
+          .withColumn("bin",
+            expr("(c - cmin) * 20 div (cmax - cmin + 1)"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("p")).cast("double").as("p_lo"),
+            max(col("p")).cast("double").as("p_hi"))
+          .orderBy("bin")
+      },
+      Some("""WITH pr AS (
+          SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+              AS BIGINT) AS c,
+            CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+          FROM lineitem),
+        mm AS (SELECT MIN(c) AS cmin, MAX(c) AS cmax FROM pr)
+        SELECT (c - cmin) * 20 // (cmax - cmin + 1) AS bin,
+          COUNT(*) AS n_rows,
+          CAST(CAST(MIN(p) AS VARCHAR) AS DOUBLE) AS p_lo,
+          CAST(CAST(MAX(p) AS VARCHAR) AS DOUBLE) AS p_hi
+        FROM pr, mm GROUP BY 1 ORDER BY bin"""),
+      "equi-width histogram with integer-exact binning (exact cents, " +
+        "truncating division both engines): 1-row min/max broadcast + " +
+        "one partial-final aggregate — no float boundary ambiguity")
   )
 }
