@@ -148,7 +148,27 @@ object TextDocs {
     * (rarest-first ordering keeps those buckets small by
     * construction), pair-verify on array columns — never a
     * corpus x corpus product. */
+  /** d32 and d36 both need the pair set; compute once per
+    * (session, dir) and hand back a localCheckpoint — checkpointed RDDs
+    * survive `clearCache()` (a memoized .cache() would silently
+    * recompute after it), and the WeakHashMap lets closed sessions'
+    * entries be collected. */
+  private val setsimMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]())
+
   private def setsimPairs(s: SparkSession, dir: String): DataFrame = {
+    val perDir = setsimMemo.synchronized {
+      var m = setsimMemo.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; setsimMemo.put(s, m) }
+      m
+    }
+    perDir.synchronized {
+      perDir.getOrElseUpdate(dir, setsimPairsUncached(s, dir).localCheckpoint())
+    }
+  }
+
+  private def setsimPairsUncached(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tokens = t(s, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("tok"))
