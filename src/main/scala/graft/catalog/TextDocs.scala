@@ -1668,7 +1668,82 @@ object TextDocs {
       "contrastive pair mining: real near-dup pairs (d32's exact " +
         "setsim join) as positives, hash-derived deterministic " +
         "negatives anti-joined against the positive set — reproducible " +
-        "supervision for embedding training, all equi-joins")
+        "supervision for embedding training, all equi-joins"),
+
+    QueryDef(
+      "d37_canonical_select",
+      (s, dir) => {
+        // Canonical representative selection — the "which doc do we
+        // KEEP" step that completes the dedup story: d11 keeps the
+        // min-id doc per cluster (arbitrary); real curation keeps the
+        // BEST one. Clusters come from the FULL-corpus exact setsim
+        // pairs (memoized d32 helper) via distributed connected
+        // components; the representative is the per-cluster argmax on
+        // (token count desc, doc_id asc) — a struct-min, deterministic
+        // under ties. Every doc appears (singletons are their own
+        // canonical), so the output is a complete keep/drop decision
+        // table. Scale shape: CC's equi-join rounds + one bounded
+        // struct-min aggregate + one broadcast-back join.
+        val pairs = setsimPairs(s, dir)
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks(col("text"))).cast("long").as("quality"))
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        val nodes = docs.select(col("doc_id").as("node"))
+        val cc = graft.operators.ConnectedComponents.minLabel(nodes, edges)
+        val labeled = cc.select(col("node").as("doc_id"), col("cluster"))
+          .join(docs, "doc_id")
+        val reps = labeled.groupBy("cluster")
+          .agg(min(struct((-col("quality")).as("nq"), col("doc_id")))
+            .as("best"))
+          .select(col("cluster"), col("best").getField("doc_id").as("rep"))
+        labeled.join(reps, "cluster")
+          .select(col("doc_id"), col("cluster").as("cluster_id"),
+            col("quality"), col("rep"),
+            (col("doc_id") === col("rep")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE d AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len($toksSql) - 1),
+            i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))
+            AS sh
+          FROM documents WHERE len($toksSql) >= 3),
+        sp AS (SELECT doc_id, unnest(sh) AS s1 FROM d),
+        szs AS (SELECT doc_id, len(sh) AS nsh FROM d),
+        io AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+               FROM sp a JOIN sp b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        prs AS (SELECT id_a, id_b FROM io
+          JOIN szs na ON io.id_a = na.doc_id
+          JOIN szs nb ON io.id_b = nb.doc_id
+          WHERE 2 * i >= na.nsh + nb.nsh - i),
+        docs AS (SELECT doc_id,
+            len($toksSql) AS quality
+          FROM documents),
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM prs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM prs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM docs
+          UNION
+          SELECT s.dst, r.lbl FROM reach r JOIN sym s ON r.node = s.src),
+        cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+               FROM reach GROUP BY node),
+        lab AS (SELECT c.doc_id, c.cluster_id, d2.quality
+                FROM cc c JOIN docs d2 ON c.doc_id = d2.doc_id),
+        reps AS (SELECT cluster_id, doc_id AS rep FROM lab
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+            ORDER BY quality DESC, doc_id ASC) = 1)
+        SELECT l.doc_id, l.cluster_id, l.quality, r.rep,
+          l.doc_id = r.rep AS keep
+        FROM lab l JOIN reps r USING (cluster_id)
+        ORDER BY l.doc_id"""),
+      "canonical selection: full-corpus near-dup clusters (setsim pairs " +
+        "+ distributed CC) with the BEST doc kept per cluster (quality " +
+        "argmax, deterministic tie-break) — the complete keep/drop " +
+        "decision table, singletons included")
   )
 
 }
