@@ -1510,6 +1510,65 @@ object Extended {
         FROM pr, mm GROUP BY 1 ORDER BY bin"""),
       "equi-width histogram with integer-exact binning (exact cents, " +
         "truncating division both engines): 1-row min/max broadcast + " +
-        "one partial-final aggregate — no float boundary ambiguity")
+        "one partial-final aggregate — no float boundary ambiguity"),
+
+    QueryDef(
+      "q88_ntile_nth",
+      (s, dir) => {
+        // The last unexercised window functions: ntile (equi-count
+        // bucketing — SQL defines the first buckets take the extra
+        // rows, so bucket membership is deterministic given a TOTAL
+        // order) and first_value / nth_value over the full-partition
+        // frame (constant per partition — also total-order-dependent,
+        // which is why the order carries the orderkey/linenumber
+        // tie-break). Aggregated per (flag, quartile) so the output is
+        // 12 rows of boundary-sensitive numbers: any engine
+        // disagreement about which row sits in which quartile moves a
+        // min/max and diverges the hash.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("rf"))
+          .orderBy(col("p"), col("ok"), col("ln"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            d2(col("l_extendedprice")).as("p"),
+            col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("first_p", first(col("p")).over(wf))
+          .withColumn("third_p", nth_value(col("p"), 3).over(wf))
+          .groupBy(col("rf"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("p")).cast("double").as("lo"),
+            max(col("p")).cast("double").as("hi"),
+            max(col("first_p")).cast("double").as("first_p"),
+            max(col("third_p")).cast("double").as("third_p"))
+          .orderBy("rf", "quartile")
+      },
+      Some("""WITH pr AS (
+          SELECT l_returnflag AS rf,
+            CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+            l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        wv AS (
+          SELECT rf, p,
+            CAST(NTILE(4) OVER (PARTITION BY rf ORDER BY p, ok, ln)
+              AS BIGINT) AS quartile,
+            FIRST_VALUE(p) OVER (PARTITION BY rf ORDER BY p, ok, ln
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS first_p,
+            NTH_VALUE(p, 3) OVER (PARTITION BY rf ORDER BY p, ok, ln
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS third_p
+          FROM pr)
+        SELECT rf, quartile, COUNT(*) AS n,
+          CAST(MIN(p) AS DOUBLE) AS lo, CAST(MAX(p) AS DOUBLE) AS hi,
+          CAST(MAX(first_p) AS DOUBLE) AS first_p,
+          CAST(MAX(third_p) AS DOUBLE) AS third_p
+        FROM wv GROUP BY 1, 2 ORDER BY rf, quartile"""),
+      "ntile quartile bucketing + first_value/nth_value over the full " +
+        "frame — the last window functions the catalog lacked; " +
+        "total-order tie-breaks make bucket membership deterministic, " +
+        "and per-quartile min/max catch any boundary disagreement")
   )
 }
