@@ -1569,6 +1569,57 @@ object Extended {
       "ntile quartile bucketing + first_value/nth_value over the full " +
         "frame — the last window functions the catalog lacked; " +
         "total-order tie-breaks make bucket membership deterministic, " +
-        "and per-quartile min/max catch any boundary disagreement")
+        "and per-quartile min/max catch any boundary disagreement"),
+
+    QueryDef(
+      "q89_explode_outer",
+      (s, dir) => {
+        // explode vs explode_outer: plain explode silently DROPS rows
+        // whose array is empty — in a pipeline that flattens per-doc
+        // rare-term lists, the docs with no rare terms vanish from any
+        // downstream per-doc accounting. explode_outer keeps them with
+        // a NULL element. Both run here over the same frame (rare =
+        // tokens seen < 600 times corpus-wide, so MOST docs have an
+        // empty list and the semantic difference is the majority of
+        // the output, not an edge row). The oracle reproduces
+        // explode_outer with the [NULL]-substitution identity.
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), " +"))
+            .as("term"))
+          .filter(col("term") =!= "")
+        val rare = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") < 600).select("term")
+        val perDoc = tok.join(broadcast(rare), "term")
+          .groupBy("doc_id").agg(collect_set(col("term")).as("terms"))
+        val withAll = t(s, dir, "documents").select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("terms",
+            coalesce(col("terms"), array().cast("array<string>")))
+        withAll
+          .select(col("doc_id"), explode_outer(col("terms")).as("rare_term"))
+          .orderBy("doc_id", "rare_term")
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), ' +'))
+            AS term
+          FROM documents),
+        tk2 AS (SELECT * FROM tk WHERE term <> ''),
+        rare AS (SELECT term FROM tk2 GROUP BY term
+                 HAVING COUNT(*) < 600),
+        per_doc AS (
+          SELECT t.doc_id, list_distinct(list(t.term)) AS terms
+          FROM tk2 t JOIN rare USING (term) GROUP BY t.doc_id),
+        all_docs AS (
+          SELECT d.doc_id, COALESCE(p.terms, []) AS terms
+          FROM documents d LEFT JOIN per_doc p USING (doc_id))
+        SELECT doc_id,
+          unnest(CASE WHEN len(terms) = 0
+            THEN [CAST(NULL AS VARCHAR)] ELSE terms END) AS rare_term
+        FROM all_docs
+        ORDER BY doc_id, rare_term"""),
+      "explode_outer null-preservation: docs whose rare-term list is " +
+        "empty keep a NULL row instead of vanishing — the flatten " +
+        "semantic plain explode silently breaks; oracle reproduces it " +
+        "with the [NULL]-substitution identity")
   )
 }
