@@ -259,6 +259,75 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("checkpoint recovery: the stream-stream join's buffered state " +
+      "survives a restart — interrupted run equals uninterrupted " +
+      "(file source + RocksDB store + exactly-once file sink)") {
+    // the OTHER state store a long ingest rests on: the interval join
+    // buffers each side until the watermark proves no partner can
+    // arrive; a crash mid-stream must neither drop a pending click nor
+    // re-emit a joined pair. Split point = ts order, so phase 1 ends
+    // with clicks whose purchases arrive only after the restart.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = Tables.events(spark, sf)
+      val n = ev.count().toInt
+      val first = ev.orderBy("ts", "event_id").limit(n / 2)
+      val second = ev.join(first.select("event_id"), Seq("event_id"), "left_anti")
+      def stage(df: org.apache.spark.sql.DataFrame,
+          dir: java.nio.file.Path, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_jhalf")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val ps = java.nio.file.Files.list(tmp)
+        val part =
+          try ps.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally ps.close()
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.move(part, dir.resolve(name))
+      }
+      def run(input: String, cp: String, out: String): Unit = {
+        val q = EventStreams.attributionJoin(
+            EventStreams.readStream(spark, input))
+          .writeStream.outputMode(OutputMode.Append)
+          .format("parquet")
+          .option("checkpointLocation", cp).option("path", out)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // explicit schema: a sink dir whose first phase emitted nothing
+      // has no data file to infer from
+      val joinSchema = EventStreams.attributionJoin(ev).schema
+      def result(out: String): Seq[String] =
+        spark.read.schema(joinSchema).parquet(out)
+          .collect().map(_.toString).toSeq
+      val base = java.nio.file.Files.createTempDirectory("graft_jckpt")
+      // uninterrupted control
+      val inA = base.resolve("inA"); stage(ev, inA, "events_all.parquet")
+      run(inA.toString, s"$base/cpA", s"$base/outA")
+      // interrupted: half, stop, add the rest, restart from checkpoint
+      val inB = base.resolve("inB"); stage(first, inB, "events_1.parquet")
+      run(inB.toString, s"$base/cpB", s"$base/outB")
+      val partial = result(s"$base/outB")
+      stage(second, inB, "events_2.parquet")
+      run(inB.toString, s"$base/cpB", s"$base/outB")
+      val a = result(s"$base/outB")
+      val b = result(s"$base/outA")
+      assert(partial.size < b.size,
+        "phase 1 must stop with joined pairs still pending")
+      assert(a.size == a.toSet.size, "restart must not duplicate pairs")
+      assert(a.toSet == b.toSet,
+        s"recovered join diverged: ${a.size} vs ${b.size} pairs")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mapGroupsWithState running totals cover every user") {
     val events = Tables.events(spark, sf)
     val totals = EventStreams.runningTotals(spark, events).collect()
