@@ -1059,6 +1059,60 @@ object Approx {
         "shape over pixels, oracle recomputes every bit"),
 
     QueryDef(
+      "mm9_y4m_framesample",
+      (s, dir) =>
+        // REAL video decode + frame sampling: each doc id becomes a
+        // deterministic Y4M (YUV4MPEG2) payload — the public no-codec
+        // video container (plain-text header + FRAME-prefixed raw
+        // frames). The parser must absorb header parameters in any
+        // order (id%3 varies the order), skip unknown F/I/A params,
+        // consume frame-marker parameter strings (every 3rd frame
+        // carries one), and size frames by colorspace (C444 = 3·w·h
+        // for even ids, Cmono = w·h for odd) — every non-sampled frame
+        // still has to be WALKED exactly to reach the next marker, so
+        // a size slip desynchronizes all later frames. Stride 3 over
+        // 5..24 frames covers every mod-3 residue, making the
+        // kept-count ceiling math load-bearing; y00_last (first Y byte
+        // of the last kept frame) catches any marker/offset drift. The
+        // oracle recomputes every kept byte from the generation
+        // formula; sums are exact integers, y_mean one exact division.
+        // Scale shape: one mapPartitions pass, no shuffle — frame
+        // sampling at 100 TB is a scan, never a join.
+        graft.functions.Multimodal.frameSampleY4mStats(
+          t(s, dir, "documents").select(col("doc_id")), 3)
+          .orderBy("media_id"),
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 3 AS h,
+            doc_id % 20 + 5 AS nf,
+            CASE WHEN doc_id % 2 = 0 THEN 'C444' ELSE 'Cmono' END AS cs,
+            CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS bpp
+          FROM documents),
+        k AS (
+          SELECT doc_id, w, h, nf, cs, bpp,
+            CAST(list_sum(list_transform(range(0, CAST(nf AS INT), 3),
+              f -> list_sum(list_transform(range(0, CAST(w * h AS INT)),
+                p -> (doc_id*31 + f*19 + p*7) % 256)))) AS BIGINT) AS y_sum,
+            CAST(COALESCE(list_sum(list_transform(
+              range(0, CAST(nf AS INT), 3),
+              f -> COALESCE(list_sum(list_transform(
+                range(CAST(w * h AS INT), CAST(bpp * w * h AS INT)),
+                p -> (doc_id*31 + f*19 + p*7) % 256)), 0))), 0)
+              AS BIGINT) AS uv_sum
+          FROM m)
+        SELECT doc_id AS media_id,
+          CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, cs,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST((nf + 2) // 3 AS BIGINT) AS kept,
+          y_sum, uv_sum,
+          (doc_id*31 + ((nf - 1) // 3 * 3) * 19) % 256 AS y00_last,
+          CAST(y_sum AS DOUBLE) / (((nf + 2) // 3) * w * h) AS y_mean
+        FROM k ORDER BY media_id"""),
+      "real Y4M video decode + strided frame sampling: header params " +
+        "in any order, frame-marker param strings, colorspace-dependent " +
+        "frame sizes — per-video stats over kept frames only, oracle " +
+        "from the generation formula; one-pass no-shuffle batch shape"),
+
+    QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")

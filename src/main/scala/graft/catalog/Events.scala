@@ -644,6 +644,60 @@ object Events {
         FROM a, b"""),
       "two-proportion A/B z-test in one pass: exact integer counts, " +
         "IEEE-identical statistic (+,-,*,/,sqrt all correctly rounded) " +
-        "— bit-exact vs the oracle, no per-variant rescan")
+        "— bit-exact vs the oracle, no per-variant rescan"),
+
+    QueryDef(
+      "q90_ewma",
+      (s, dir) => {
+        // Exponentially-weighted moving average per user — the classic
+        // feature-engineering smoother, made EXACT: weights are dyadic
+        // (2^-(k+1) for lag k, truncated at 8 taps), values become
+        // integer cents, so the weighted numerator Σ cents·2^(7-k) and
+        // the present-weight denominator are both exact integers and
+        // the smoothed value is ONE IEEE division of exact inputs —
+        // bit-identical in any engine, at any parallelism. Sequence
+        // starts normalize by the weights actually present (lag k
+        // null → tap skipped), so row 1 smooths to its own value.
+        // Position-dependent weights can't ride a frame SUM; the 8
+        // explicit lags all compute in ONE window pass (one physical
+        // Window node). Scale shape: one shuffle on user_id, then
+        // per-partition sorted evaluation; 100 TB of events smooth
+        // with no join and no driver state.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val cents = (d2(col("value")) * 100).cast("long")
+        val base = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), cents.as("c"))
+        val taps = (0 to 7).map { k =>
+          val wt = 1L << (7 - k)
+          val l = if (k == 0) col("c") else lag(col("c"), k).over(w)
+          (coalesce(l * wt, lit(0L)), when(l.isNotNull, wt).otherwise(0L))
+        }
+        base
+          .withColumn("num", taps.map(_._1).reduce(_ + _))
+          .withColumn("den", taps.map(_._2).reduce(_ + _))
+          .select(col("user_id"), col("event_id"),
+            (col("num").cast("double") / (col("den") * 100)).as("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+            CAST(ts AS TIMESTAMP) AS tts,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          FROM events),
+        l AS (SELECT user_id, event_id,
+            """ + (0 to 7).map { k =>
+              s"lag(c, $k) OVER (PARTITION BY user_id ORDER BY tts, event_id) AS l$k"
+            }.mkString(",\n            ") + """
+          FROM e)
+        SELECT user_id, event_id,
+          CAST(""" + (0 to 7).map(k => s"COALESCE(l$k * ${1L << (7 - k)}, 0)")
+            .mkString(" + ") + """ AS DOUBLE)
+          / ((""" + (0 to 7).map(k =>
+              s"CASE WHEN l$k IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END")
+            .mkString(" + ") + """) * 100) AS ewma
+        FROM l ORDER BY user_id, event_id"""),
+      "dyadic-weight EWMA (8 taps, 2^-(k+1)): integer-cents numerator/" +
+        "denominator, one exact division — bit-exact smoothing with one " +
+        "user_id shuffle and a single window pass")
   )
 }

@@ -72,6 +72,8 @@ object Multimodal {
       else if (data.length >= 2 && data(0) == 'B' && data(1) == 'M') "bmp"
       else if (data.length >= 4 && data(0) == 'R' && data(1) == 'I'
         && data(2) == 'F' && data(3) == 'F') "wav"
+      else if (data.length >= 4 && data(0) == 'Y' && data(1) == 'U'
+        && data(2) == 'V' && data(3) == '4') "y4m"
       else "unknown"
     try fmt match {
       case "ppm" =>
@@ -85,6 +87,9 @@ object Multimodal {
       case "wav" =>
         val d = decodeWav(data)
         DecodedAny("wav", ok = true, d.nFrames.toLong * d.nCh, d.sums.sum)
+      case "y4m" =>
+        val d = decodeY4m(data)
+        DecodedAny("y4m", ok = true, d.nFrames.toLong, d.ySum + d.uvSum)
       case _ => DecodedAny("unknown", ok = false, 0L, 0L)
     } catch {
       case scala.util.control.NonFatal(_) => DecodedAny(fmt, ok = false, 0L, 0L)
@@ -559,6 +564,144 @@ object Multimodal {
           Row(id, d.srcW.toLong, d.srcH.toLong, d.w.toLong, d.h.toLong,
             d.rLast.toLong, d.gLast.toLong, d.bLast.toLong,
             d.sumR, d.sumG, d.sumB)
+        }
+      }(enc)
+  }
+
+  // ---- REAL video decode: Y4M (YUV4MPEG2) ------------------------------
+  // The one public video container that needs no codec: a plain-text
+  // header line (`YUV4MPEG2 W.. H.. F..:.. [Ip A..:.. C..]`) followed by
+  // raw frames, each prefixed by a `FRAME[ params]\n` marker (used by
+  // ffmpeg/mjpegtools as the uncompressed interchange format). The
+  // parser is genuine: header parameters are keyed by leading letter and
+  // may appear in ANY order, unknown parameters (F/I/A/X) are skipped,
+  // frame markers may carry parameter strings that must be consumed to
+  // the newline, and the frame payload size depends on the colorspace
+  // (C444 = 3 planes of w*h, Cmono = Y only) — mis-parsing any of these
+  // desynchronizes every following frame and diverges the stats.
+
+  /** Decoded video summary over the KEPT (strided) frames: dimensions,
+    * colorspace, total vs kept frame counts, Y-plane and chroma byte
+    * sums, and the first Y byte of the LAST kept frame (any frame-size
+    * or marker slip shifts it). */
+  final case class DecodedVideo(width: Int, height: Int, cs: String,
+      nFrames: Int, kept: Int, ySum: Long, uvSum: Long, y00Last: Int)
+
+  /** Deterministic frame byte: byte `p` of frame `f` of video `id`. */
+  def y4mByte(id: Long, f: Int, p: Int): Int =
+    ((id * 31 + f.toLong * 19 + p.toLong * 7) % 256).toInt
+
+  /** Deterministic Y4M payload: w=id%9+4, h=id%7+3, frames=id%20+5
+    * (covers every mod-stride residue for small strides), colorspace
+    * C444 for even ids / Cmono for odd ids (frame size math differs),
+    * header parameter ORDER varies by id%3, and every third frame
+    * marker carries a parameter string — all real-format variation the
+    * parser must absorb. */
+  def buildY4m(id: Long): Array[Byte] = {
+    val w = (id % 9 + 4).toInt; val h = (id % 7 + 3).toInt
+    val nf = (id % 20 + 5).toInt
+    val cs = if (id % 2 == 0) "C444" else "Cmono"
+    val bpp = if (id % 2 == 0) 3 else 1
+    val header =
+      if (id % 3 == 0) s"YUV4MPEG2 $cs W$w H$h F25:1\n"
+      else s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 $cs\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(header.getBytes("US-ASCII"))
+    var f = 0
+    while (f < nf) {
+      val marker = if (f % 3 == 2) "FRAME Xgraft\n" else "FRAME\n"
+      bos.write(marker.getBytes("US-ASCII"))
+      val n = bpp * w * h
+      var p = 0
+      while (p < n) { bos.write(y4mByte(id, f, p)); p += 1 }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Parse a Y4M payload, keeping every `stride`-th frame (stride 1 =
+    * full decode). Throws on malformed/truncated input — callers that
+    * need quarantine semantics route through `decodeAny`. */
+  private[graft] def decodeY4m(data: Array[Byte], stride: Int = 1)
+      : DecodedVideo = {
+    var eol = 0
+    while (eol < data.length && data(eol) != '\n') eol += 1
+    require(eol < data.length, "unterminated Y4M header")
+    val header = new String(data, 0, eol, "US-ASCII")
+    val toks = header.split(" ")
+    require(toks.nonEmpty && toks(0) == "YUV4MPEG2", "not YUV4MPEG2")
+    var w = -1; var h = -1; var cs = "C420" // format default when absent
+    toks.iterator.drop(1).filter(_.nonEmpty).foreach { tk =>
+      tk.charAt(0) match {
+        case 'W' => w = tk.substring(1).toInt
+        case 'H' => h = tk.substring(1).toInt
+        case 'C' => cs = tk
+        case _   => () // F (rate), I (interlace), A (aspect), X (app)
+      }
+    }
+    require(w > 0 && h > 0, "missing W/H header parameters")
+    val bpp = cs match {
+      case "C444"  => 3
+      case "Cmono" => 1
+      case other => throw new IllegalArgumentException(
+        s"unsupported colorspace $other")
+    }
+    val frameBytes = bpp * w * h
+    val yBytes = w * h
+    var pos = eol + 1
+    var f = 0; var kept = 0
+    var ySum = 0L; var uvSum = 0L; var y00Last = -1
+    while (pos < data.length) {
+      require(pos + 5 <= data.length &&
+        new String(data, pos, 5, "US-ASCII") == "FRAME",
+        s"bad FRAME marker at offset $pos")
+      var e = pos + 5
+      while (e < data.length && data(e) != '\n') e += 1
+      require(e < data.length, "unterminated FRAME marker")
+      pos = e + 1
+      require(pos + frameBytes <= data.length, "truncated frame payload")
+      if (f % stride == 0) {
+        var p = 0
+        while (p < frameBytes) {
+          val v = data(pos + p) & 0xFF
+          if (p < yBytes) ySum += v else uvSum += v
+          p += 1
+        }
+        y00Last = data(pos) & 0xFF
+        kept += 1
+      }
+      pos += frameBytes
+      f += 1
+    }
+    require(f > 0, "no frames")
+    DecodedVideo(w, h, cs, f, kept, ySum, uvSum, y00Last)
+  }
+
+  /** mm9: frame-sample the video tier — build Y4M payloads per id,
+    * decode every `stride`-th frame partition-wise (the temporal
+    * analog of mm7's audio decimation, over a CONTAINER format whose
+    * frames must be walked to be skipped). One row per video; same
+    * one-pass no-shuffle batch shape as every mm decoder. */
+  def frameSampleY4mStats(ids: DataFrame, stride: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("w", LongType), StructField("h", LongType),
+      StructField("cs", StringType),
+      StructField("n_frames", LongType), StructField("kept", LongType),
+      StructField("y_sum", LongType), StructField("uv_sum", LongType),
+      StructField("y00_last", LongType),
+      StructField("y_mean", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val d = decodeY4m(buildY4m(id), stride)
+          Row(id, d.width.toLong, d.height.toLong, d.cs,
+            d.nFrames.toLong, d.kept.toLong, d.ySum, d.uvSum,
+            d.y00Last.toLong,
+            d.ySum.toDouble / (d.kept.toLong * d.width * d.height))
         }
       }(enc)
   }

@@ -168,6 +168,52 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("Y4M decode: parser matches an independent recomputation across " +
+      "both colorspaces, both header orders, frame params, and every " +
+      "mod-3 stride residue") {
+    // ids 30..41 cover C444/Cmono x header order (id%3) x nf%3 residues
+    for (id <- 30L to 41L; stride <- Seq(1, 3)) {
+      val d = Multimodal.decodeY4m(Multimodal.buildY4m(id), stride)
+      val w = (id % 9 + 4).toInt; val h = (id % 7 + 3).toInt
+      val nf = (id % 20 + 5).toInt
+      val bpp = if (id % 2 == 0) 3 else 1
+      val keptFrames = 0 until nf by stride
+      assert(d.width == w && d.height == h)
+      assert(d.cs == (if (id % 2 == 0) "C444" else "Cmono"))
+      assert(d.nFrames == nf && d.kept == keptFrames.size,
+        s"id=$id stride=$stride: kept-count math")
+      val bytes = for (f <- keptFrames; p <- 0 until bpp * w * h)
+        yield (f, p, Multimodal.y4mByte(id, f, p))
+      assert(d.ySum == bytes.collect { case (_, p, v) if p < w * h => v.toLong }.sum)
+      assert(d.uvSum == bytes.collect { case (_, p, v) if p >= w * h => v.toLong }.sum)
+      assert(d.y00Last == Multimodal.y4mByte(id, keptFrames.last, 0))
+      if (stride == 1)
+        assert(d == Multimodal.decodeY4m(Multimodal.buildY4m(id)),
+          "default decode must be the stride-1 decode")
+    }
+  }
+
+  test("Y4M decode rejects malformed payloads; decodeAny quarantines " +
+      "them and routes valid Y4M by magic") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("MPEG2 W4 H3\n".getBytes("US-ASCII"))
+    }
+    val ok = Multimodal.buildY4m(8L)
+    intercept[IllegalArgumentException] { // truncated mid-frame
+      Multimodal.decodeY4m(ok.take(ok.length - 2))
+    }
+    intercept[IllegalArgumentException] { // unsupported colorspace
+      Multimodal.decodeY4m(
+        "YUV4MPEG2 W2 H2 C420jpeg\nFRAME\nabcd".getBytes("US-ASCII"))
+    }
+    val d = Multimodal.decodeY4m(ok)
+    assert(Multimodal.decodeAny(ok)
+      == Multimodal.DecodedAny("y4m", ok = true, d.nFrames.toLong,
+        d.ySum + d.uvSum))
+    assert(Multimodal.decodeAny(ok.take(ok.length - 2))
+      == Multimodal.DecodedAny("y4m", ok = false, 0L, 0L))
+  }
+
   test("aHash: the one-byte brightness bump breaks byte-exact hashing " +
       "but not the perceptual hash — and the hash matches a direct " +
       "recomputation") {
