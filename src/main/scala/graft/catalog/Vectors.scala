@@ -287,6 +287,131 @@ object Vectors {
       "kNN majority-vote classification over the embedding column: " +
         "deterministic tie-break, exact cosine parity with e1; the vote " +
         "stage is bounded (k rows/query) and composes with e3's IVF " +
-        "candidates at scale")
+        "candidates at scale"),
+
+    QueryDef(
+      "e13_mmr_rerank",
+      (s, dir) => {
+        // MMR diversified re-rank (Carbonell & Goldstein 1998) — the
+        // serving-side step between retrieval and the user: from each
+        // query's top-8 cosine shortlist, greedily pick 4 results
+        // maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) with λ = 1/2,
+        // so near-duplicate hits (this corpus has genuine embedding
+        // near-dups — e4/e8's domain) can't fill the page. EXACT: rel
+        // and pairwise sims are the bit-identical e1 cosine, λ = 1/2
+        // scales by a power of two (exact), the score is one subtraction
+        // of exact-input IEEE ops with a (score desc, c_id) tie-break —
+        // so the greedy argmax sequence is deterministic and the whole
+        // recurrence unrolls into an exact SQL oracle (the g1
+        // discipline applied to a serving policy). Scale shape: the
+        // corpus-scale work is ONE broadcast-queries cosine pass (e1's
+        // shape — or e3/e12's IVF probes when the corpus outgrows it);
+        // everything after runs on shortlist-sized frames (≤ 8 rows per
+        // query, localCheckpoint'ed once), and the k-step greedy loop
+        // joins only shortlist×selected — never back to the corpus.
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("qv"))
+        val c = emb.select(col("vec_id").as("c_id"), dvec(col("embedding")).as("cv"))
+        import org.apache.spark.sql.expressions.Window
+        val wrel = Window.partitionBy(col("q_id"))
+          .orderBy(col("rel").desc, col("c_id").asc)
+        val sl = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+          .withColumn("rel", cosine(col("qv"), col("cv")))
+          .withColumn("rk", row_number().over(wrel))
+          .filter(col("rk") <= 8)
+          .select(col("q_id"), col("c_id"), col("rel"), col("cv"))
+          .localCheckpoint() // shortlist computed once; greedy never re-scans
+        val pr = sl.select(col("q_id"), col("c_id").as("a_id"), col("cv").as("av"))
+          .join(sl.select(col("q_id"), col("c_id").as("b_id"), col("cv").as("bv")),
+            Seq("q_id"))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("q_id"), col("a_id"), col("b_id"),
+            cosine(col("av"), col("bv")).as("sim"))
+          .localCheckpoint()
+        val slim = sl.select("q_id", "c_id", "rel")
+        var selected = slim
+          .withColumn("rn", row_number().over(wrel))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("c_id"), col("rel"), lit(1L).as("rk"))
+        var remaining = slim.join(selected.select("q_id", "c_id"),
+          Seq("q_id", "c_id"), "left_anti")
+        for (step <- 2 to 4) {
+          val wsc = Window.partitionBy(col("q_id"))
+            .orderBy(col("score").desc, col("c_id").asc)
+          val pick = remaining
+            .join(pr, pr("q_id") === remaining("q_id")
+              && pr("a_id") === remaining("c_id"))
+            .drop(pr("q_id"))
+            .join(selected.select(col("q_id"), col("c_id").as("s_id")),
+              Seq("q_id")).filter(col("b_id") === col("s_id"))
+            .groupBy(col("q_id"), col("c_id"), col("rel"))
+            .agg(max(col("sim")).as("msim"))
+            .withColumn("score",
+              lit(0.5) * col("rel") - lit(0.5) * col("msim"))
+            .withColumn("rn", row_number().over(wsc))
+            .filter(col("rn") === 1)
+            .select(col("q_id"), col("c_id"), col("rel"),
+              lit(step.toLong).as("rk"))
+          selected = selected.union(pick).localCheckpoint()
+          remaining = remaining.join(pick.select("q_id", "c_id"),
+            Seq("q_id", "c_id"), "left_anti")
+        }
+        selected.select("q_id", "rk", "c_id", "rel").orderBy("q_id", "rk")
+      },
+      Some {
+        val cos = (a: String, b: String) =>
+          s"""list_reduce(list_transform(range(1, len($a.e) + 1),
+            i -> $a.e[i] * $b.e[i]), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform($a.e, x -> x * x), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform($b.e, x -> x * x), (x, y) -> x + y)))"""
+        // one greedy step: score survivors against the selected-so-far
+        // union, pick the per-query argmax (score desc, c_id tie-break)
+        def stepCte(n: Int, prevU: String): String =
+          s"""sc$n AS (
+          SELECT s.q_id, s.c_id, s.rel, 0.5 * s.rel - 0.5 * MAX(p.sim) AS score
+          FROM sl s
+          JOIN pr p ON p.q_id = s.q_id AND p.a_id = s.c_id
+          JOIN $prevU t ON t.q_id = p.q_id AND t.c_id = p.b_id
+          WHERE NOT EXISTS (SELECT 1 FROM $prevU x
+            WHERE x.q_id = s.q_id AND x.c_id = s.c_id)
+          GROUP BY 1, 2, 3),
+        sel$n AS (SELECT q_id, c_id, rel FROM sc$n
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY score DESC, c_id) = 1),
+        u$n AS (SELECT * FROM $prevU UNION ALL SELECT * FROM sel$n)"""
+        s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        cosall AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${cos("q", "c")} AS rel
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id WHERE q.vec_id < 4),
+        sl AS (SELECT q_id, c_id, rel FROM cosall
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY rel DESC, c_id) <= 8),
+        pr AS (
+          SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+            ${cos("va", "vb")} AS sim
+          FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+          JOIN v va ON va.vec_id = a.c_id
+          JOIN v vb ON vb.vec_id = b.c_id),
+        sel1 AS (SELECT q_id, c_id, rel FROM sl
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY rel DESC, c_id) = 1),
+        u1 AS (SELECT * FROM sel1),
+        ${stepCte(2, "u1")},
+        ${stepCte(3, "u2")},
+        ${stepCte(4, "u3")}
+        SELECT q_id, rk, c_id, rel FROM (
+          SELECT q_id, c_id, rel, CAST(1 AS BIGINT) AS rk FROM sel1
+          UNION ALL SELECT q_id, c_id, rel, 2 FROM sel2
+          UNION ALL SELECT q_id, c_id, rel, 3 FROM sel3
+          UNION ALL SELECT q_id, c_id, rel, 4 FROM sel4)
+        ORDER BY q_id, rk"""
+      },
+      "MMR diversified re-rank (λ=1/2, k=4 of a top-8 shortlist): " +
+        "greedy relevance-vs-redundancy selection with bit-exact " +
+        "cosines and deterministic tie-breaks — corpus work is one " +
+        "retrieval pass, the greedy loop runs on shortlist-sized frames")
   )
 }

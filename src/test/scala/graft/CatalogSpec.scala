@@ -576,4 +576,44 @@ class CatalogSpec extends SparkSuite {
         s"bar start not 15-min aligned: $wsMin")
     }
   }
+
+  test("e13 MMR: picks come from the top-8 shortlist, rank 1 is the " +
+      "plain top-1, and the diversity term genuinely reorders at least " +
+      "one query (MMR != top-4 by relevance)") {
+    import spark.implicits._
+    val mmr = SparkEntry.queries("e13_mmr_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mmr.length == 16, "4 queries x k=4")
+    // independent shortlist: brute-force top-8 by the same exact cosine
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("dv"))
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("dv").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("c_id").asc)
+    val top8 = broadcast(q)
+      .join(emb.select(col("vec_id").as("c_id"), col("dv").as("cv")),
+        col("q_id") =!= col("c_id"))
+      .withColumn("rel", graft.catalog.Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 8)
+      .select("q_id", "c_id", "rk").as[(Long, Long, Int)].collect()
+    val shortlist = top8.groupBy(_._1).view
+      .mapValues(_.map(t => t._3 -> t._2).toMap).toMap
+    mmr.foreach { case (qid, rk, cid) =>
+      assert(shortlist(qid).values.exists(_ == cid),
+        s"q=$qid rank=$rk pick $cid not in the top-8 shortlist")
+      if (rk == 1L) assert(cid == shortlist(qid)(1),
+        s"q=$qid: MMR rank 1 must be the plain relevance top-1")
+    }
+    // the diversity penalty must matter somewhere: for at least one
+    // query the MMR set differs from plain top-4-by-relevance
+    val diverged = (0L until 4L).exists { qid =>
+      val mmrSet = mmr.filter(_._1 == qid).map(_._3).toSet
+      val rel4 = (1 to 4).map(shortlist(qid)).toSet
+      mmrSet != rel4
+    }
+    assert(diverged, "MMR equals plain top-4 for every query — the " +
+      "diversity term is vacuous on this corpus")
+  }
 }
