@@ -1620,6 +1620,116 @@ object Extended {
       "explode_outer null-preservation: docs whose rare-term list is " +
         "empty keep a NULL row instead of vanishing — the flatten " +
         "semantic plain explode silently breaks; oracle reproduces it " +
-        "with the [NULL]-substitution identity")
+        "with the [NULL]-substitution identity"),
+
+    QueryDef(
+      "d38_fuzzy_resolve",
+      (s, dir) => {
+        // Entity resolution by BLOCKED fuzzy match — the record-linkage
+        // step every ingest pipeline needs when keys are dirty strings:
+        // probes (every 7th part's name with one deterministically-
+        // deleted character — a typo'd feed) resolve against the
+        // catalog's distinct names. The blocking is the symmetric-delete
+        // shape (public: Garbe's SymSpell spell correction): BOTH sides
+        // expand to themselves plus ALL their 1-deletion variants,
+        // candidates come from an EQUI-join on variant equality (two
+        // names are within ED 1 ⇒ their neighborhoods intersect), and
+        // only candidates pay the levenshtein verify — linear in
+        // corpus × name-length, never probe × catalog. The verified
+        // distance then picks the best entity (dist asc, name asc),
+        // with the per-probe candidate count exposing blocking recall.
+        // All strings + integers → exact oracle (both engines implement
+        // classic unit-cost Levenshtein). Scale shape: the deletion
+        // neighborhood is a shuffle-free explode over DISTINCT entity
+        // names (entity catalogs are bounded; broadcast when small),
+        // probes join it by hashable string equality — at 100 TB of
+        // probes this is one broadcast/equi join + a bounded verify,
+        // the same discipline as d7's LSH banding applied to edit
+        // distance.
+        val names = t(s, dir, "part").select(col("p_name")).distinct()
+        val variants = names
+          .withColumn("i", explode(sequence(lit(0), length(col("p_name")) - 1)))
+          .select(col("p_name"),
+            concat(expr("substr(p_name, 1, i)"),
+              expr("substr(p_name, i + 2)")).as("v"))
+          .union(names.select(col("p_name"), col("p_name").as("v")))
+          .distinct()
+        val probes = t(s, dir, "part")
+          .filter(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey").as("probe_id"),
+            concat(
+              expr("substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"),
+              expr("substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)"))
+              .as("probe_name"))
+        // symmetric delete: the probe side expands to ITS 1-deletion
+        // neighborhood too, so substitution-type matches (same length,
+        // ED 1) block as well — intersecting neighborhoods can reach
+        // ED 2, which is exactly why the levenshtein verify below is
+        // load-bearing, not decorative
+        val probeVars = probes
+          .withColumn("i",
+            explode(sequence(lit(0), length(col("probe_name")) - 1)))
+          .select(col("probe_id"), col("probe_name"),
+            concat(expr("substr(probe_name, 1, i)"),
+              expr("substr(probe_name, i + 2)")).as("pv"))
+          .union(probes.select(col("probe_id"), col("probe_name"),
+            col("probe_name").as("pv")))
+          .distinct()
+        val cand = probeVars
+          .join(broadcast(variants), col("pv") === col("v"))
+          .select(col("probe_id"), col("probe_name"),
+            col("p_name").as("match_name"))
+          .distinct() // many variant collisions, one candidate pair
+          .withColumn("dist",
+            levenshtein(col("probe_name"), col("match_name")).cast("long"))
+          .filter(col("dist") <= 1)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("probe_id"))
+        val wr = Window.partitionBy(col("probe_id"))
+          .orderBy(col("dist").asc, col("match_name").asc)
+        cand
+          .withColumn("n_cand", count(lit(1)).over(w))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select("probe_id", "probe_name", "match_name", "dist", "n_cand")
+          .orderBy("probe_id")
+      },
+      Some("""WITH names AS (SELECT DISTINCT p_name FROM part),
+        variants AS (
+          SELECT p_name, substr(p_name, 1, CAST(i AS INT))
+              || substr(p_name, CAST(i AS INT) + 2) AS v
+          FROM names, UNNEST(range(0, length(p_name))) t(i)
+          UNION
+          SELECT p_name, p_name AS v FROM names),
+        probes AS (
+          SELECT p_partkey AS probe_id,
+            substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+              || substr(p_name,
+                   CAST(p_partkey % length(p_name) AS INT) + 2) AS probe_name
+          FROM part WHERE p_partkey % 7 = 0),
+        probe_vars AS (
+          SELECT probe_id, probe_name,
+            substr(probe_name, 1, CAST(i AS INT))
+              || substr(probe_name, CAST(i AS INT) + 2) AS pv
+          FROM probes, UNNEST(range(0, length(probe_name))) t(i)
+          UNION
+          SELECT probe_id, probe_name, probe_name AS pv FROM probes),
+        cand AS (
+          SELECT DISTINCT probe_id, probe_name, p_name AS match_name
+          FROM probe_vars JOIN variants ON pv = v),
+        scored AS (
+          SELECT probe_id, probe_name, match_name,
+            CAST(levenshtein(probe_name, match_name) AS BIGINT) AS dist,
+            COUNT(*) OVER (PARTITION BY probe_id) AS n_cand
+          FROM cand
+          WHERE levenshtein(probe_name, match_name) <= 1)
+        SELECT probe_id, probe_name, match_name, dist, n_cand FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY dist, match_name) = 1
+        ORDER BY probe_id"""),
+      "entity resolution via SymSpell deletion-neighborhood blocking: " +
+        "distinct-name catalog explodes to 1-deletion variants, probes " +
+        "equi-join the neighborhood, only candidates pay the edit-" +
+        "distance verify — linear blocking, never probe x catalog")
   )
 }

@@ -616,4 +616,48 @@ class CatalogSpec extends SparkSuite {
     assert(diverged, "MMR equals plain top-4 for every query — the " +
       "diversity term is vacuous on this corpus")
   }
+
+  test("d38 fuzzy resolve: symmetric-delete blocking + verify loses " +
+      "NOTHING — verified candidates equal the brute-force ED<=1 " +
+      "probe x catalog relation, and the verify is load-bearing " +
+      "(blocking alone overshoots)") {
+    import spark.implicits._
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_name")).distinct().as[String].collect()
+    val probes = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey"), col("p_name")).as[(Long, String)].collect()
+      .map { case (pk, n) =>
+        val i = (pk % n.length).toInt
+        (pk, n.substring(0, i) + n.substring(i + 1))
+      }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for ((pid, pn) <- probes; n <- names if lev(pn, n) <= 1)
+      yield (pid, n)).toSet
+    def nbhd(sv: String): Set[String] =
+      (sv.indices.map(i => sv.substring(0, i) + sv.substring(i + 1)) :+ sv).toSet
+    val blocked = (for ((pid, pn) <- probes; n <- names
+      if (nbhd(pn) & nbhd(n)).nonEmpty) yield (pid, n)).toSet
+    val verified = blocked.filter { case (pid, n) =>
+      lev(probes.find(_._1 == pid).get._2, n) <= 1 }
+    assert(verified == brute,
+      "symmetric-delete blocking missed a true ED<=1 pair")
+    assert(blocked.size > verified.size,
+      "blocking never overshot ED 1 on this corpus — the verify step " +
+        "is untested; shrink the corpus assumption")
+    // and the catalog query's per-probe n_cand agrees with brute force
+    val q = SparkEntry.queries("d38_fuzzy_resolve")(spark, sf).collect()
+    val bruteCnt = brute.groupBy(_._1).view.mapValues(_.size).toMap
+    q.foreach { r =>
+      assert(r.getLong(4) == bruteCnt(r.getLong(0)).toLong,
+        s"probe ${r.getLong(0)}: n_cand != brute-force candidate count")
+    }
+  }
 }
