@@ -321,6 +321,13 @@ object Vectors {
           .withColumn("rk", row_number().over(wrel))
           .filter(col("rk") <= 8)
           .select(col("q_id"), col("c_id"), col("rel"), col("cv"))
+          // the ONLY corpus-scale stage; the greedy loop never re-scans.
+          // coalesce(1) right-sizes the checkpointed shortlist (8 rows/
+          // query): downstream joins/windows run as single tasks instead
+          // of paying 32-partition scheduling per greedy step — with
+          // thousands of queries the coalesce target grows, the shape
+          // doesn't
+          .coalesce(1)
           .localCheckpoint() // shortlist computed once; greedy never re-scans
         val pr = sl.select(col("q_id"), col("c_id").as("a_id"), col("cv").as("av"))
           .join(sl.select(col("q_id"), col("c_id").as("b_id"), col("cv").as("bv")),
@@ -328,7 +335,7 @@ object Vectors {
           .filter(col("a_id") =!= col("b_id"))
           .select(col("q_id"), col("a_id"), col("b_id"),
             cosine(col("av"), col("bv")).as("sim"))
-          .localCheckpoint()
+          .localCheckpoint() // pairwise sims: probed by all 3 greedy steps
         val slim = sl.select("q_id", "c_id", "rel")
         var selected = slim
           .withColumn("rn", row_number().over(wrel))
@@ -353,7 +360,9 @@ object Vectors {
             .filter(col("rn") === 1)
             .select(col("q_id"), col("c_id"), col("rel"),
               lit(step.toLong).as("rk"))
-          selected = selected.union(pick).localCheckpoint()
+          selected = selected.union(pick) // literal-small frames: 3
+          // unrolled steps keep the plan bounded without per-step
+          // checkpoint jobs
           remaining = remaining.join(pick.select("q_id", "c_id"),
             Seq("q_id", "c_id"), "left_anti")
         }
