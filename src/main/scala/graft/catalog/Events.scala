@@ -698,6 +698,78 @@ object Events {
         FROM l ORDER BY user_id, event_id"""),
       "dyadic-weight EWMA (8 taps, 2^-(k+1)): integer-cents numerator/" +
         "denominator, one exact division — bit-exact smoothing with one " +
-        "user_id shuffle and a single window pass")
+        "user_id shuffle and a single window pass"),
+
+    QueryDef(
+      "q91_mad_outliers",
+      (s, dir) => {
+        // Robust per-group outlier detection — median/MAD, the screen
+        // that survives the exact data it's hunting (mean/stddev get
+        // dragged by the outliers themselves; this corpus's exponential
+        // value tail flags ~11% per type). EXACT by the q78 discipline:
+        // values become integer cents, the median is a DISCRETE rank
+        // selection (lower median, rank (n+1) div 2, (c, event_id)
+        // total order), the MAD is the same selection over integer
+        // |c − med|, and the outlier verdict 'dev > 3·MAD' is an
+        // integer compare — no float can disagree about any row. Scale
+        // shape: two window passes + two broadcast joins, everything
+        // partitioned on event_type (bounded keys); rank-selection
+        // medians at 100 TB would swap in q75's mergeable GK sketch —
+        // this is the exact tier.
+        val cents = (d2(col("value")) * 100).cast("long")
+        val e = t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), cents.as("c"))
+        val w = Window.partitionBy(col("event_type"))
+        def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
+          val wo = Window.partitionBy(col("event_type"))
+            .orderBy(col(valueCol).asc, col("event_id").asc)
+          df.withColumn("rn", row_number().over(wo))
+            .withColumn("n", count(lit(1)).over(w))
+            .filter(col("rn") === expr("(n + 1) div 2")) // integer div —
+            // Column./ would promote to double and miss even-n groups
+            .select(col("event_type"), col(valueCol).as(s"${valueCol}_med"))
+        }
+        val med = lowerMedian(e, "c")
+        val dev = e.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("c") - col("c_med")))
+        val mad = lowerMedian(dev.select(col("event_type"),
+          col("event_id"), col("dev")), "dev")
+        dev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            max(col("c_med")).as("med_c"),
+            max(col("dev_med")).as("mad_c"),
+            sum(when(col("dev") > lit(3) * col("dev_med"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          FROM events),
+        m AS (SELECT event_type, c AS med_c FROM (
+          SELECT event_type, c,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY c, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM e) WHERE rn = (n + 1) // 2),
+        d AS (SELECT e.event_type, e.event_id,
+            abs(e.c - m.med_c) AS dev, m.med_c
+          FROM e JOIN m USING (event_type)),
+        md AS (SELECT event_type, dev AS mad_c FROM (
+          SELECT event_type, dev,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY dev, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM d) WHERE rn = (n + 1) // 2)
+        SELECT d.event_type, COUNT(*) AS n,
+          MAX(d.med_c) AS med_c, MAX(md.mad_c) AS mad_c,
+          CAST(SUM(CASE WHEN d.dev > 3 * md.mad_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+        FROM d JOIN md USING (event_type)
+        GROUP BY 1 ORDER BY 1"""),
+      "median/MAD robust outlier screen per group: discrete rank-" +
+        "selection medians over integer cents, integer 3-MAD verdict — " +
+        "exact at any parallelism; two windows + two broadcast joins " +
+        "on bounded keys")
   )
 }

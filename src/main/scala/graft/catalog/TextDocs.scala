@@ -1743,7 +1743,73 @@ object TextDocs {
       "canonical selection: full-corpus near-dup clusters (setsim pairs " +
         "+ distributed CC) with the BEST doc kept per cluster (quality " +
         "argmax, deterministic tie-break) — the complete keep/drop " +
-        "decision table, singletons included")
+        "decision table, singletons included"),
+
+    QueryDef(
+      "d39_count_min",
+      (s, dir) => {
+        // Count-min sketch (Cormode & Muthukrishnan 2005) AS DATAFLOW —
+        // the third sketch workhorse next to q21's HLL and d33's
+        // Misra-Gries, and unlike both it is fully ORACLE-CHECKABLE:
+        // CMS cells are pure order-free sums under deterministic md5
+        // hashes, so the whole sketch AND every point estimate are
+        // bit-reproducible at any parallelism and expressible in SQL.
+        // Sketch = depth 3 × width 64 (one (r, bucket) count table of
+        // 192 rows REGARDLESS of corpus size — the point of a sketch);
+        // est(w) = min over rows of the w-hashing cell, so est ≥ true
+        // always (the one-sided CMS guarantee, exposed as `overest`,
+        // and genuinely load-bearing here: the vocabulary collides
+        // inside width 64, so min-over-rows is doing real work). Scale
+        // shape: the corpus-scale stage is one token explode + one
+        // 192-cell aggregate (map-side partial sums collapse everything
+        // before the shuffle); probes join the broadcast-sized sketch.
+        val hexDig = "'0123456789abcdef'"
+        val tk = t(s, dir, "documents")
+          .select(explode(toks(col("text"))).as("w"))
+        val inst = tk
+          .withColumn("r", explode(array(lit(0L), lit(1L), lit(2L))))
+          .withColumn("h",
+            md5(concat(col("r").cast("string"), lit(":"), col("w"))))
+          .selectExpr("w", "r",
+            s"CAST(((instr($hexDig, substr(h, 1, 1)) - 1) % 4) * 16" +
+              s" + (instr($hexDig, substr(h, 2, 1)) - 1) AS BIGINT) AS bucket")
+        val sketch = inst.groupBy(col("r"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val tru = tk.groupBy(col("w")).agg(count(lit(1)).as("true_n"))
+        val est = inst.select("w", "r", "bucket").distinct()
+          .join(broadcast(sketch), Seq("r", "bucket"))
+          .groupBy(col("w")).agg(min(col("cnt")).as("est_n"))
+        tru.join(est, "w")
+          .select(col("w").as("token"), col("true_n"), col("est_n"),
+            (col("est_n") - col("true_n")).as("overest"))
+          .orderBy("token")
+      },
+      Some("""WITH tk AS (
+          SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+          FROM documents),
+        inst AS (
+          SELECT w, r,
+            ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 4) * 16
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+          FROM (SELECT w, CAST(t.r AS BIGINT) AS r,
+              md5(CAST(t.r AS VARCHAR) || ':' || w) AS h
+            FROM tk, UNNEST(range(0, 3)) t(r))),
+        sketch AS (
+          SELECT r, bucket, COUNT(*) AS cnt FROM inst GROUP BY 1, 2),
+        tru AS (SELECT w, COUNT(*) AS true_n FROM tk GROUP BY 1),
+        pk AS (SELECT DISTINCT w, r, bucket FROM inst),
+        est AS (
+          SELECT pk.w, MIN(s.cnt) AS est_n
+          FROM pk JOIN sketch s USING (r, bucket) GROUP BY 1)
+        SELECT t.w AS token, CAST(t.true_n AS BIGINT) AS true_n,
+          CAST(e.est_n AS BIGINT) AS est_n,
+          CAST(e.est_n - t.true_n AS BIGINT) AS overest
+        FROM tru t JOIN est e USING (w) ORDER BY token"""),
+      "count-min sketch as dataflow (depth 3 x width 64): corpus " +
+        "collapses to a 192-cell count table via map-side partial sums, " +
+        "point estimates = min over rows — deterministic md5 cells make " +
+        "sketch AND estimates exactly oracle-checkable, est >= true " +
+        "exposed per token")
   )
 
 }
