@@ -177,6 +177,43 @@ object EventStreams {
       }
   }
 
+  final case class EwmaState(lastCents: Seq[Long])
+  final case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
+  /** Streaming twin of q90_ewma — per-user dyadic EWMA as a STATEFUL
+    * feature stream: state is just the user's last ≤8 integer-cents
+    * values, each arriving event emits its smoothed value immediately.
+    * Exactness carries over unchanged from the batch query (integer
+    * numerator/denominator, one IEEE division), so streaming == batch
+    * bit-for-bit as long as events arrive in event-time order across
+    * batches (within a batch any order is fine — rows sort on
+    * (ts, event_id) before folding). The same code runs in batch mode
+    * (one group call, empty state), which is what the parity spec pins.
+    * Scale: state is 8 longs per active user — a 100 TB feature stream
+    * holds its working set in the state store, never re-reads history. */
+  def ewmaStream(spark: SparkSession, events: DataFrame): Dataset[EwmaOut] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsus"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("c"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[EwmaState]) =>
+          var hist = state.getOption.map(_.lastCents).getOrElse(Seq.empty[Long])
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { r =>
+            hist = (hist :+ r._4).takeRight(8)
+            val taps = hist.reverse.zipWithIndex // k = 0 is the newest
+            val num = taps.iterator.map { case (cv, k) => cv * (1L << (7 - k)) }.sum
+            val den = taps.iterator.map { case (_, k) => 1L << (7 - k) }.sum
+            EwmaOut(uid, r._2, num.toDouble / (den * 100))
+          }
+          state.update(EwmaState(hist))
+          out.iterator
+      }
+  }
+
   /** one session interval (micros since epoch) */
   final case class SessState(start: Long, last: Long, n: Long)
   /** per-user state: disjoint session intervals, any of which may still

@@ -328,6 +328,60 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming EWMA == batch q90 bit-for-bit: batch-mode execution, " +
+      "and a TWO-batch stream whose state must carry the last-8 window " +
+      "across the batch boundary") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val batch = SparkEntry.queries("q90_ewma")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 1) same code, batch mode (one group call, empty state)
+    val asBatch = EventStreams.ewmaStream(spark, ev)
+      .collect().map(o => (o.user_id, o.event_id, o.ewma)).toSet
+    assert(asBatch == batch, "batch-mode flatMapGroupsWithState diverged")
+    // 2) incremental: split STRICTLY by a ts cut (no cross-boundary ties)
+    // so event-time order holds across batches; state must resume each
+    // user's last-8 history, not restart it
+    val cut = ev.orderBy("ts", "event_id")
+      .limit(ev.count().toInt / 2).agg(max("ts")).collect().head.getTimestamp(0)
+    val first = ev.filter(col("ts") <= lit(cut))
+    val second = ev.filter(col("ts") > lit(cut))
+    assert(first.count() > 0 && second.count() > 0)
+    def stage(df: org.apache.spark.sql.DataFrame,
+        dir: java.nio.file.Path, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_h")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ps = java.nio.file.Files.list(tmp)
+      val part =
+        try ps.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ps.close()
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_ewma")
+    val in = base.resolve("in")
+    stage(first, in, "events_1.parquet")
+    val q = EventStreams.ewmaStream(spark,
+        EventStreams.readStream(spark, in.toString))
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ewma_stream").start()
+    try {
+      q.processAllAvailable()
+      val afterOne = spark.table("ewma_stream").count()
+      stage(second, in, "events_2.parquet")
+      q.processAllAvailable()
+      assert(afterOne > 0 && afterOne < batch.size,
+        "split must genuinely straddle two batches")
+    } finally q.stop()
+    val streamed = spark.table("ewma_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      "two-batch streaming EWMA diverged from the batch query — " +
+        "state did not carry the window exactly")
+  }
+
   test("mapGroupsWithState running totals cover every user") {
     val events = Tables.events(spark, sf)
     val totals = EventStreams.runningTotals(spark, events).collect()
