@@ -1730,6 +1730,45 @@ object Extended {
       "entity resolution via SymSpell deletion-neighborhood blocking: " +
         "distinct-name catalog explodes to 1-deletion variants, probes " +
         "equi-join the neighborhood, only candidates pay the edit-" +
-        "distance verify — linear blocking, never probe x catalog")
+        "distance verify — linear blocking, never probe x catalog"),
+
+    QueryDef(
+      "q92_observed_metrics",
+      (s, dir) => observedGate(s, dir)._1,
+      Some("""SELECT l_returnflag,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
+        FROM lineitem
+        WHERE l_quantity <= 45
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "quality-gated aggregate with observe(): pipeline health metrics " +
+        "(rows seen, rows rejected, rejected mass) ride the SAME scan " +
+        "as the production aggregate via AggregatingAccumulator — no " +
+        "second pass; OpsSpec pins the metrics against independent " +
+        "counts, the oracle pins the gated result")
   )
+
+  /** q92's pipeline with its Observation handle — the monitoring surface
+    * (`Dataset.observe`): the gate's reject statistics are computed by
+    * accumulator ON the production scan (zero extra jobs — at 100 TB a
+    * metrics-only rescan is a day of cluster time). The spec retrieves
+    * the handle; the catalog entry returns just the frame. */
+  def observedGate(s: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val gated = t(s, dir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("rows_rejected"),
+        sum(when(col("l_quantity") > 45,
+          col("l_quantity").cast(DecimalType(12, 2)))
+          .otherwise(lit(0).cast(DecimalType(12, 2)))).as("qty_rejected"))
+      .filter(col("l_quantity") <= 45)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast("double").as("qty_sum"))
+      .orderBy("l_returnflag")
+    (gated, obs)
+  }
 }

@@ -213,4 +213,24 @@ class OpsSpec extends SparkSuite {
     assert(back.count() == 20000)
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
   }
+
+  test("q92 observe(): reject metrics ride the production scan and " +
+      "match independent recounts exactly") {
+    import org.apache.spark.sql.functions._
+    val sf001 = "/root/testdata/sf0.001"
+    val (gated, obs) = graft.catalog.Extended.observedGate(spark, sf001)
+    gated.collect() // the ONE action; metrics must be available after it
+    val m = obs.get
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    assert(m("rows_seen") == li.count())
+    val rej = li.filter(col("l_quantity") > 45)
+    assert(m("rows_rejected") == rej.count())
+    assert(m("rows_rejected").asInstanceOf[Long] > 0,
+      "the gate must reject something or the metrics are vacuous")
+    val qtyRej = rej.agg(sum(col("l_quantity")
+      .cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+      .collect().head.getDecimal(0)
+    assert(m("qty_rejected").asInstanceOf[java.math.BigDecimal]
+      .compareTo(qtyRej) == 0)
+  }
 }
