@@ -691,14 +691,77 @@ object Approx {
 
     QueryDef(
       "e3_ann_ivf",
+      (s, dir) => ivfTop3(s, dir),
+      Some(e3OracleSql),
+      "ANN via IVF coarse quantization with multi-probe: nearest-centroid " +
+        "cells as the partition/probe key, exact cosine re-rank; full " +
+        "oracle (centroids embed as SQL literals) + recall floor vs e1"),
+
+    QueryDef(
+      "e14_recall_eval",
       (s, dir) => {
-        // IVF (inverted-file) ANN: assign every vector to its nearest of
-        // C deterministic coarse centroids (the "coarse quantizer"); each
-        // QUERY probes its top-NProbE cells (standard multi-probe — with
-        // one probe the true neighbor sits just across a cell boundary
-        // often enough to cap recall near 0.2 on uniform data) and
-        // re-ranks by exact cosine. At scale the cell assignment is the
-        // partition key: each probe touches NProbe/C of the corpus.
+        // Index-quality EVALUATION as a query — the measurement loop
+        // every ANN deployment runs before trusting an index: recall@3
+        // of the e3 IVF index against the e1 exact ground truth,
+        // per query. Both sides are bit-exact pipelines, so the hit
+        // counts (a semi-join on the two top-3 relations) and the
+        // recall ratios (k ≤ 3 exact division) carry a full oracle —
+        // an eval harness whose own correctness is itself verified.
+        // Scale shape: the ivf/exact results are queries×k rows; the
+        // comparison never touches the corpus again. At 100 TB the
+        // exact arm runs over a SAMPLED query set (as here: 8 probes)
+        // — ground truth costs one brute-force pass per probe, which
+        // is exactly why recall is measured on samples, not the corpus.
+        val ivf = ivfTop3(s, dir).select(col("q_id"), col("c_id"))
+        val exact = Vectors.exactTop3(s, dir).select(col("q_id"), col("c_id"))
+        val hits = ivf.join(exact, Seq("q_id", "c_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        t(s, dir, "embeddings").filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            (coalesce(col("hits"), lit(0L)).cast("double") / 3)
+              .as("recall_at_3"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ivf AS (SELECT q_id, c_id FROM ($e3OracleSql)),
+        v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            list_reduce(list_transform(range(1, len(q.e) + 1),
+              i -> q.e[i] * c.e[i]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(c.e, x -> x * x), (a, b) -> a + b)))
+              AS cos
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8),
+        ex AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, c_id) AS rk
+            FROM pairs) WHERE rk <= 3),
+        h AS (
+          SELECT i.q_id, COUNT(*) AS hits
+          FROM ivf i JOIN ex USING (q_id, c_id) GROUP BY 1)
+        SELECT qs.vec_id AS q_id,
+          CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+          CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3 AS recall_at_3
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) qs
+        LEFT JOIN h ON h.q_id = qs.vec_id
+        ORDER BY q_id"""),
+      "ANN recall@3 evaluation: IVF result vs exact ground truth as a " +
+        "semi-join of two bit-exact top-3 relations — the index " +
+        "measurement loop, itself fully oracle-checked; ground truth " +
+        "runs only over the sampled probe set"),
+  ) ++ queriesTail
+
+  /** e3's body, shared with e14's recall evaluation: IVF multi-probe
+    * exact-cosine top-3 (C=16 literal centroids, NProbe=4). */
+  def ivfTop3(s: SparkSession, dir: String): DataFrame = {
         val C = 16; val NProbe = 4
         val emb = t(s, dir, "embeddings")
           .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
@@ -735,12 +798,9 @@ object Approx {
           .filter(col("rk") <= 3)
           .select("q_id", "c_id", "rk", "cos")
           .orderBy("q_id", "rk")
-      },
-      Some(e3OracleSql),
-      "ANN via IVF coarse quantization with multi-probe: nearest-centroid " +
-        "cells as the partition/probe key, exact cosine re-rank; full " +
-        "oracle (centroids embed as SQL literals) + recall floor vs e1"),
+  }
 
+  private def queriesTail: Seq[QueryDef] = Seq(
     QueryDef(
       "e8_embed_dedup_ivf",
       (s, dir) =>

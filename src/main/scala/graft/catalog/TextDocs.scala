@@ -1809,7 +1809,76 @@ object TextDocs {
         "collapses to a 192-cell count table via map-side partial sums, " +
         "point estimates = min over rows — deterministic md5 cells make " +
         "sketch AND estimates exactly oracle-checkable, est >= true " +
-        "exposed per token")
+        "exposed per token"),
+
+    QueryDef(
+      "d40_ols_suffstats",
+      (s, dir) => {
+        // Supervised training at the 100 TB shape: ordinary least
+        // squares by SUFFICIENT STATISTICS — the whole corpus collapses
+        // to six order-free integer sums (n, Σx, Σy, Σx², Σxy, Σy²) in
+        // ONE map-side-combining aggregate pass, and the model solves
+        // in closed form from that 1-row frame (no iterations, no
+        // gradient schedule, nothing touches the corpus twice). Here:
+        // predict a document's n_chars from its token count — a real,
+        // strong linear relation (chars ≈ tokens · (mean word length
+        // + 1)), so the r² verdict is load-bearing. EXACT: the moments
+        // are BIGINT; slope/r² are built ONLY from ratios of exact-
+        // in-double integers (covariance terms < 2^53 at these scales
+        // — the DECIMAL moment path is the same shape when they grow),
+        // so every derived double is the same correctly-rounded
+        // operation tree in both engines. r² is computed as
+        // (num/den1)·(num/den2) — never squaring a BIGINT past 63
+        // bits, never casting a wide DECIMAL to DOUBLE.
+        val d = t(s, dir, "documents")
+          .select(size(toks(col("text"))).cast("long").as("x"),
+            col("n_chars").as("y"))
+        d.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              .as("slope"),
+            col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
+          .select(col("n"), col("slope"),
+            ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+              / col("n").cast("double")).as("intercept"),
+            (((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("r2"))
+      },
+      Some("""WITH d AS (
+          SELECT len(string_split_regex(trim(text), ' +')) AS x,
+            n_chars AS y
+          FROM documents),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM d)
+        SELECT n,
+          CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+          (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE) AS intercept,
+          (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE))
+          * (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+        FROM m"""),
+      "OLS by sufficient statistics: six order-free integer moments in " +
+        "one map-side-combining pass, closed-form slope/intercept/r2 " +
+        "from the 1-row frame — supervised training that touches the " +
+        "corpus exactly once, bit-exact across engines")
   )
 
 }

@@ -33,6 +33,25 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim.cosine_sim(a, b)
 
+  /** e1's body, shared with e14's recall evaluation: exact brute-force
+    * cosine top-3 per query (broadcast-queries shape, (cos desc, c_id)
+    * tie-break) — the ground truth every ANN tier measures against. */
+  def exactTop3(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("qv"))
+    val c = emb.select(col("vec_id").as("c_id"), dvec(col("embedding")).as("cv"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("q_id", "c_id", "rk", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -73,21 +92,7 @@ object Vectors {
 
     QueryDef(
       "e1_cosine_topk",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("qv"))
-        val c = emb.select(col("vec_id").as("c_id"), dvec(col("embedding")).as("cv"))
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("c_id").asc)
-        broadcast(q).join(c, col("q_id") =!= col("c_id"))
-          .withColumn("cos", cosine(col("qv"), col("cv")))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
-          .select("q_id", "c_id", "rk", "cos")
-          .orderBy("q_id", "rk")
-      },
+      (s, dir) => exactTop3(s, dir),
       Some("""WITH v AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
           FROM embeddings),
