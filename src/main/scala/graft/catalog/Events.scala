@@ -770,6 +770,80 @@ object Events {
       "median/MAD robust outlier screen per group: discrete rank-" +
         "selection medians over integer cents, integer 3-MAD verdict — " +
         "exact at any parallelism; two windows + two broadcast joins " +
-        "on bounded keys")
+        "on bounded keys"),
+
+    QueryDef(
+      "q93_ks_drift",
+      (s, dir) => {
+        // Two-sample Kolmogorov–Smirnov distribution drift — the
+        // monitor that catches train/serve skew BEFORE a model does:
+        // D = max_v |F1(v) − F2(v)| between the click and purchase
+        // value distributions. EXACT: both CDFs compare as the
+        // cross-multiplied rational |cum1·n2 − cum2·n1| over the
+        // common denominator n1·n2, so the max is over INTEGERS and
+        // the reported statistic is one exact division (these are the
+        // realistic near-identical distributions — the regime where a
+        // float CDF compare can flip the argmax). Scale shape: the
+        // corpus collapses to per-distinct-value counts first (one
+        // aggregate with map-side combine); the global running CDFs
+        // over that bounded support use the q81 machinery — range
+        // partition + per-partition partials + broadcast prefix
+        // offsets, never Exchange SinglePartition; n1/n2 fall out of
+        // the same partition-sums collect (metadata, not rows).
+        val cents = (d2(col("value")) * 100).cast("long")
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(when(col("event_type") === "click", 1L).otherwise(0L)
+            .as("is1"), cents.as("c"))
+        val byVal = e.groupBy(col("c"))
+          .agg(sum(col("is1")).as("c1"),
+            sum(lit(1L) - col("is1")).as("c2"))
+        val parted = byVal.repartitionByRange(col("c"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint() // pin pid assignment across the two jobs
+        val sums = parted.groupBy("pid")
+          .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        var a1 = 0L; var a2 = 0L
+        val offsets = sums.map { case (pid, v1, v2) =>
+          val o = (pid, a1, a2); a1 += v1; a2 += v2; o
+        }.toSeq
+        val n1 = a1; val n2 = a2
+        import s.implicits._
+        val offDf = offsets.toDF("pid", "off1", "off2")
+        val w = Window.partitionBy(col("pid")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        parted.join(broadcast(offDf), "pid")
+          .withColumn("cum1", col("off1") + sum(col("c1")).over(w))
+          .withColumn("cum2", col("off2") + sum(col("c2")).over(w))
+          .withColumn("dn", abs(col("cum1") * n2 - col("cum2") * n1))
+          .agg(max(col("dn")).as("d_num"))
+          .select(lit(n1).as("n1"), lit(n2).as("n2"), col("d_num"),
+            (col("d_num").cast("double") / (n1 * n2)).as("ks"))
+      },
+      Some("""WITH e AS (
+          SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        bv AS (SELECT c, SUM(is1) AS c1, SUM(1 - is1) AS c2
+          FROM e GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+            CAST(SUM(c2) AS BIGINT) AS n2 FROM bv),
+        cum AS (SELECT c,
+            SUM(c1) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+            SUM(c2) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+          FROM bv)
+        SELECT tot.n1, tot.n2,
+          CAST(MAX(abs(cum1 * tot.n2 - cum2 * tot.n1)) AS BIGINT) AS d_num,
+          CAST(MAX(abs(cum1 * tot.n2 - cum2 * tot.n1)) AS DOUBLE)
+            / (tot.n1 * tot.n2) AS ks
+        FROM cum, tot GROUP BY tot.n1, tot.n2"""),
+      "two-sample KS drift statistic: per-value counts collapse the " +
+        "corpus first, global CDFs ride the scalable prefix-sum (no " +
+        "SinglePartition), the max runs over cross-multiplied integers " +
+        "— exact D at any parallelism, one final division")
   )
 }

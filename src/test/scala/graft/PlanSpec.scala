@@ -544,6 +544,21 @@ class PlanSpec extends SparkSuite {
       s"prefix offsets must attach by broadcast:\n$p")
   }
 
+  test("q93: the global CDF running sums never plan a SinglePartition " +
+      "exchange — range partitions + broadcast prefix offsets (q81 " +
+      "machinery generalized to two parallel sums)") {
+    val p = plan("q93_ks_drift")
+    // the Window (the per-row CDF sweep) must sort within pid hash
+    // partitions — the only SinglePartition allowed is the final 1-row
+    // max merge, which moves one partial per task, not the support
+    assert(p.contains("hashpartitioning(pid"),
+      s"the CDF window must run inside pid partitions:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"prefix offsets must attach by broadcast:\n$p")
+    val windowPart = p.linesIterator.find(_.contains("Window")).isDefined
+    assert(windowPart, s"expected a Window node:\n$p")
+  }
+
   test("d35: BM25 top-20 plans as TakeOrderedAndProject — never a " +
       "global sort of every scored document") {
     val p = plan("d35_bm25")
