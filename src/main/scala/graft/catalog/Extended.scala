@@ -1745,8 +1745,90 @@ object Extended {
         "(rows seen, rows rejected, rejected mass) ride the SAME scan " +
         "as the production aggregate via AggregatingAccumulator — no " +
         "second pass; OpsSpec pins the metrics against independent " +
-        "counts, the oracle pins the gated result")
+        "counts, the oracle pins the gated result"),
+
+    QueryDef(
+      "q94_poisson_bootstrap",
+      (s, dir) => {
+        // Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+        // for Massive Data Streams") — THE distributed bootstrap: no
+        // resample shuffles, no with-replacement index draws; every row
+        // carries a Poisson(1) weight per replica and all B replica
+        // estimates fall out of ONE aggregate over rows × B. Here: B=20
+        // bootstrap means of the order value, for the confidence
+        // interval a point estimate alone can't give. EXACT: the
+        // "random" weight is a deterministic function of (replica,
+        // orderkey) — md5 → 24-bit integer uniform → threshold count
+        // against the literal Poisson CDF lattice (poissonThr; computed
+        // once, injected into both engines — no per-row libm, no RNG
+        // state). Weighted sums are BIGINT; each replica mean is one
+        // exact division. Scale: one scan explodes ×B, one map-side-
+        // combining groupBy(B keys) — at 100 TB this is the only
+        // bootstrap shape that works, and reproducibility means a
+        // re-run (or an auditor) gets the identical CI.
+        val B = 20
+        val hexDig = "'0123456789abcdef'"
+        val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")
+        val uExpr = (1 to 6).map { i =>
+          s"(instr($hexDig, substr(h, $i, 1)) - 1) * ${1L << (4 * (6 - i))}"
+        }.mkString(" + ")
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), cents.as("c"))
+          .withColumn("b", explode(sequence(lit(0L), lit(B - 1L))))
+          .withColumn("h",
+            md5(concat(col("b").cast("string"), lit(":"),
+              col("k").cast("string"))))
+          .withColumn("u", expr(s"CAST($uExpr AS BIGINT)"))
+          .withColumn("w", poissonThr.map(tv =>
+            when(col("u") >= tv, 1L).otherwise(0L)).reduce(_ + _))
+        base.groupBy(col("b"))
+          .agg(sum(col("w")).as("n_eff"),
+            sum(col("w") * col("c")).as("wsum"))
+          .select(col("b"), col("n_eff"),
+            (col("wsum").cast("double") / (col("n_eff") * 100))
+              .as("mean_val"))
+          .orderBy("b")
+      },
+      Some {
+        val uSql = (1 to 6).map { i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (6 - i))}"
+        }.mkString(" + ")
+        val wSql = poissonThr.map(tv =>
+          s"(CASE WHEN u >= $tv THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH rows_b AS (
+          SELECT o_orderkey AS k,
+            CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+            CAST(t.b AS BIGINT) AS b
+          FROM orders, UNNEST(range(0, 20)) t(b)),
+        hx AS (SELECT b, c,
+            md5(CAST(b AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS h
+          FROM rows_b),
+        uu AS (SELECT b, c, CAST($uSql AS BIGINT) AS u FROM hx),
+        ww AS (SELECT b, c, $wSql AS w FROM uu)
+        SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+          CAST(SUM(w * c) AS DOUBLE) / (SUM(w) * 100) AS mean_val
+        FROM ww GROUP BY b ORDER BY b"""
+      },
+      "Poisson bootstrap (B=20): per-(row, replica) Poisson(1) weights " +
+        "from md5 uniforms vs the literal CDF lattice — all replica " +
+        "means in ONE weighted aggregate pass, bit-reproducible CI, " +
+        "no resampling shuffle")
   )
+
+  /** Cumulative Poisson(1) thresholds scaled to the 24-bit uniform
+    * lattice: w(u) = #{k : u >= thr(k)} reproduces Poisson(1) weights
+    * from an md5-derived integer u ∈ [0, 2^24). Computed ONCE from
+    * Math.exp at class init and injected as the SAME literals into the
+    * Spark plan and the oracle SQL (the d29 move) — no libm call ever
+    * runs per row on either engine. */
+  lazy val poissonThr: Seq[Long] = { // lazy: referenced by `queries`, which initializes first
+    val e1 = math.exp(-1.0)
+    val cums = (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + e1 / (1 to k).foldLeft(1.0)(_ * _)
+    }.drop(1) // cumulative P(X <= k), k = 0..7
+    cums.map(c => math.floor(c * (1L << 24)).toLong)
+  }
 
   /** q92's pipeline with its Observation handle — the monitoring surface
     * (`Dataset.observe`): the gate's reject statistics are computed by

@@ -660,4 +660,35 @@ class CatalogSpec extends SparkSuite {
         s"probe ${r.getLong(0)}: n_cand != brute-force candidate count")
     }
   }
+
+  test("q94 Poisson bootstrap: replica means bracket the true mean " +
+      "within bootstrap error, n_eff is Poisson(n)-plausible, and the " +
+      "weights genuinely vary (not all 1)") {
+    import org.apache.spark.sql.functions._
+    val reps = SparkEntry.queries("q94_poisson_bootstrap")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(reps.length == 20)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val n = orders.count().toDouble
+    val Array(mu, sd) = orders
+      .agg(avg("o_totalprice"), stddev("o_totalprice"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val se = sd / math.sqrt(n)
+    val means = reps.map(_._2)
+    means.foreach(m => assert(math.abs(m - mu) < 6 * se,
+      s"replica mean $m implausibly far from $mu (se=$se)"))
+    // spread must be real: a degenerate all-weights-1 draw gives sd 0
+    val bootSd = {
+      val mb = means.sum / means.length
+      math.sqrt(means.map(m => (m - mb) * (m - mb)).sum / (means.length - 1))
+    }
+    assert(bootSd > se / 4 && bootSd < se * 4,
+      s"bootstrap sd $bootSd should estimate the true se $se")
+    reps.foreach { case (nEff, _) =>
+      assert(math.abs(nEff - n) < 6 * math.sqrt(n),
+        s"n_eff $nEff implausible for Poisson(${n.toLong})")
+      assert(nEff != n.toLong,
+        "every replica hitting n exactly would mean weights never vary")
+    }
+  }
 }
