@@ -1173,6 +1173,55 @@ object Approx {
         "from the generation formula; one-pass no-shuffle batch shape"),
 
     QueryDef(
+      "mm10_ppm_patchify",
+      (s, dir) =>
+        // ViT-style patch extraction over the real PPM decode: each
+        // image splits into a 2x2 grid with integer-division boundaries
+        // — source dims 4..16 x 4..14 are mostly NOT divisible by 2 in
+        // both axes, so the uneven-tiling math (patch (px+1)·w/2 −
+        // px·w/2 wide) is load-bearing: a boundary slip double-counts
+        // or drops a pixel row and moves two patches' sums. The oracle
+        // recomputes every patch's per-channel sum from the generation
+        // formula over exactly its coordinate range. One mapPartitions
+        // pass, no shuffle — patchification at 100 TB is a scan.
+        graft.functions.Multimodal.patchifyStats(
+          t(s, dir, "documents").select(col("doc_id")), 2)
+          .orderBy("media_id", "py", "px"),
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+          FROM documents),
+        g AS (
+          SELECT doc_id, w, h, CAST(t1.py AS BIGINT) AS py,
+            CAST(t2.px AS BIGINT) AS px
+          FROM m, UNNEST(range(0, 2)) t1(py), UNNEST(range(0, 2)) t2(px))
+        SELECT doc_id AS media_id, px, py,
+          CAST((px + 1) * w // 2 - px * w // 2 AS BIGINT) AS pw,
+          CAST((py + 1) * h // 2 - py * h // 2 AS BIGINT) AS ph,
+          CAST(list_sum(list_transform(
+            range(CAST(py * h // 2 AS INT), CAST((py + 1) * h // 2 AS INT)),
+            y -> list_sum(list_transform(
+              range(CAST(px * w // 2 AS INT), CAST((px + 1) * w // 2 AS INT)),
+              x -> (doc_id * 31 + (3 * (y * w + x)) * 7) % 256))))
+            AS BIGINT) AS sum_r,
+          CAST(list_sum(list_transform(
+            range(CAST(py * h // 2 AS INT), CAST((py + 1) * h // 2 AS INT)),
+            y -> list_sum(list_transform(
+              range(CAST(px * w // 2 AS INT), CAST((px + 1) * w // 2 AS INT)),
+              x -> (doc_id * 31 + (3 * (y * w + x) + 1) * 7) % 256))))
+            AS BIGINT) AS sum_g,
+          CAST(list_sum(list_transform(
+            range(CAST(py * h // 2 AS INT), CAST((py + 1) * h // 2 AS INT)),
+            y -> list_sum(list_transform(
+              range(CAST(px * w // 2 AS INT), CAST((px + 1) * w // 2 AS INT)),
+              x -> (doc_id * 31 + (3 * (y * w + x) + 2) * 7) % 256))))
+            AS BIGINT) AS sum_b
+        FROM g ORDER BY media_id, py, px"""),
+      "ViT-style 2x2 patchify over the real PPM decode: integer-" +
+        "division tile boundaries (uneven dims exact-covered), one row " +
+        "per patch with per-channel sums — oracle recomputes every " +
+        "patch from the generation formula; one-pass, no shuffle"),
+
+    QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")

@@ -706,6 +706,51 @@ object Multimodal {
       }(enc)
   }
 
+  /** mm10: PATCHIFY — the ViT-style preprocessing step that turns an
+    * image into a grid of patch tokens: the raster splits into a
+    * grid×grid tiling with integer-division boundaries (x ∈
+    * [px·w/g, (px+1)·w/g) — exact cover, no pixel dropped or counted
+    * twice even when g doesn't divide w), one output row per patch with
+    * its dims and per-channel sums. Same one-pass no-shuffle batch
+    * shape as every mm decoder; downstream these rows pivot to the
+    * patch-embedding layout a vision model consumes. */
+  def patchifyStats(ids: DataFrame, grid: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("px", LongType), StructField("py", LongType),
+      StructField("pw", LongType), StructField("ph", LongType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val data = buildPpm(id)
+          val (w, h, off) = ppmHeader(data)
+          for (py <- 0 until grid; px <- 0 until grid) yield {
+            val x0 = px * w / grid; val x1 = (px + 1) * w / grid
+            val y0 = py * h / grid; val y1 = (py + 1) * h / grid
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = off + (y * w + x) * 3
+                sr += data(p) & 0xff; sg += data(p + 1) & 0xff
+                sb += data(p + 2) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, px.toLong, py.toLong, (x1 - x0).toLong,
+              (y1 - y0).toLong, sr, sg, sb)
+          }
+        }
+      }(enc)
+  }
+
   def decodeImageStats(ids: DataFrame, builder: Long => Array[Byte]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
