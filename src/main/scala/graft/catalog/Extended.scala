@@ -1813,7 +1813,56 @@ object Extended {
       "Poisson bootstrap (B=20): per-(row, replica) Poisson(1) weights " +
         "from md5 uniforms vs the literal CDF lattice — all replica " +
         "means in ONE weighted aggregate pass, bit-reproducible CI, " +
-        "no resampling shuffle")
+        "no resampling shuffle"),
+
+    QueryDef(
+      "q95_asof_nearest",
+      (s, dir) => {
+        // NEAREST as-of join — completes the as-of family (q30
+        // backward, q45 forward): each error attaches its user's
+        // closest signup in EITHER direction, ties resolving backward.
+        // Times flow as epoch micros so the |Δ| compare is exact
+        // integer math; asof_dir makes both directions' wins visible
+        // (load-bearing on this corpus: both 'b' and 'f' occur). One
+        // union + one key shuffle + two window passes over the same
+        // partitioning — never a range product.
+        val ev = t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("us"))
+        graft.operators.AsOfJoin.asofNearest(
+          errors, signups, Seq("user_id"), "us", "us", Nil)
+          .select(col("event_id"), col("user_id"),
+            col("asof_us"), col("asof_dir"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type = 'error'),
+        s AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type = 'signup'),
+        b AS (SELECT e.event_id, MAX(s.us) AS bts
+          FROM e LEFT JOIN s ON s.user_id = e.user_id AND s.us <= e.us
+          GROUP BY e.event_id),
+        f AS (SELECT e.event_id, MIN(s.us) AS fts
+          FROM e LEFT JOIN s ON s.user_id = e.user_id AND s.us >= e.us
+          GROUP BY e.event_id)
+        SELECT e.event_id, e.user_id,
+          CASE WHEN f.fts IS NULL
+                 OR (b.bts IS NOT NULL AND e.us - b.bts <= f.fts - e.us)
+               THEN b.bts ELSE f.fts END AS asof_us,
+          CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+               WHEN f.fts IS NULL
+                 OR (b.bts IS NOT NULL AND e.us - b.bts <= f.fts - e.us)
+               THEN 'b' ELSE 'f' END AS asof_dir
+        FROM e JOIN b USING (event_id) JOIN f USING (event_id)
+        ORDER BY e.event_id"""),
+      "nearest as-of join (min |Δt|, ties backward): one union + one " +
+        "key shuffle + two windows over the same partitioning — the " +
+        "third leg of the as-of family, exact integer time compare, " +
+        "direction column exposes both wins")
   )
 
   /** Cumulative Poisson(1) thresholds scaled to the 24-bit uniform

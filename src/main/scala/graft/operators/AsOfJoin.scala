@@ -87,4 +87,57 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .drop("_t", "_side")
   }
+
+  /** NEAREST as-of join: for each left row, attach the right row with
+    * the same key that minimizes |rightTime − leftTime|; ties resolve
+    * BACKWARD (the earlier right row — the match that was already known
+    * at event time). Both time columns must be numeric (epoch micros —
+    * callers convert timestamps first) so the distance compare is exact
+    * integer math.
+    *
+    * Shape: ONE tagged union, ONE shuffle on the key, TWO window passes
+    * (ascending + descending over the same partitioning — Spark reuses
+    * the exchange, adding only the second sort) — still no range
+    * cross-product. `asof_dir` reports which direction won ('b'/'f',
+    * null when no right row exists at all). */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val rv = rightTime +: rightVals.filterNot(_ == rightTime)
+    val taggedRight = right.select(
+      (keyCols.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side")) ++
+        rv.map(c => col(c).as(s"_r_$c")) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      (keyCols.map(col) :+ col(leftTime).as("_t") :+ lit(1).as("_side")) ++
+        rv.map(c => lit(null).as(s"_r_$c")) ++
+        leftCols.filterNot(keyCols.contains).map(col): _*)
+    val wb = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").asc +: col("_side").asc +:
+        rv.map(c => col(s"_r_$c").asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").desc +: col("_side").asc +:
+        rv.map(c => col(s"_r_$c").asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = taggedRight.unionByName(taggedLeft)
+      .select((keyCols.map(col) ++ Seq(col("_t"), col("_side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        rv.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(wb)
+          .as(s"_b_$c")) ++
+        rv.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(wf)
+          .as(s"_f_$c"))): _*)
+      .filter(col("_side") === 1)
+    val bt = col(s"_b_$rightTime"); val ft = col(s"_f_$rightTime")
+    val pickB = ft.isNull ||
+      (bt.isNotNull && (col("_t") - bt) <= (ft - col("_t")))
+    both
+      .withColumn("asof_dir",
+        when(bt.isNull && ft.isNull, lit(null).cast("string"))
+          .otherwise(when(pickB, lit("b")).otherwise(lit("f"))))
+      .select((keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        rv.map(c => when(pickB, col(s"_b_$c")).otherwise(col(s"_f_$c"))
+          .as(s"asof_$c")) :+ col("asof_dir")): _*)
+  }
 }
