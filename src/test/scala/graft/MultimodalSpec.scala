@@ -263,4 +263,30 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.decodeImage(Array[Byte](1, 2, 3))
     }
   }
+
+  test("patchify exact cover: patches tile the raster — per-image patch " +
+      "sums equal the whole-image decode, widths/heights sum to w/h") {
+    val s2 = spark; import s2.implicits._
+    for (grid <- Seq(2, 3)) {
+      val ids = (0L until 60L).toDF("doc_id")
+      val patches = Multimodal.patchifyStats(ids, grid).collect()
+        .groupBy(_.getAs[Long]("media_id"))
+      (0L until 60L).foreach { id =>
+        val d = Multimodal.decodePpm(Multimodal.buildPpm(id))
+        val ps = patches(id)
+        assert(ps.length == grid * grid, s"id $id: ${ps.length} patches")
+        assert(ps.map(_.getAs[Long]("sum_r")).sum == d.sumR &&
+          ps.map(_.getAs[Long]("sum_g")).sum == d.sumG &&
+          ps.map(_.getAs[Long]("sum_b")).sum == d.sumB,
+          s"id $id grid $grid: patch sums must cover the image exactly")
+        // each grid row's widths sum to w; each column's heights to h
+        ps.groupBy(_.getAs[Long]("py")).values.foreach(row =>
+          assert(row.map(_.getAs[Long]("pw")).sum == d.width,
+            s"id $id: row widths must sum to ${d.width}"))
+        ps.groupBy(_.getAs[Long]("px")).values.foreach(colp =>
+          assert(colp.map(_.getAs[Long]("ph")).sum == d.height,
+            s"id $id: column heights must sum to ${d.height}"))
+      }
+    }
+  }
 }

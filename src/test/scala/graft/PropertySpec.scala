@@ -162,4 +162,48 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("nearest asof join: attached time minimizes |Δt|, exact ties " +
+      "resolve backward, keys with no right rows get null dir") {
+    // small time range so equidistant ties and empty keys actually occur
+    val tsGen = Gen.zip(Gen.listOfN(10, Gen.choose(0L, 30L)),
+      Gen.listOfN(6, Gen.choose(0L, 30L)))
+    forSamples(tsGen, 10) { case (leftTs, rightTs) =>
+      val s2 = spark; import s2.implicits._
+      val left = leftTs.zipWithIndex
+        .map { case (t, i) => (i.toLong, if (i % 2 == 0) 1L else 2L, t) }
+        .toDF("id", "k", "lt")
+      // key 2 has NO right rows: the null-dir path is always exercised
+      val right = rightTs.map(t => (1L, t)).toDF("k", "rt").repartition(3)
+      val got = graft.operators.AsOfJoin
+        .asofNearest(left, right, Seq("k"), "lt", "rt", Nil)
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((Option(r.getAs[java.lang.Long]("asof_rt")).map(_.toLong),
+            Option(r.getAs[String]("asof_dir")))))
+        .toMap
+      leftTs.zipWithIndex.foreach { case (t, i) =>
+        if (i % 2 == 1) {
+          assert(got(i.toLong) == ((None, None)), s"empty key at id $i")
+        } else {
+          val back = rightTs.filter(_ <= t) match {
+            case Nil => None; case xs => Some(xs.max)
+          }
+          val fwd = rightTs.filter(_ >= t) match {
+            case Nil => None; case xs => Some(xs.min)
+          }
+          val expect = (back, fwd) match {
+            case (None, None) => (None, None)
+            case (Some(b), None) => (Some(b), Some("b"))
+            case (None, Some(f)) => (Some(f), Some("f"))
+            case (Some(b), Some(f)) =>
+              if (t - b <= f - t) (Some(b), Some("b"))
+              else (Some(f), Some("f"))
+          }
+          assert(got(i.toLong) == expect,
+            s"left ts $t: got ${got(i.toLong)} want $expect")
+        }
+      }
+    }
+  }
 }
