@@ -1862,8 +1862,186 @@ object Extended {
       "nearest as-of join (min |Δt|, ties backward): one union + one " +
         "key shuffle + two windows over the same partitioning — the " +
         "third leg of the as-of family, exact integer time compare, " +
-        "direction column exposes both wins")
+        "direction column exposes both wins"),
+
+    QueryDef(
+      "q96_k_anonymity",
+      (s, dir) => {
+        // k-anonymous data release (Sweeney) — the privacy gate a
+        // training-data export runs before leaving the boundary:
+        // every released row must be indistinguishable from >= k-1
+        // others on its quasi-identifiers. Three moves in one pass:
+        // (1) direct identifier -> salted sha256 pseudonym (join-
+        // preserving, irreversible without the salt); (2) the precise
+        // balance GENERALIZES to a 1000-unit band (floor of one IEEE
+        // division — identical bits both engines); (3) equivalence
+        // classes on (nation, segment) below k=10 are SUPPRESSED
+        // outright. Load-bearing at sf0.01: 35 of 125 classes fall.
+        // Scale shape: class sizes are one map-side-combining groupBy
+        // on bounded keys, broadcast back — the corpus is scanned
+        // once; nothing driver-side.
+        val cust = t(s, dir, "customer")
+        val classes = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("class_n"))
+          .filter(col("class_n") >= 10)
+        cust.join(broadcast(classes), Seq("c_nationkey", "c_mktsegment"))
+          .select(
+            sha2(concat(lit("graft-salt:"), col("c_custkey").cast("string")),
+              256).as("pseudo_id"),
+            col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"),
+            col("class_n"))
+          .orderBy("pseudo_id")
+      },
+      Some("""WITH cls AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_n
+          FROM customer GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        SELECT sha256('graft-salt:' || CAST(c_custkey AS VARCHAR))
+            AS pseudo_id,
+          c.c_nationkey, c.c_mktsegment,
+          CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+          cls.class_n
+        FROM customer c
+        JOIN cls ON c.c_nationkey = cls.c_nationkey
+          AND c.c_mktsegment = cls.c_mktsegment
+        ORDER BY pseudo_id"""),
+      "k-anonymous release (k=10): salted-sha256 pseudonymization, " +
+        "band generalization, and suppression of small equivalence " +
+        "classes — one scan + one bounded-key groupBy broadcast back; " +
+        "35 of 125 classes suppressed at sf0.01"),
+
+    QueryDef(
+      "q97_bloom_prefilter",
+      (s, dir) => {
+        // Bloom filter AS DATAFLOW — completing the sketch family
+        // (q21 HLL, q75 GK, d33 Misra-Gries, d39 count-min) with the
+        // one that gates JOINS: the dim side's membership set compiles
+        // to m=2048 bits / 3 hashes, the fact side probes it BEFORE
+        // any shuffle. Deterministic md5 positions make the whole
+        // filter — and every probe verdict including the false
+        // positives — exactly reproducible in SQL, so the FP rate is
+        // AUDITED, not assumed. Per-key verdict table: maybe=1 ∧
+        // member=0 rows are the Bloom's false positives (~8% at this
+        // fill); false negatives are structurally impossible and the
+        // oracle would catch one. Scale shape: the bit table is ≤ m
+        // rows (broadcast); probes = one distinct + one groupBy on
+        // the probe key. Spark's own runtime bloom injection is
+        // pinned in PlanSpec — this entry makes the sketch itself a
+        // first-class, auditable relation.
+        val M = 2048
+        val members = t(s, dir, "part").filter(col("p_size") > 40)
+          .select(col("p_partkey").as("k"))
+        def positions(df: DataFrame): DataFrame =
+          df.withColumn("i", explode(sequence(lit(0), lit(2))))
+            .withColumn("h",
+              md5(concat(col("i").cast("string"), lit(":"),
+                col("k").cast("string"))))
+            .withColumn("pos", u24Spark("h") % M)
+        val bits = positions(members).select(col("pos")).distinct()
+        val probes = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("k")).distinct()
+        val hits = positions(probes)
+          .join(broadcast(bits), "pos")
+          .groupBy(col("k")).agg(count(lit(1)).as("nhit"))
+        probes
+          .join(hits, Seq("k"), "left")
+          .join(members.withColumn("member", lit(1L)), Seq("k"), "left")
+          .select(col("k").as("partkey"),
+            coalesce(col("member"), lit(0L)).as("member"),
+            when(coalesce(col("nhit"), lit(0L)) === 3, 1L).otherwise(0L)
+              .as("bloom_maybe"))
+          .orderBy("partkey")
+      },
+      Some(s"""WITH members AS (
+          SELECT p_partkey AS k FROM part WHERE p_size > 40),
+        mpos AS (
+          SELECT k, CAST(t.i AS BIGINT) AS i FROM members,
+            UNNEST(range(0, 3)) t(i)),
+        mh AS (SELECT k,
+            md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS h
+          FROM mpos),
+        bits AS (SELECT DISTINCT CAST(${u24Sql("h")} AS BIGINT) % 2048
+            AS pos FROM mh),
+        probes AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+        ppos AS (
+          SELECT k, CAST(t.i AS BIGINT) AS i FROM probes,
+            UNNEST(range(0, 3)) t(i)),
+        ph AS (SELECT k, i,
+            md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS h
+          FROM ppos),
+        pb AS (SELECT k, CAST(${u24Sql("h")} AS BIGINT) % 2048 AS pos
+          FROM ph),
+        hits AS (SELECT pb.k, COUNT(*) AS nhit
+          FROM pb JOIN bits ON pb.pos = bits.pos GROUP BY pb.k)
+        SELECT p.k AS partkey,
+          CAST(CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS BIGINT) AS member,
+          CAST(CASE WHEN COALESCE(hits.nhit, 0) = 3 THEN 1 ELSE 0 END
+            AS BIGINT) AS bloom_maybe
+        FROM probes p
+        LEFT JOIN hits ON p.k = hits.k
+        LEFT JOIN members m ON p.k = m.k
+        ORDER BY partkey"""),
+      "Bloom filter as dataflow (m=2048, 3 md5 hashes): dim-side " +
+        "membership compiles to a broadcast bit table, fact side " +
+        "probes pre-shuffle; per-key verdicts expose the exact false-" +
+        "positive set — the join-gating sketch, fully oracle-checked"),
+
+    QueryDef(
+      "q98_strat_sample",
+      (s, dir) => {
+        // Deterministic stratified Bernoulli sampling — TABLESAMPLE
+        // that an auditor can replay: each stratum (order status)
+        // samples at its own rate, and the keep/drop coin is
+        // md5(o_orderkey) -> 24-bit uniform vs a literal integer
+        // threshold — no RNG state, so the sample is identical on
+        // every run, every parallelism, and in the oracle. Rates:
+        // P 50% / O 10% / F 2% (the down-sample-the-majority-class
+        // move of every training-data rebalance). One scan, zero
+        // shuffles before the sample — the filter prunes 80% of the
+        // corpus before anything downstream pays for it.
+        val thr = Map("P" -> (1L << 23), "O" -> 1677721L, "F" -> 335544L)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .withColumn("h", md5(concat(lit("s:"), col("o_orderkey")
+            .cast("string"))))
+          .withColumn("u", u24Spark("h"))
+          .filter(col("u") <
+            when(col("o_orderstatus") === "P", thr("P"))
+              .when(col("o_orderstatus") === "O", thr("O"))
+              .otherwise(thr("F")))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("u"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""WITH h AS (
+          SELECT o_orderkey, o_orderstatus,
+            md5('s:' || CAST(o_orderkey AS VARCHAR)) AS h
+          FROM orders),
+        u AS (SELECT o_orderkey, o_orderstatus,
+            CAST(${u24Sql("h")} AS BIGINT) AS u FROM h)
+        SELECT o_orderkey, o_orderstatus, u FROM u
+        WHERE u < CASE o_orderstatus WHEN 'P' THEN ${1L << 23}
+          WHEN 'O' THEN 1677721 ELSE 335544 END
+        ORDER BY o_orderkey"""),
+      "deterministic stratified Bernoulli sample (P 50% / O 10% / " +
+        "F 2%): md5-uniform vs literal thresholds — replayable by an " +
+        "auditor, identical at any parallelism; one scan, the filter " +
+        "prunes before any downstream shuffle")
   )
+
+  /** 24-bit uniform from the first 6 hex digits of an md5 column —
+    * the q94 lattice trick factored for reuse: both engines fold the
+    * identical digit positions, so u is bit-identical. */
+  private def u24Spark(hcol: String): Column = {
+    val terms = (1 to 6).map { i =>
+      s"(instr('0123456789abcdef', substr($hcol, $i, 1)) - 1) * ${1L << (4 * (6 - i))}"
+    }.mkString(" + ")
+    expr(s"CAST($terms AS BIGINT)")
+  }
+
+  private def u24Sql(hcol: String): String =
+    (1 to 6).map { i =>
+      s"(strpos('0123456789abcdef', substr($hcol, $i, 1)) - 1) * ${1L << (4 * (6 - i))}"
+    }.mkString(" + ")
 
   /** Cumulative Poisson(1) thresholds scaled to the 24-bit uniform
     * lattice: w(u) = #{k : u >= thr(k)} reproduces Poisson(1) weights

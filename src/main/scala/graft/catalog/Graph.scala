@@ -20,6 +20,12 @@ object Graph {
   /** Label-propagation rounds for g4. */
   val LpIters = 4
 
+  /** Weighted-SSSP relaxation rounds for g5 (more than BfsIters: a
+    * shortest WEIGHTED path may take more hops than the BFS radius);
+    * sentinel for "unreached". */
+  val SsspIters = 8
+  val SsspUnreached = 999999L
+
   /** The synthetic link graph: every doc links to (7d+1), (13d+5),
     * (31d+11) mod N, self-loops removed, duplicates collapsed — a
     * deterministic expander-ish multigraph whose edge list both engines
@@ -308,5 +314,87 @@ object Graph {
         "count-desc/label-asc tie-break): mode-based community update " +
         "— one adjacency equi-join + two aggregates per round off the " +
         "checkpointed edge set; oracle is the unrolled recurrence")
+  ,
+
+    QueryDef(
+      "g5_sssp",
+      (s, dir) => {
+        // WEIGHTED single-source shortest paths (Bellman-Ford
+        // relaxation), generalizing g3's unit-weight BFS: dist'(v) =
+        // min(dist(v), min over edges u->v of dist(u) + w(u,v)), with
+        // deterministic integer weights w = (3·src + 5·dst) % 9 + 1
+        // both engines derive from the edge itself. The interesting
+        // semantics BFS can't show: a 3-hop path of light edges beats
+        // a 1-hop heavy edge, so the argmin route and the hop count
+        // genuinely decouple (CatalogSpec pins that extra rounds keep
+        // improving distances after the BFS frontier has stabilized).
+        // All-integer min-merges stay order-free — exact at any
+        // parallelism — and the recurrence unrolls into the SQL
+        // oracle. Same constant-depth checkpointed loop as g1/g3/g4:
+        // one edge equi-join + one min-groupBy + one left-join-back
+        // per round. At 100 TB: weighted hop labeling = crawl cost /
+        // latency / trust propagation over a link graph.
+        import Tables.t
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val edges = EdgeFormulas.map { case (a, b) =>
+          docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * a + b) % n).as("dst"))
+        }.reduce(_ unionAll _)
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .withColumn("w", (col("src") * 3 + col("dst") * 5) % 9 + 1)
+          .repartition(col("src"))
+          .localCheckpoint()
+        var dist = docs
+          .select(col("doc_id").as("node"),
+            when(col("doc_id") === 0, 0L).otherwise(SsspUnreached)
+              .as("dist"))
+          .localCheckpoint()
+        for (_ <- 1 to SsspIters) {
+          val relaxed = edges
+            .join(dist, edges("src") === dist("node"))
+            .filter(col("dist") < SsspUnreached) // don't relax from unreached
+            .select(col("dst"), (col("dist") + col("w")).as("cand"))
+            .groupBy("dst").agg(min(col("cand")).as("mind"))
+          dist = dist
+            .join(relaxed, dist("node") === relaxed("dst"), "left")
+            .select(dist("node"),
+              least(col("dist"), coalesce(col("mind"), lit(SsspUnreached)))
+                .as("dist"))
+            .localCheckpoint()
+        }
+        dist.orderBy("node")
+      },
+      Some {
+        val edgeUnion = EdgeFormulas.map { case (a, b) =>
+          s"SELECT doc_id AS src, ($a*doc_id+$b) % (SELECT COUNT(*) FROM documents) AS dst FROM documents"
+        }.mkString("\n          UNION ALL ")
+        val steps = (1 to SsspIters).map { k =>
+          s"""d$k AS (
+          SELECT p.node,
+            LEAST(p.dist, COALESCE(i.mind, $SsspUnreached)) AS dist
+          FROM d${k - 1} p LEFT JOIN (
+            SELECT e.dst, CAST(MIN(p2.dist + e.w) AS BIGINT) AS mind
+            FROM d${k - 1} p2 JOIN edges e ON p2.node = e.src
+            WHERE p2.dist < $SsspUnreached
+            GROUP BY e.dst) i ON p.node = i.dst)"""
+        }.mkString(",\n        ")
+        s"""WITH e0 AS (
+          SELECT DISTINCT src, dst FROM (
+          $edgeUnion) WHERE src <> dst),
+        edges AS (SELECT src, dst,
+          (3*src + 5*dst) % 9 + 1 AS w FROM e0),
+        d0 AS (SELECT doc_id AS node,
+          CAST(CASE WHEN doc_id = 0 THEN 0 ELSE $SsspUnreached END
+            AS BIGINT) AS dist FROM documents),
+        $steps
+        SELECT node, dist FROM d$SsspIters ORDER BY node"""
+      },
+      "weighted SSSP (Bellman-Ford, 8 rounds): deterministic integer " +
+        "edge weights, exact min-merges, one edge-join + one " +
+        "min-groupBy per round off the checkpointed edge set — the " +
+        "route/hop decoupling BFS can't express; oracle is the " +
+        "unrolled recurrence")
   )
 }

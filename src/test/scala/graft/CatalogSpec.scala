@@ -691,4 +691,94 @@ class CatalogSpec extends SparkSuite {
         "every replica hitting n exactly would mean weights never vary")
     }
   }
+
+  test("q96 k-anonymity: every released class has >= k members, " +
+      "suppression is real, pseudonyms stay distinct") {
+    // sf0.01: classes average 12 members, so both the release and the
+    // suppression paths are populated (sf0.001's classes are all < k)
+    val sf = "/root/testdata/sf0.01"
+    val rel = SparkEntry.queries("q96_k_anonymity")(spark, sf).cache()
+    val n = rel.count()
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(n > 0 && n < total, s"suppression must drop rows ($n of $total)")
+    // k-anonymity invariant: observed class sizes in the RELEASE match
+    // the claimed class_n and never fall below k
+    val classes = rel.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("obs"), min("class_n").as("lo"),
+        max("class_n").as("hi")).collect()
+    classes.foreach { r =>
+      val obs = r.getAs[Long]("obs")
+      assert(obs >= 10, s"released class below k: $r")
+      assert(r.getAs[Long]("lo") == obs && r.getAs[Long]("hi") == obs,
+        s"class_n must equal the released class size: $r")
+    }
+    // pseudonymization preserves row identity (no collisions)
+    assert(rel.select("pseudo_id").distinct().count() == n)
+    rel.unpersist()
+  }
+
+  test("q97 bloom prefilter: no false negatives, false positives exist " +
+      "and are a small fraction") {
+    // sf0.01: 395 members fill m=2048 to ~44% per hash — the FP path
+    // is guaranteed populated (sf0.001's fill is too sparse)
+    val sf = "/root/testdata/sf0.01"
+    val v = SparkEntry.queries("q97_bloom_prefilter")(spark, sf)
+      .groupBy("member", "bloom_maybe").count().collect()
+      .map(r => (r.getAs[Long]("member"), r.getAs[Long]("bloom_maybe")) ->
+        r.getAs[Long]("count")).toMap
+    assert(!v.contains((1L, 0L)),
+      "a Bloom filter can never reject a true member")
+    val fp = v.getOrElse((0L, 1L), 0L)
+    val tn = v.getOrElse((0L, 0L), 0L)
+    assert(fp > 0, "this fill level must produce false positives " +
+      "(otherwise the FP accounting is vacuous)")
+    assert(fp.toDouble / (fp + tn) < 0.25,
+      s"FP rate ${fp.toDouble / (fp + tn)} implausibly high for m=2048/k=3")
+  }
+
+  test("q98 stratified sample: realized rates track the nominal " +
+      "thresholds per stratum") {
+    val kept = SparkEntry.queries("q98_strat_sample")(spark, sf)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    val totals = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    val nominal = Map("P" -> 0.5, "O" -> 0.1, "F" -> 0.02)
+    nominal.foreach { case (st, p) =>
+      val n = totals(st).toDouble
+      val rate = kept.getOrElse(st, 0L) / n
+      // binomial 4-sigma band around the nominal rate
+      val tol = 4 * math.sqrt(p * (1 - p) / n)
+      assert(math.abs(rate - p) < tol,
+        s"stratum $st: realized $rate vs nominal $p (tol $tol)")
+    }
+  }
+
+  test("g5 weighted SSSP: distances bracket the BFS levels and " +
+      "hop-order genuinely decouples from weight-order") {
+    val bfs = SparkEntry.queries("g3_bfs_levels")(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    val sssp = SparkEntry.queries("g5_sssp")(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    val reached = bfs.filter(_._2 < graft.catalog.Graph.Unreached).keySet
+    reached.foreach { v =>
+      val lvl = bfs(v); val d = sssp(v)
+      assert(d < graft.catalog.Graph.SsspUnreached,
+        s"node $v BFS-reached but SSSP-unreached")
+      // every h-hop path weighs >= h (weights >= 1): dist >= level;
+      // and the min-hop path itself weighs <= 9 per hop: dist <= 9*level
+      assert(d >= lvl && (lvl == 0 || d <= 9 * lvl),
+        s"node $v: sssp $d outside [$lvl, ${9 * lvl}]")
+    }
+    // decoupling: some pair is ordered differently by hops and weight —
+    // the weighted argmin is not just BFS in disguise
+    val pairs = reached.toSeq.sortBy(v => (bfs(v), v))
+    val inversion = pairs.combinations(2).exists { case Seq(u, v) =>
+      (bfs(u) < bfs(v) && sssp(u) > sssp(v)) ||
+        (bfs(u) > bfs(v) && sssp(u) < sssp(v))
+    }
+    assert(inversion, "hop order and weight order never disagree — " +
+      "the weights would be vacuous")
+  }
 }

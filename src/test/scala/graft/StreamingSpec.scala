@@ -392,4 +392,79 @@ class StreamingSpec extends SparkSuite {
       .collect().head.getDouble(0)
     assert(math.abs(sum - expect) < 1e-6)
   }
+
+  test("foreachBatch versioned upsert: interrupted streaming maintenance " +
+      "equals the batch aggregate, and every crash window replays " +
+      "idempotently") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val ev = Tables.events(spark, sf)
+    val n = ev.count().toInt
+    val first = ev.orderBy("ts", "event_id").limit(n / 2)
+    val second = ev.join(first.select("event_id"), Seq("event_id"), "left_anti")
+    def stage(df: org.apache.spark.sql.DataFrame,
+        dir: java.nio.file.Path, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val partStream = java.nio.file.Files.list(tmp)
+      val part =
+        try partStream.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally partStream.close()
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    def run(input: String, cp: String, table: String): Unit = {
+      val q = EventStreams.foreachBatchUpsert(spark,
+        EventStreams.readStream(spark, input), table, cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def snapshot(table: String) =
+      EventStreams.upsertTable(spark, table).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+          r.getAs[Long]("cents"))).toSet
+    // interrupted: half the input, stop, stage the rest, restart
+    val in = base.resolve("in"); val cp = s"$base/cp"; val table = s"$base/tbl"
+    stage(first, in, "events_1.parquet")
+    run(in.toString, cp, table)
+    val mid = snapshot(table)
+    stage(second, in, "events_2.parquet")
+    run(in.toString, cp, table)
+    val got = snapshot(table)
+    // batch twin: per-user purchase counts + exact cent totals
+    val expect = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+        r.getAs[Long]("cents"))).toSet
+    assert(mid.nonEmpty && mid != expect,
+      "phase 1 must stop with the view genuinely incomplete")
+    assert(got == expect,
+      s"maintained view diverged from the batch aggregate " +
+        s"(${got.size} vs ${expect.size} users)")
+    // crash replay, window 1: marker already advanced -> replay skips.
+    // Batch ids are per-checkpoint; replay the LAST committed id with
+    // DIFFERENT (already-merged) data — a double-merge would show.
+    val lastId = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table, "_committed")), "UTF-8").trim.toLong
+    EventStreams.upsertBatch(spark, ev.limit(50).toDF(), table, lastId)
+    assert(snapshot(table) == expect, "replayed batch id must be a no-op")
+    // crash replay, window 2: data written but the marker move LOST
+    // (crash between the two) — roll the marker back one version and
+    // replay: the rewrite must land on the identical table
+    val prev = (0L until lastId).filter(v => java.nio.file.Files
+      .exists(java.nio.file.Paths.get(table, s"v_$v"))).max
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_committed"),
+      prev.toString.getBytes("UTF-8"))
+    val replayData = ev.join(first.select("event_id"), Seq("event_id"),
+      "left_anti") // the second half again, as the source would replay it
+    EventStreams.upsertBatch(spark, replayData.toDF(), table, lastId)
+    assert(snapshot(table) == expect,
+      "marker-lost replay must rebuild the identical version")
+  }
 }
