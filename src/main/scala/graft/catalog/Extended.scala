@@ -2025,7 +2025,131 @@ object Extended {
       "deterministic stratified Bernoulli sample (P 50% / O 10% / " +
         "F 2%): md5-uniform vs literal thresholds — replayable by an " +
         "auditor, identical at any parallelism; one scan, the filter " +
-        "prunes before any downstream shuffle")
+        "prunes before any downstream shuffle"),
+
+    QueryDef(
+      "q99_cooccur",
+      (s, dir) => {
+        // Market-basket co-occurrence (the support-counting core of
+        // Apriori): which part pairs ship together in one order? The
+        // pair generator is a SELF-JOIN ON THE ORDER KEY with a < b —
+        // quadratic only in the per-order item count (≤ 13 here, ≤ 78
+        // pairs), so the plan is linear-ish in orders at ANY corpus
+        // size: the classic bounded-fan-out shape, never parts×parts.
+        // Distinct first (an order listing a part twice is one
+        // occurrence); top-20 by (support desc, pa, pb) — total order,
+        // so the cut is deterministic and plans as
+        // TakeOrderedAndProject, not a global sort.
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        items.as("a")
+          .join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+        FROM s a JOIN s b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY support DESC, pa, pb LIMIT 20"""),
+      "market-basket pair co-occurrence: self-join bounded by per-order " +
+        "item count (never parts x parts), support count, deterministic " +
+        "top-20 via TakeOrderedAndProject"),
+
+    QueryDef(
+      "q100_twap",
+      (s, dir) => {
+        // Time-WEIGHTED average (TWAP) per (event_type, day) — the
+        // time-series mean where a value holds until the next
+        // observation, so sparse quiet hours don't get out-voted by
+        // bursts (q79's OHLC gives the bar, this gives the weighted
+        // level). Exactness: value -> cents (long), holding time ->
+        // lead(ts)−ts in MICROS (integer; the last observation of each
+        // day carries no interval and drops out on both engines), and
+        // the key bound that makes BIGINT safe at ANY corpus size:
+        // sum(dt) per group <= one day in micros, so the numerator is
+        // <= cents_max * 86.4e9 ~ 8.6e14 — no decimal widening needed.
+        // One window + one aggregate over the same (type, day)
+        // partitioning; ONE IEEE division at the end.
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("ts"),
+            (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+              .as("cents"),
+            col("event_id"), to_date(col("ts")).as("day"),
+            unix_micros(col("ts")).as("us"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("day"))
+          .orderBy(col("us"), col("event_id"))
+        ev.withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+          .filter(col("dt").isNotNull)
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("cents") * col("dt")).as("num"),
+            sum(col("dt")).as("den"), count(lit(1)).as("n_intervals"))
+          .select(col("event_type"), col("day"), col("n_intervals"),
+            (col("num").cast("double") / (col("den") * 100).cast("double"))
+              .as("twap"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH e AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+          FROM events),
+        d AS (SELECT event_type, day, cents,
+            LEAD(us) OVER (PARTITION BY event_type, day
+              ORDER BY us, event_id) - us AS dt
+          FROM e)
+        SELECT event_type, day, COUNT(*) AS n_intervals,
+          CAST(SUM(cents * dt) AS DOUBLE) / CAST(SUM(dt) * 100 AS DOUBLE)
+            AS twap
+        FROM d WHERE dt IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "time-weighted average per (event_type, day): integer holding-" +
+        "time weights from one lead() window, BIGINT-safe at any scale " +
+        "(per-group weight mass bounded by the day), one IEEE division"),
+
+    QueryDef(
+      "q101_checksum",
+      (s, dir) => {
+        // Order-independent table fingerprint — replica anti-entropy
+        // at 100 TB: two sites compare per-group (count, checksum)
+        // pairs instead of shipping or sorting rows. checksum = SUM of
+        // a deterministic md5-derived 24-bit digest of each row's
+        // canonical key string — commutative, so ANY partitioning/
+        // order yields the identical value, and one flipped row moves
+        // the sum with probability ~1. Verified here by construction:
+        // the oracle recomputes the same fingerprint from its own
+        // scan, so the green row IS a successful anti-entropy compare
+        // between two independent engines.
+        val l = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("grp"),
+            md5(concat_ws(":",
+              col("l_orderkey"), col("l_linenumber"),
+              (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+                .cast("long"))).as("h"))
+        l.withColumn("d", u24Spark("h"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum(col("d")).as("checksum"))
+          .orderBy("grp")
+      },
+      Some(s"""WITH h AS (
+          SELECT l_returnflag AS grp,
+            md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+              CAST(l_linenumber AS VARCHAR) || ':' ||
+              CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                AS VARCHAR)) AS h
+          FROM lineitem)
+        SELECT grp, COUNT(*) AS n,
+          CAST(SUM(${u24Sql("h")}) AS BIGINT) AS checksum
+        FROM h GROUP BY grp ORDER BY grp"""),
+      "order-independent table checksum per group (sum of md5-derived " +
+        "row digests): replica anti-entropy without sorting or " +
+        "shipping rows — the oracle run IS the cross-engine compare")
   )
 
   /** 24-bit uniform from the first 6 hex digits of an md5 column —

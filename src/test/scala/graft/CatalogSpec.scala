@@ -781,4 +781,65 @@ class CatalogSpec extends SparkSuite {
     assert(inversion, "hop order and weight order never disagree — " +
       "the weights would be vacuous")
   }
+
+  test("q101 checksum: invariant under physical layout — 1 and 32 " +
+      "partitions fingerprint identically, and one flipped row moves it") {
+    import org.apache.spark.sql.functions._
+    val base = SparkEntry.queries("q101_checksum")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        r.getAs[Long]("checksum"))).toMap
+    // same computation over a repartitioned scan must not move the sum
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def sums(df: org.apache.spark.sql.DataFrame) = {
+      val h = df.select(col("l_returnflag").as("grp"),
+        md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+            .cast("long"))).as("h"))
+      h.withColumn("d", expr("CAST(" + (1 to 6).map(i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (6 - i))}")
+          .mkString(" + ") + " AS BIGINT)"))
+        .groupBy("grp").agg(sum("d").as("c")).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("c")).toMap
+    }
+    val one = sums(li.coalesce(1))
+    val many = sums(li.repartition(32))
+    assert(one == many, "fingerprint must be order/partitioning-free")
+    base.foreach { case (g, (_, c)) => assert(one(g) == c) }
+    // sensitivity: perturb one EXISTING row's quantity -> its group's
+    // sum moves
+    val probe = li.select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").head()
+    val flipped = sums(li.withColumn("l_quantity",
+      when(col("l_orderkey") === probe.get(0).toString.toLong &&
+        col("l_linenumber") === probe.get(1).toString.toLong,
+        col("l_quantity") + 1).otherwise(col("l_quantity"))))
+    assert(flipped != one, "a flipped row must move the fingerprint")
+  }
+
+  test("q100 TWAP: each group's weighted level lies inside its value " +
+      "range and differs from the plain mean somewhere") {
+    import org.apache.spark.sql.functions._
+    val twap = SparkEntry.queries("q100_twap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toString) ->
+        r.getAs[Double]("twap")).toMap
+    val ev = graft.catalog.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(min("value").as("lo"), max("value").as("hi"),
+        avg("value").as("mean"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    var somewhereDifferent = false
+    twap.foreach { case (k, v) =>
+      val (lo, hi, mean, _) = ev(k)
+      assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+        s"$k: twap $v outside [$lo, $hi]")
+      if (math.abs(v - mean) > 1e-6) somewhereDifferent = true
+    }
+    assert(somewhereDifferent,
+      "time weighting must actually differ from the unweighted mean")
+  }
 }

@@ -574,4 +574,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
       s"null-safe equality must not fall back to a loop join:\n$p")
   }
+
+  test("q97: the Bloom bit table attaches by broadcast and nothing " +
+      "plans a product — the probe side pays one scan + one groupBy") {
+    val p = plan("q97_bloom_prefilter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=2048-row bit table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bloom probe must stay equi-join shaped:\n$p")
+  }
+
+  test("q96: class sizes attach by broadcast — the release is one " +
+      "corpus scan, not a shuffle join on the quasi-identifier") {
+    val p = plan("q96_k_anonymity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 125-row class table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q99: pair generation is an equi-join on the order key (bounded " +
+      "fan-out) and the top-20 cut is TakeOrderedAndProject") {
+    val p = plan("q99_cooccur")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"deterministic top-20 must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the pair join must stay keyed on the order id:\n$p")
+  }
 }
