@@ -1222,6 +1222,61 @@ object Approx {
         "patch from the generation formula; one-pass, no shuffle"),
 
     QueryDef(
+      "mm11_y4m_shots",
+      (s, dir) => {
+        // Shot-boundary detection over the real Y4M decode — the
+        // canonical first pass of video curation (scene segmentation
+        // before frame sampling): a boundary is a frame whose mean
+        // luma jumps >= 16 gray levels vs its predecessor. The decoder
+        // emits one row per frame with its EXACT integer Y-plane sum
+        // (chroma planes are walked positionally, so a size slip
+        // desynchronizes and the oracle catches it); the boundary
+        // verdict is integer math — |Δy_sum| >= 16·wh — in a lag
+        // window partitioned by video, so both engines decide
+        // identically. ~13% of frames are boundaries at this
+        // threshold; frame 0 is never one. Scale shape: decode is a
+        // scan (no shuffle), the window partitions on media_id —
+        // bounded frames per video, never a global sort.
+        val frames = graft.functions.Multimodal.frameLumaStats(
+          t(s, dir, "documents").select(col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id")).orderBy(col("f"))
+        frames
+          .withColumn("dy", col("y_sum") - lag(col("y_sum"), 1).over(w))
+          .select(col("media_id"), col("f"), col("y_sum"),
+            when(col("dy").isNull, 0L)
+              .otherwise(when(abs(col("dy")) >= col("wh") * 16, 1L)
+                .otherwise(0L)).as("boundary"))
+          .orderBy("media_id", "f")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 3 AS h,
+            doc_id % 20 + 5 AS nf
+          FROM documents),
+        fr AS (
+          SELECT doc_id, w * h AS wh, CAST(t.f AS BIGINT) AS f
+          FROM m, UNNEST(range(0, CAST(nf AS INT))) t(f)),
+        s AS (
+          SELECT doc_id AS media_id, f, wh,
+            CAST(list_sum(list_transform(range(0, CAST(wh AS INT)),
+              p -> (doc_id*31 + f*19 + p*7) % 256)) AS BIGINT) AS y_sum
+          FROM fr),
+        d AS (
+          SELECT media_id, f, y_sum, wh,
+            y_sum - LAG(y_sum) OVER (PARTITION BY media_id ORDER BY f)
+              AS dy
+          FROM s)
+        SELECT media_id, f, y_sum,
+          CAST(CASE WHEN dy IS NULL THEN 0
+            WHEN ABS(dy) >= wh * 16 THEN 1 ELSE 0 END AS BIGINT)
+            AS boundary
+        FROM d ORDER BY media_id, f"""),
+      "shot-boundary detection over the real Y4M decode: exact per-" +
+        "frame luma sums from the chunk walker, integer 16-gray-level " +
+        "jump verdict in a per-video lag window — decode is a scan, " +
+        "the window partitions on bounded keys"),
+
+    QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")

@@ -1878,7 +1878,60 @@ object TextDocs {
       "OLS by sufficient statistics: six order-free integer moments in " +
         "one map-side-combining pass, closed-form slope/intercept/r2 " +
         "from the 1-row frame — supervised training that touches the " +
-        "corpus exactly once, bit-exact across engines")
+        "corpus exactly once, bit-exact across engines"),
+
+    QueryDef(
+      "d41_novelty",
+      (s, dir) => {
+        // Per-document NOVELTY — what fraction of a doc's content is
+        // first seen HERE? (the curation signal behind "diminishing
+        // returns" mixing: late near-copies of earlier content score
+        // ~0 and can be down-weighted without a pairwise dedup pass).
+        // Attribution is by global first occurrence: each distinct
+        // 3-shingle belongs to the LOWEST doc_id containing it (the
+        // deterministic stand-in for ingest order), one min-groupBy on
+        // the shingle; a doc's novelty = novel shingles / its distinct
+        // shingles — two exact integers, one IEEE division. Scale
+        // shape: one explode + one shingle-key aggregate + one doc-key
+        // aggregate — the d21 count-join discipline, never pairwise.
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 3)
+          .cache() // barrier: the shingle lambda references tok 3x
+        val sh = docs
+          .select(col("doc_id"),
+            explode(Approx.shinglesOfTokens(col("tok"))).as("s"))
+        val first = sh.groupBy(col("s"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, "s")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len($toksSql) - 1),
+            i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' ||
+                 $toksSql[i+2])) AS sh
+          FROM documents WHERE len($toksSql) >= 3),
+        e AS (SELECT doc_id, UNNEST(sh) AS s FROM d),
+        f AS (SELECT s, MIN(doc_id) AS first_doc FROM e GROUP BY s)
+        SELECT e.doc_id, COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM e JOIN f ON e.s = f.s
+        GROUP BY e.doc_id ORDER BY e.doc_id"""),
+      "per-doc novelty scoring: every distinct 3-shingle attributed to " +
+        "its first-occurrence doc (one min-groupBy), novelty = novel / " +
+        "total shingles — the diminishing-returns curation signal, " +
+        "linear count-join shape, never pairwise")
   )
 
 }

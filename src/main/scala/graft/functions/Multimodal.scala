@@ -622,8 +622,10 @@ object Multimodal {
   /** Parse a Y4M payload, keeping every `stride`-th frame (stride 1 =
     * full decode). Throws on malformed/truncated input — callers that
     * need quarantine semantics route through `decodeAny`. */
-  private[graft] def decodeY4m(data: Array[Byte], stride: Int = 1)
-      : DecodedVideo = {
+  /** Parse the YUV4MPEG2 stream header: (w, h, bytes-per-pixel,
+    * offset of the first FRAME marker). Shared by the full decode and
+    * the per-frame luma walk. */
+  private def y4mHeader(data: Array[Byte]): (Int, Int, Int, Int) = {
     var eol = 0
     while (eol < data.length && data(eol) != '\n') eol += 1
     require(eol < data.length, "unterminated Y4M header")
@@ -646,9 +648,16 @@ object Multimodal {
       case other => throw new IllegalArgumentException(
         s"unsupported colorspace $other")
     }
+    (w, h, bpp, eol + 1)
+  }
+
+  private[graft] def decodeY4m(data: Array[Byte], stride: Int = 1)
+      : DecodedVideo = {
+    val (w, h, bpp, start) = y4mHeader(data)
+    val cs = if (bpp == 3) "C444" else "Cmono"
     val frameBytes = bpp * w * h
     val yBytes = w * h
-    var pos = eol + 1
+    var pos = start
     var f = 0; var kept = 0
     var ySum = 0L; var uvSum = 0L; var y00Last = -1
     while (pos < data.length) {
@@ -702,6 +711,58 @@ object Multimodal {
             d.nFrames.toLong, d.kept.toLong, d.ySum, d.uvSum,
             d.y00Last.toLong,
             d.ySum.toDouble / (d.kept.toLong * d.width * d.height))
+        }
+      }(enc)
+  }
+
+  /** Walk every frame of a Y4M payload and return (w, h, per-frame
+    * LUMA sums) — the Y plane is the first w·h bytes of each frame in
+    * both supported colorspaces. Skipped chroma planes are still
+    * walked positionally (a size slip desynchronizes the rest, same
+    * discipline as the strided decode). */
+  private[graft] def decodeY4mFrameYSums(data: Array[Byte])
+      : (Int, Int, Array[Long]) = {
+    val (w, h, bpp, start) = y4mHeader(data)
+    val frameBytes = bpp * w * h
+    val yBytes = w * h
+    var pos = start
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (pos < data.length) {
+      require(pos + 5 <= data.length &&
+        new String(data, pos, 5, "US-ASCII") == "FRAME",
+        s"bad FRAME marker at offset $pos")
+      var e = pos + 5
+      while (e < data.length && data(e) != '\n') e += 1
+      require(e < data.length, "unterminated FRAME marker")
+      pos = e + 1
+      require(pos + frameBytes <= data.length, "truncated frame payload")
+      var s = 0L; var p = 0
+      while (p < yBytes) { s += data(pos + p) & 0xFF; p += 1 }
+      sums += s
+      pos += frameBytes
+    }
+    require(sums.nonEmpty, "no frames")
+    (w, h, sums.toArray)
+  }
+
+  /** mm11: per-frame luma rows for shot detection — one row per frame
+    * with the frame's exact Y sum and the plane size; boundary logic
+    * stays declarative in the query (a lag window over (video, frame)).
+    * Same one-pass no-shuffle batch shape as every mm decoder. */
+  def frameLumaStats(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("f", LongType),
+      StructField("wh", LongType), StructField("y_sum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val (w, h, sums) = decodeY4mFrameYSums(buildY4m(id))
+          sums.iterator.zipWithIndex.map { case (s, f) =>
+            Row(id, f.toLong, w.toLong * h, s)
+          }
         }
       }(enc)
   }

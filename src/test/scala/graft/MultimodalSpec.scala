@@ -264,6 +264,24 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("Y4M per-frame luma walk agrees with the full decode: frame " +
+      "sums add up to the video's Y total, frame count matches") {
+    (0L until 60L).foreach { id =>
+      val full = Multimodal.decodeY4m(Multimodal.buildY4m(id))
+      val (w, h, sums) = Multimodal.decodeY4mFrameYSums(Multimodal.buildY4m(id))
+      assert(w == full.width && h == full.height)
+      assert(sums.length == full.nFrames,
+        s"id $id: ${sums.length} frame sums vs ${full.nFrames} frames")
+      assert(sums.sum == full.ySum,
+        s"id $id: per-frame luma must decompose the full decode's Y sum")
+      // and an independent recomputation from the generation formula
+      val expect = (0 until sums.length).map(f =>
+        (0 until w * h).map(p =>
+          Multimodal.y4mByte(id, f, p).toLong).sum)
+      assert(sums.toSeq == expect, s"id $id: formula mismatch")
+    }
+  }
+
   test("patchify exact cover: patches tile the raster — per-image patch " +
       "sums equal the whole-image decode, widths/heights sum to w/h") {
     val s2 = spark; import s2.implicits._
