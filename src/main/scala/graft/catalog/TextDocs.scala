@@ -1931,7 +1931,89 @@ object TextDocs {
       "per-doc novelty scoring: every distinct 3-shingle attributed to " +
         "its first-occurrence doc (one min-groupBy), novelty = novel / " +
         "total shingles — the diminishing-returns curation signal, " +
-        "linear count-join shape, never pairwise")
+        "linear count-join shape, never pairwise"),
+
+    QueryDef(
+      "d42_bpe_train",
+      (s, dir) => {
+        // BPE tokenizer TRAINING as dataflow (Sennrich et al. 2016) —
+        // d10 APPLIES fixed merge rules; this LEARNS them from the
+        // corpus. The classic two-phase shape that makes it cheap at
+        // 100 TB: the corpus is touched ONCE (word-frequency dict),
+        // then every merge iteration runs over the VOCAB-sized dict —
+        // pair counts are frequency-weighted sums, the argmax merge is
+        // deterministic (count desc, pair asc), and applying a merge
+        // is a literal left-to-right non-overlapping replace on the
+        // space-separated symbol string (exactly BPE's greedy merge
+        // order, and exactly what replace() does on BOTH engines).
+        // Each iteration collects ONE row (the argmax pair) — driver
+        // metadata, same class as e2's literal planes. Output: the 5
+        // learned merges with their exact weighted counts.
+        val wf = t(s, dir, "documents")
+          .select(explode(toks(col("text"))).as("w0"))
+          .select(regexp_replace(lower(col("w0")), "[^a-z]", "").as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("f"))
+          .withColumn("ws", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+          .select("ws", "f")
+          .localCheckpoint() // ONE corpus pass; iterations run on the dict
+        var dict = wf
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String, Long)]
+        for (step <- 0 until 5) {
+          val best = dict
+            .select(col("f"), split(col("ws"), " ").as("sp"))
+            .filter(size(col("sp")) >= 2)
+            .select(col("f"), explode(expr(
+              "transform(sequence(1, size(sp) - 1), " +
+                "i -> concat(element_at(sp, i), ' ', element_at(sp, i + 1)))"))
+              .as("p"))
+            .groupBy("p").agg(sum(col("f")).as("cnt"))
+            .orderBy(col("cnt").desc, col("p"))
+            .limit(1).collect().head
+          val pair = best.getString(0); val cnt = best.getLong(1)
+          val merged = pair.replace(" ", "")
+          merges += ((step.toLong, pair, merged, cnt))
+          dict = dict
+            .withColumn("ws", expr(s"replace(ws, '$pair', '$merged')"))
+            .localCheckpoint() // constant plan depth across iterations
+        }
+        import s.implicits._
+        merges.toSeq.toDF("step", "pair", "merged", "cnt").orderBy("step")
+      },
+      Some {
+        val steps = (1 to 5).map { k =>
+          s"""p$k AS (
+          SELECT pr AS p, CAST(SUM(f) AS BIGINT) AS cnt
+          FROM (SELECT f, UNNEST(list_transform(
+              range(1, len(string_split(ws, ' '))),
+              i -> string_split(ws, ' ')[i] || ' ' ||
+                   string_split(ws, ' ')[i+1])) AS pr
+            FROM d${k - 1})
+          GROUP BY pr),
+        b$k AS (SELECT p, cnt FROM p$k ORDER BY cnt DESC, p LIMIT 1),
+        d$k AS (SELECT replace(d.ws, b.p, replace(b.p, ' ', '')) AS ws,
+          d.f FROM d${k - 1} d, b$k b)"""
+        }.mkString(",\n        ")
+        s"""WITH tok AS (
+          SELECT regexp_replace(lower(t.w0), '[^a-z]', '', 'g') AS w
+          FROM documents, UNNEST($toksSql) t(w0)),
+        wf AS (SELECT w, COUNT(*) AS f FROM tok
+          WHERE len(w) > 0 GROUP BY w),
+        d0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ws, f
+          FROM wf),
+        $steps
+        ${(1 to 5).map(k =>
+          s"SELECT CAST(${k - 1} AS BIGINT) AS step, p AS pair, " +
+            s"replace(p, ' ', '') AS merged, cnt FROM b$k")
+          .mkString("\n        UNION ALL ")}
+        ORDER BY step"""
+      },
+      "BPE merge training (5 steps): one corpus pass builds the word-" +
+        "frequency dict, each iteration counts weighted symbol pairs " +
+        "over the VOCAB-sized dict, deterministic argmax, replace() " +
+        "applies the merge with BPE's own greedy left-to-right order — " +
+        "tokenizer training that touches the corpus exactly once")
   )
 
 }

@@ -842,4 +842,35 @@ class CatalogSpec extends SparkSuite {
     assert(somewhereDifferent,
       "time weighting must actually differ from the unweighted mean")
   }
+
+  test("d42 BPE training: the distributed merges match an independent " +
+      "driver-side BPE recurrence bit-for-bit") {
+    val got = SparkEntry.queries("d42_bpe_train")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("step"), r.getString(1), r.getString(2),
+        r.getAs[Long]("cnt"))).toSeq
+    // reference implementation: plain Scala over the same corpus
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).trim.split(" +"))
+      .map(_.toLowerCase.filter(c => c >= 'a' && c <= 'z'))
+      .filter(_.nonEmpty).toSeq
+    val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var dict = wf.map { case (w, f) => w.mkString(" ") -> f }
+    val expect = (0 until 5).map { step =>
+      val pc = scala.collection.mutable.Map.empty[String, Long]
+      dict.foreach { case (ws, f) =>
+        val sp = ws.split(" ")
+        (0 until sp.length - 1).foreach { i =>
+          val p = sp(i) + " " + sp(i + 1)
+          pc(p) = pc.getOrElse(p, 0L) + f
+        }
+      }
+      val (pair, cnt) = pc.toSeq.minBy { case (p, c) => (-c, p) }
+      val merged = pair.replace(" ", "")
+      dict = dict.groupBy { case (ws, _) => ws.replace(pair, merged) }
+        .view.mapValues(_.values.sum).toMap
+      (step.toLong, pair, merged, cnt)
+    }
+    assert(got == expect, s"merges diverged:\n got   $got\n expect $expect")
+  }
 }
