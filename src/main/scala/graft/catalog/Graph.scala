@@ -26,6 +26,11 @@ object Graph {
   val SsspIters = 8
   val SsspUnreached = 999999L
 
+  /** k-core threshold and peel rounds for g6 (fixpoint reached at both
+    * tested scales; one extra peel is a no-op, CatalogSpec-pinned). */
+  val KCoreK = 6
+  val KCoreRounds = 8
+
   /** The synthetic link graph: every doc links to (7d+1), (13d+5),
     * (31d+11) mod N, self-loops removed, duplicates collapsed — a
     * deterministic expander-ish multigraph whose edge list both engines
@@ -396,5 +401,114 @@ object Graph {
         "min-groupBy per round off the checkpointed edge set — the " +
         "route/hop decoupling BFS can't express; oracle is the " +
         "unrolled recurrence")
+  ,
+
+    QueryDef(
+      "g6_kcore",
+      (s, dir) => {
+        // k-CORE decomposition (iterative peeling): repeatedly drop
+        // every node with degree < k until a fixpoint — the dense-
+        // subgraph extractor of web-graph curation (link farms and
+        // tight communities survive; the sparse periphery cascades
+        // away). The base expander is near-6-regular, so a planted
+        // 20-node clique (doc_id % 25 == 0, < 500 — FIXED at any
+        // corpus size) makes k=6 load-bearing: the periphery dies in
+        // a genuine multi-round cascade (484 -> 430 -> 250 -> 38 ->
+        // 20 at sf0.01; 7 rounds at 50x), the clique keeps intra-
+        // degree 19 and survives. Each peel is one adjacency join
+        // against the alive set + one count + one filter — node-sized
+        // state, constant plan depth via localCheckpoint; 8 rounds
+        // reach the fixpoint at both tested scales (CatalogSpec pins
+        // one extra peel changes nothing).
+        import Tables.t
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val base = EdgeFormulas.map { case (a, b) =>
+          docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * a + b) % n).as("dst"))
+        }.reduce(_ unionAll _)
+          .filter(col("src") =!= col("dst"))
+        val cliqueIds = docs
+          .filter(col("doc_id") % 25 === 0 && col("doc_id") < 500)
+          .select(col("doc_id"))
+        val clique = cliqueIds.select(col("doc_id").as("src"))
+          .join(cliqueIds.select(col("doc_id").as("dst")),
+            col("src") < col("dst"))
+        val und = base.unionByName(clique)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+          .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+          .localCheckpoint()
+        def restrictedDeg(alive: org.apache.spark.sql.DataFrame) = adj
+          .join(alive.select(col("node").as("xn")), col("node") === col("xn"))
+          .join(alive.select(col("node").as("yn")), col("nbr") === col("yn"))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        var alive = docs.select(col("doc_id").as("node")).localCheckpoint()
+        for (_ <- 1 to KCoreRounds) {
+          alive = restrictedDeg(alive)
+            .filter(col("deg") >= KCoreK)
+            .select(col("node"))
+            .localCheckpoint()
+        }
+        val fd = restrictedDeg(alive)
+        docs
+          .join(alive.withColumn("in_core", lit(1L)),
+            docs("doc_id") === alive("node"), "left")
+          .join(fd.select(col("node").as("fn"), col("deg")),
+            docs("doc_id") === col("fn"), "left")
+          .select(docs("doc_id").as("node"),
+            coalesce(col("in_core"), lit(0L)).as("in_core"),
+            coalesce(col("deg"), lit(0L)).as("core_deg"))
+          .orderBy("node")
+      },
+      Some {
+        val edgeUnion = EdgeFormulas.map { case (a, b) =>
+          s"SELECT doc_id AS src, ($a*doc_id+$b) % (SELECT COUNT(*) FROM documents) AS dst FROM documents"
+        }.mkString("\n          UNION ALL ")
+        val steps = (1 to KCoreRounds).map { k =>
+          s"""dg$k AS (
+          SELECT adj.node, COUNT(*) AS deg FROM adj
+          JOIN a${k - 1} x ON adj.node = x.node
+          JOIN a${k - 1} y ON adj.nbr = y.node
+          GROUP BY adj.node),
+        a$k AS (SELECT node FROM dg$k WHERE deg >= $KCoreK)"""
+        }.mkString(",\n        ")
+        s"""WITH cl AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM documents a, documents b
+          WHERE a.doc_id % 25 = 0 AND a.doc_id < 500
+            AND b.doc_id % 25 = 0 AND b.doc_id < 500
+            AND a.doc_id < b.doc_id),
+        e0 AS (
+          $edgeUnion),
+        und AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM (SELECT src, dst FROM e0 WHERE src <> dst
+                UNION ALL SELECT src, dst FROM cl)),
+        adj AS (SELECT a AS node, b AS nbr FROM und
+          UNION ALL SELECT b AS node, a AS nbr FROM und),
+        a0 AS (SELECT doc_id AS node FROM documents),
+        $steps,
+        fd AS (
+          SELECT adj.node, COUNT(*) AS deg FROM adj
+          JOIN a$KCoreRounds x ON adj.node = x.node
+          JOIN a$KCoreRounds y ON adj.nbr = y.node
+          GROUP BY adj.node)
+        SELECT d.doc_id AS node,
+          CAST(CASE WHEN a.node IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            AS in_core,
+          CAST(COALESCE(fd.deg, 0) AS BIGINT) AS core_deg
+        FROM documents d
+        LEFT JOIN a$KCoreRounds a ON d.doc_id = a.node
+        LEFT JOIN fd ON d.doc_id = fd.node
+        ORDER BY node"""
+      },
+      s"k-core decomposition (k=$KCoreK, $KCoreRounds peels to " +
+        "fixpoint): iterative degree-filter cascade over the " +
+        "checkpointed adjacency — the planted 20-clique survives, the " +
+        "near-regular periphery cascades away over 5-7 rounds; oracle " +
+        "is the unrolled peeling recurrence")
   )
 }

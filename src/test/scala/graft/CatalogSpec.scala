@@ -843,6 +843,49 @@ class CatalogSpec extends SparkSuite {
       "time weighting must actually differ from the unweighted mean")
   }
 
+  test("g6 k-core: the core is exactly the planted clique, one extra " +
+      "peel is a no-op, and an un-cliqued graph peels to empty") {
+    val rows01 = SparkEntry.queries("g6_kcore")(spark,
+      "/root/testdata/sf0.01").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("in_core"),
+        r.getAs[Long]("core_deg")))
+    val core = rows01.filter(_._2 == 1L).map(_._1).toSet
+    assert(core == (0L until 500L by 25L).toSet,
+      s"core must be the planted 20-clique, got ${core.toSeq.sorted}")
+    // fixpoint: every core member keeps intra-core degree >= k (here
+    // exactly the 19 other clique members), so peel round R+1 = round R
+    rows01.filter(_._2 == 1L).foreach { case (n, _, d) =>
+      assert(d >= graft.catalog.Graph.KCoreK && d >= 19,
+        s"core node $n has core_deg $d")
+    }
+    rows01.filter(_._2 == 0L).foreach { case (n, _, d) =>
+      assert(d == 0L, s"non-core node $n must report core_deg 0, got $d")
+    }
+    // without the clique the near-regular base graph (degrees 5-6)
+    // cascades to an EMPTY 6-core — a driver-side peel over the same
+    // formula edges proves the clique is what survival hinges on
+    val n = 500L
+    var edges = Set.empty[(Long, Long)]
+    for (d <- 0L until n; (a, b) <- Seq((7L, 1L), (13L, 5L), (31L, 11L))) {
+      val dst = (a * d + b) % n
+      if (dst != d) edges += ((math.min(d, dst), math.max(d, dst)))
+    }
+    var alive = (0L until n).toSet
+    for (_ <- 1 to graft.catalog.Graph.KCoreRounds) {
+      val deg = scala.collection.mutable.Map.empty[Long, Int]
+      edges.foreach { case (a, b) =>
+        if (alive(a) && alive(b)) {
+          deg(a) = deg.getOrElse(a, 0) + 1; deg(b) = deg.getOrElse(b, 0) + 1
+        }
+      }
+      alive = alive.filter(v =>
+        deg.getOrElse(v, 0) >= graft.catalog.Graph.KCoreK)
+    }
+    assert(alive.isEmpty,
+      "the base graph alone must peel to empty — otherwise the planted " +
+        "clique isn't load-bearing")
+  }
+
   test("d42 BPE training: the distributed merges match an independent " +
       "driver-side BPE recurrence bit-for-bit") {
     val got = SparkEntry.queries("d42_bpe_train")(spark, sf).collect()
