@@ -1277,6 +1277,44 @@ object Approx {
         "the window partitions on bounded keys"),
 
     QueryDef(
+      "mm12_wav_features",
+      (s, dir) =>
+        // Time-domain audio features over the real WAV decode — the
+        // two classic curation discriminators, both EXACT integer
+        // sums over the decoded int16 samples: lag-4 autocorrelation
+        // (periodicity — tones score high, noise cancels toward 0)
+        // and zero-crossing count (noisiness — the voiced/unvoiced
+        // split). The negative-amplitude half of the sample lattice
+        // makes both sign paths load-bearing (autocorr products of
+        // mixed signs, crossings in both directions). One mapPartitions
+        // pass, no shuffle; the oracle recomputes every sample from
+        // the generation formula.
+        graft.functions.Multimodal.audioFeatureStats(
+          t(s, dir, "documents").select(col("doc_id")), 4)
+          .orderBy("media_id", "channel"),
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 2 + 1 AS nch, doc_id % 50 + 20 AS nf
+          FROM documents),
+        ch AS (
+          SELECT doc_id, nf, CAST(t.c AS BIGINT) AS c
+          FROM m, UNNEST(range(0, CAST(nch AS INT))) t(c))
+        SELECT doc_id AS media_id, c AS channel,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(list_sum(list_transform(range(0, CAST(nf - 4 AS INT)),
+            f -> ((doc_id*31 + f*7 + c*13) % 4096 - 2048)
+               * ((doc_id*31 + (f+4)*7 + c*13) % 4096 - 2048)))
+            AS BIGINT) AS autocorr,
+          CAST(list_sum(list_transform(range(1, CAST(nf AS INT)),
+            f -> CASE WHEN ((doc_id*31 + f*7 + c*13) % 4096 - 2048 >= 0)
+                   <> ((doc_id*31 + (f-1)*7 + c*13) % 4096 - 2048 >= 0)
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_cross
+        FROM ch ORDER BY media_id, channel"""),
+      "time-domain audio features over the real WAV decode: exact " +
+        "integer lag-4 autocorrelation + zero-crossing count per " +
+        "channel — periodicity and noisiness discriminators, one-pass " +
+        "no-shuffle, oracle from the generation formula"),
+
+    QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")

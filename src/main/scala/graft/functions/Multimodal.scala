@@ -333,8 +333,10 @@ object Multimodal {
   /** Parse a PCM WAV payload: RIFF/WAVE magic, chunk walk (word-aligned —
     * odd-length chunks carry a pad byte), fmt validation (PCM, 16-bit),
     * unknown chunks skipped, interleaved LE int16 frames. */
-  private[graft] def decodeWav(data: Array[Byte], stride: Int = 1)
-      : DecodedAudio = {
+  /** RIFF chunk walk shared by the stat decode and the sample reader:
+    * (channels, data offset, frame count) after validating fmt/data. */
+  private def wavLayout(data: Array[Byte])
+      : (Int, Int, Int) = {
     require(data.length >= 12 && data(0) == 'R' && data(1) == 'I'
       && data(2) == 'F' && data(3) == 'F', "not RIFF")
     require(new String(data, 8, 4, "US-ASCII") == "WAVE", "not WAVE")
@@ -358,7 +360,14 @@ object Multimodal {
     require(blockAlign == nCh * 2 && dataLen % blockAlign == 0,
       s"bad block alignment $blockAlign / data length $dataLen")
     require(data.length >= dataOff + dataLen, "truncated data chunk")
-    val nFrames = dataLen / blockAlign
+    (nCh, dataOff, dataLen / blockAlign)
+  }
+
+  private[graft] def decodeWav(data: Array[Byte], stride: Int = 1)
+      : DecodedAudio = {
+    val (nCh, dataOff, nFrames) = wavLayout(data)
+    val buf = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val sums = new Array[Long](nCh)
     val sumSqs = new Array[Long](nCh)
     val peaks = new Array[Int](nCh)
@@ -380,6 +389,46 @@ object Multimodal {
       f += stride
     }
     DecodedAudio(nCh, kept, sums, sumSqs, peaks)
+  }
+
+  /** mm12: time-domain audio features per channel — lag-L
+    * autocorrelation (periodicity / voiced-ness) and zero-crossing
+    * count (noisiness), both exact BIGINT sums over the decoded int16
+    * samples. One row per (media_id, channel); the usual one-pass
+    * no-shuffle batch shape. */
+  def audioFeatureStats(ids: DataFrame, lag: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("channel", LongType),
+      StructField("n_frames", LongType),
+      StructField("autocorr", LongType),
+      StructField("zero_cross", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val data = buildWav(id)
+          val (nCh, dataOff, nFrames) = wavLayout(data)
+          val buf = java.nio.ByteBuffer.wrap(data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def s(f: Int, c: Int): Int = buf.getShort(dataOff + (f * nCh + c) * 2).toInt
+          (0 until nCh).map { c =>
+            var ac = 0L; var zc = 0L
+            var f = 0
+            while (f < nFrames - lag) {
+              ac += s(f, c).toLong * s(f + lag, c); f += 1
+            }
+            f = 1
+            while (f < nFrames) {
+              if ((s(f, c) >= 0) != (s(f - 1, c) >= 0)) zc += 1
+              f += 1
+            }
+            Row(id, c.toLong, nFrames.toLong, ac, zc)
+          }
+        }
+      }(enc)
   }
 
   /** Build WAV payloads per id and decode them partition-wise — one row
