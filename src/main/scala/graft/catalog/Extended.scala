@@ -2156,7 +2156,86 @@ object Extended {
         FROM h GROUP BY grp ORDER BY grp"""),
       "order-independent table checksum per group (sum of md5-derived " +
         "row digests): replica anti-entropy without sorting or " +
-        "shipping rows — the oracle run IS the cross-engine compare")
+        "shipping rows — the oracle run IS the cross-engine compare"),
+
+    QueryDef(
+      "q102_bitmask_rollup",
+      (s, dir) => {
+        // Bitwise aggregate rollup — audience/feature segmentation the
+        // way a 100 TB system stores it: each order compresses to a
+        // feature BITMASK, and per-customer semantics fall out of the
+        // three bitwise aggregates in ONE map-side-combining pass:
+        // bit_or = "ever had the flag", bit_and = "always had it",
+        // bit_xor = parity (the delta-sync primitive). Flags: open
+        // status / high value / urgent priority. All-integer — exact
+        // on both engines, order-free.
+        val o = t(s, dir, "orders")
+        val mask =
+          (when(col("o_orderstatus") === "O", 1L).otherwise(0L)
+            + when(col("o_totalprice") > 150000.0, 2L).otherwise(0L)
+            + when(col("o_orderpriority").startsWith("1"), 4L)
+              .otherwise(0L)).as("mask")
+        o.select(col("o_custkey"), mask)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            bit_or(col("mask")).as("flags_any"),
+            bit_and(col("mask")).as("flags_all"),
+            bit_xor(col("mask")).as("flags_parity"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH m AS (
+          SELECT o_custkey,
+            CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
+              + CASE WHEN o_totalprice > 150000.0 THEN 2 ELSE 0 END
+              + CASE WHEN o_orderpriority LIKE '1%' THEN 4 ELSE 0 END
+              AS BIGINT) AS mask
+          FROM orders)
+        SELECT o_custkey, COUNT(*) AS n_orders,
+          CAST(BIT_OR(mask) AS BIGINT) AS flags_any,
+          CAST(BIT_AND(mask) AS BIGINT) AS flags_all,
+          CAST(BIT_XOR(mask) AS BIGINT) AS flags_parity
+        FROM m GROUP BY o_custkey ORDER BY o_custkey"""),
+      "bitwise aggregate rollup (bit_or / bit_and / bit_xor) over " +
+        "per-order feature bitmasks: ever/always/parity semantics per " +
+        "customer in one map-side-combining pass — all-integer, exact"),
+
+    QueryDef(
+      "q103_reservoir",
+      (s, dir) => {
+        // Deterministic per-group reservoir — exactly K uniform
+        // samples per stratum WITHOUT replacement (q98 samples at a
+        // RATE; this guarantees the count): order each group by an
+        // md5 coin and keep the first K=5. The row_number-filter
+        // idiom is the one WindowTopKRewrite turns into the native
+        // O(K) TopKPerKey operator under the engine's session
+        // extensions — per-group state is K rows no matter how hot
+        // the group (the skew corpus's 30%-hot event_type pays the
+        // same memory as a cold one). Replayable: the coin is a
+        // function of the event id alone.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("coin"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            md5(concat(lit("r:"), col("event_id").cast("string")))
+              .as("coin"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("event_type"), col("event_id"), col("rn").cast("long")
+            .as("rn"))
+          .orderBy("event_type", "rn")
+      },
+      Some("""SELECT event_type, event_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY md5('r:' || CAST(event_id AS VARCHAR)), event_id)
+            AS BIGINT) AS rn
+        FROM events
+        QUALIFY rn <= 5
+        ORDER BY event_type, rn"""),
+      "deterministic per-group reservoir (exactly K=5 per stratum, " +
+        "md5-coin order): the row_number idiom the native TopKPerKey " +
+        "rewrite bounds to O(K) state per group — hot groups pay what " +
+        "cold ones pay; auditor-replayable")
   )
 
   /** 24-bit uniform from the first 6 hex digits of an md5 column —
