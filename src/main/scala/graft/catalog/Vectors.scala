@@ -426,6 +426,107 @@ object Vectors {
       "MMR diversified re-rank (λ=1/2, k=4 of a top-8 shortlist): " +
         "greedy relevance-vs-redundancy selection with bit-exact " +
         "cosines and deterministic tie-breaks — corpus work is one " +
-        "retrieval pass, the greedy loop runs on shortlist-sized frames")
+        "retrieval pass, the greedy loop runs on shortlist-sized frames"),
+
+    QueryDef(
+      "e15_binary_ann",
+      (s, dir) => {
+        // BINARY-quantized ANN (the 1-bit tier under e5's int8 and
+        // e6's PQ): each 64-dim vector compresses to its SIGN BITS,
+        // packed into two BIGINT words — 16 bytes/vector, and the
+        // shortlist metric is pure bit math (XOR + popcount), the
+        // cheapest distance that exists. Serving = Hamming top-10
+        // shortlist over the CODE table only (the e7 discipline:
+        // the wide float arrays never enter the scan), then exact
+        // cosine re-rank of the 10 survivors via one id equi-join.
+        // Everything is deterministic: sign bits are exact float
+        // compares, Hamming is integer, the re-rank is the bit-exact
+        // e1 cosine — so the full pipeline carries an exact oracle.
+        // The 8-query broadcast against the code table is the same
+        // deliberate small-side nested loop as e7's ADC scan.
+        import org.apache.spark.sql.expressions.Window
+        val packLo =
+          "aggregate(transform(sequence(0, 31), i -> IF(element_at(embedding, i + 1) > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        val packHi =
+          "aggregate(transform(sequence(0, 31), i -> IF(element_at(embedding, i + 33) > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        val emb = t(s, dir, "embeddings")
+        val codes = emb.select(col("vec_id").as("c_id"),
+          expr(packLo).as("c_lo"), expr(packHi).as("c_hi"))
+        val qcodes = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"),
+            expr(packLo).as("q_lo"), expr(packHi).as("q_hi"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("hamming"), col("c_id"))
+        val shortlist = broadcast(qcodes)
+          .join(codes, col("q_id") =!= col("c_id"))
+          .withColumn("hamming",
+            expr("CAST(bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi) AS BIGINT)"))
+          .withColumn("srk", row_number().over(w))
+          .filter(col("srk") <= 10)
+          .select("q_id", "c_id", "hamming")
+        val qv = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("qv"))
+        val cv = emb.select(col("vec_id").as("c_id"),
+          dvec(col("embedding")).as("cv"))
+        val w2 = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id"))
+        shortlist
+          .join(broadcast(qv), "q_id").join(cv, "c_id")
+          .withColumn("cos", cosine(col("qv"), col("cv")))
+          .withColumn("rk", row_number().over(w2).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("q_id", "c_id", "hamming", "cos", "rk")
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH codes AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(range(0, 32),
+              i -> CASE WHEN embedding[i + 1] > 0
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+              AS lo,
+            CAST(list_sum(list_transform(range(0, 32),
+              i -> CASE WHEN embedding[i + 33] > 0
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+              AS hi
+          FROM embeddings),
+        short AS (
+          SELECT q_id, c_id, hamming FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              CAST(bit_count(xor(q.lo, c.lo))
+                 + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY bit_count(xor(q.lo, c.lo))
+                       + bit_count(xor(q.hi, c.hi)), c.vec_id) AS srk
+            FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 8)
+          WHERE srk <= 10),
+        v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+            AS e FROM embeddings)
+        SELECT q_id, c_id, hamming,
+          cos, CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT s.q_id, s.c_id, s.hamming,
+            list_reduce(list_transform(range(1, len(q.e) + 1),
+              i -> q.e[i] * c.e[i]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(c.e, x -> x * x), (a, b) -> a + b)))
+              AS cos,
+            ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+              list_reduce(list_transform(range(1, len(q.e) + 1),
+                i -> q.e[i] * c.e[i]), (a, b) -> a + b)
+              / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (a, b) -> a + b))
+               * sqrt(list_reduce(list_transform(c.e, x -> x * x), (a, b) -> a + b)))
+              DESC, s.c_id) AS rk
+          FROM short s
+          JOIN v q ON s.q_id = q.vec_id
+          JOIN v c ON s.c_id = c.vec_id)
+        WHERE rk <= 3
+        ORDER BY q_id, rk"""),
+      "binary-quantized ANN: 64 sign bits packed into two BIGINT words " +
+        "(16 bytes/vector), Hamming (XOR+popcount) top-10 shortlist " +
+        "over the code table only, exact-cosine re-rank of the " +
+        "survivors — the 1-bit serving tier under int8 (e5) and PQ " +
+        "(e6/e7), fully oracle-checked")
   )
 }

@@ -91,6 +91,19 @@ class CatalogSpec extends SparkSuite {
     assert(recallVsExact("e2_ann_lsh", "/root/testdata/sf0.01") >= 0.30)
   }
 
+  test("e15 binary-quantized ANN recall vs e1 >= pinned floor at two " +
+      "scales, and every shortlist hamming is a legal 0..64 distance") {
+    // measured 0.458 (sf0.001) and 0.417 (sf0.01) — 1-bit codes beat
+    // the IVF tier on this uniform corpus; floor with margin so a
+    // packing/popcount regression fails loudly
+    assert(recallVsExact("e15_binary_ann", sf) >= 0.30)
+    assert(recallVsExact("e15_binary_ann", "/root/testdata/sf0.01") >= 0.30)
+    SparkEntry.queries("e15_binary_ann")(spark, sf).collect().foreach { r =>
+      val h = r.getAs[Long]("hamming")
+      assert(h >= 0 && h <= 64, s"impossible hamming $h")
+    }
+  }
+
   test("e3 IVF multi-probe recall vs e1 >= pinned floor at two scales") {
     // measured 0.583 (sf0.001) and 0.292 (sf0.01) with C=16, nprobe=4.
     // The corpus embeddings are ~uniform random — no cluster structure —
