@@ -2235,7 +2235,47 @@ object Extended {
       "deterministic per-group reservoir (exactly K=5 per stratum, " +
         "md5-coin order): the row_number idiom the native TopKPerKey " +
         "rewrite bounds to O(K) state per group — hot groups pay what " +
-        "cold ones pay; auditor-replayable")
+        "cold ones pay; auditor-replayable"),
+
+    QueryDef(
+      "q106_l_diversity",
+      (s, dir) => {
+        // l-DIVERSITY audit — the release gate k-anonymity alone
+        // misses: a class can have >= k members who all share the
+        // SENSITIVE value (here the 1000-unit balance band), so
+        // membership still discloses it. Verdict per equivalence
+        // class: released iff class_n >= 10 AND >= 3 distinct
+        // sensitive values — both exact integers from ONE aggregate
+        // over the corpus (count + count distinct per bounded class
+        // key). The audit table is what a privacy review reads; q96's
+        // row-level release composes with it. Load-bearing at sf0.01:
+        // classes fail each test independently.
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / lit(1000.0)).cast("long")
+              .as("bal_band"))
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("class_n"),
+            countDistinct(col("bal_band")).as("n_sensitive"))
+          .withColumn("released",
+            when(col("class_n") >= 10 && col("n_sensitive") >= 7, 1L)
+              .otherwise(0L))
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      Some("""SELECT c_nationkey, c_mktsegment,
+          COUNT(*) AS class_n,
+          COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+            AS n_sensitive,
+          CAST(CASE WHEN COUNT(*) >= 10
+            AND COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+              >= 7 THEN 1 ELSE 0 END AS BIGINT) AS released
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+        ORDER BY c_nationkey, c_mktsegment"""),
+      "l-diversity audit (k=10, l=7): per-equivalence-class size AND " +
+        "distinct-sensitive-value counts in one aggregate — the " +
+        "disclosure check k-anonymity alone misses; composes with " +
+        "q96's row-level release")
   )
 
   /** 24-bit uniform from the first 6 hex digits of an md5 column —
