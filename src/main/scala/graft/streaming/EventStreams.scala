@@ -289,6 +289,78 @@ object EventStreams {
       }
   }
 
+  /** per-type burst-alert state: counts for buckets still inside the
+    * watermark horizon, plus the trailing (up to 4) FINALIZED bucket
+    * counts that form the baseline. */
+  final case class BurstState(open: Seq[(Long, Long)], trail: Seq[(Long, Long)])
+  /** one finalized bucket verdict (q104's row, emitted live) */
+  final case class AlertOut(event_type: String, bucket: Long, cnt: Long,
+      base4: Option[Long], alert: Long)
+
+  /** STREAMING burst alerting — q104's trailing-baseline rule emitted
+    * the moment the watermark proves a bucket complete (the monitoring
+    * loop a 100 TB ingest actually runs: the alert must fire while the
+    * burst is news, not at query end). The lag-window formulation is
+    * not streaming-legal, so the state API carries exactly what the
+    * batch lag carries: per event_type, the OPEN bucket counts inside
+    * the watermark horizon plus the trailing four FINALIZED counts
+    * (the baseline). A bucket finalizes — in bucket order — only when
+    * the watermark passes its end, so no emitted verdict can be
+    * contradicted by a late-but-valid event; state per key is the
+    * horizon's buckets + 4 longs, independent of stream length.
+    * Same integer verdict as q104: 8·cnt > 3·Σtrail4, never with an
+    * incomplete baseline. StreamingSpec pins emitted == q104 on the
+    * provably-closed set AND a two-batch split == uninterrupted (the
+    * baseline genuinely crosses the batch boundary). */
+  def burstAlerts(spark: SparkSession, events: DataFrame): Dataset[AlertOut] = {
+    import spark.implicits._
+    val BucketUs = 21600000000L // 6 hours
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type"), col("ts"),
+        expr(s"unix_micros(ts) div $BucketUs").as("b"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BurstState, AlertOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (etype, rows, state: GroupState[BurstState]) =>
+          val prior = state.getOption.getOrElse(BurstState(Nil, Nil))
+          val open: Map[Long, Long] =
+            if (state.hasTimedOut) prior.open.toMap
+            else rows.foldLeft(prior.open.toMap) { (m, r) =>
+              m.updated(r._3, m.getOrElse(r._3, 0L) + 1L)
+            }
+          // finalize in WATERMARK UNITS (ms), in bucket order — the
+          // timeoutSessions closure discipline
+          val wmMs = state.getCurrentWatermarkMs
+          val (closed, stillOpen) =
+            open.toSeq.sortBy(_._1).partition { case (b, _) =>
+              ((b + 1) * BucketUs) / 1000 < wmMs
+            }
+          var trail = prior.trail
+          val out = closed.map { case (b, cnt) =>
+            val base = if (trail.size == 4) Some(trail.map(_._2).sum) else None
+            val alert = base match {
+              case Some(s) if cnt * 8 > s * 3 => 1L
+              case _ => 0L
+            }
+            trail = (trail :+ (b, cnt)).takeRight(4)
+            AlertOut(etype, b, cnt, base, alert)
+          }
+          if (stillOpen.isEmpty && out.isEmpty && prior.trail.isEmpty)
+            state.remove()
+          else {
+            state.update(BurstState(stillOpen, trail))
+            if (stillOpen.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                stillOpen.map { case (b, _) =>
+                  ((b + 1) * BucketUs) / 1000 + 1 }.min,
+                wmMs + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/verification harness). */
   /** Streaming materialized-view maintenance via foreachBatch — q68's

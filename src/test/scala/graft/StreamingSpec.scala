@@ -382,6 +382,80 @@ class StreamingSpec extends SparkSuite {
         "state did not carry the window exactly")
   }
 
+  test("streaming burst alerts == batch q104 on the provably-closed " +
+      "buckets, and a two-batch split carries the trailing baseline " +
+      "across the boundary") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val BucketUs = 21600000000L
+    // final watermark after a full run = max ts − 10 min (ms units)
+    val maxTsMs = ev.agg(max("ts")).collect().head.getTimestamp(0).getTime
+    val wmMs = maxTsMs - 10 * 60 * 1000
+    val batchClosed = SparkEntry.queries("q104_burst_alert")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("bucket"),
+        r.getAs[Long]("cnt"),
+        Option(r.getAs[java.lang.Long]("base4")).map(_.toLong),
+        r.getAs[Long]("alert")))
+      .filter { case (_, b, _, _, _) => ((b + 1) * BucketUs) / 1000 < wmMs }
+      .toSet
+    assert(batchClosed.nonEmpty &&
+      batchClosed.exists(_._5 == 1L) && batchClosed.exists(_._5 == 0L),
+      "fixture must close buckets with BOTH verdicts")
+    def collect(name: String): Set[(String, Long, Long, Option[Long], Long)] =
+      spark.table(name).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2),
+        Option(r.getAs[java.lang.Long]("base4")).map(_.toLong),
+        r.getLong(4))).toSet
+    def stage(df: org.apache.spark.sql.DataFrame,
+        dir: java.nio.file.Path, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_burst_h")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ps = java.nio.file.Files.list(tmp)
+      val part =
+        try ps.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ps.close()
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    // uninterrupted run
+    val baseA = java.nio.file.Files.createTempDirectory("graft_burst_a")
+    val inA = baseA.resolve("in")
+    stage(ev, inA, "events_1.parquet")
+    val qA = EventStreams.burstAlerts(spark,
+        EventStreams.readStream(spark, inA.toString))
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("burst_a").start()
+    try qA.processAllAvailable() finally qA.stop()
+    assert(collect("burst_a") == batchClosed,
+      "uninterrupted streaming alerts diverged from batch q104")
+    // split run: strict ts cut so event-time order holds across batches;
+    // the second half's baselines include buckets finalized in batch 1
+    val cut = ev.orderBy("ts", "event_id")
+      .limit(ev.count().toInt / 2).agg(max("ts")).collect().head.getTimestamp(0)
+    val first = ev.filter(col("ts") <= lit(cut))
+    val second = ev.filter(col("ts") > lit(cut))
+    val baseB = java.nio.file.Files.createTempDirectory("graft_burst_b")
+    val inB = baseB.resolve("in")
+    stage(first, inB, "events_1.parquet")
+    val qB = EventStreams.burstAlerts(spark,
+        EventStreams.readStream(spark, inB.toString))
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("burst_b").start()
+    try {
+      qB.processAllAvailable()
+      val afterOne = collect("burst_b").size
+      stage(second, inB, "events_2.parquet")
+      qB.processAllAvailable()
+      assert(afterOne > 0 && afterOne < batchClosed.size,
+        "split must genuinely straddle two batches")
+    } finally qB.stop()
+    assert(collect("burst_b") == batchClosed,
+      "two-batch streaming alerts diverged — the trailing baseline did " +
+        "not carry across the boundary")
+  }
+
   test("mapGroupsWithState running totals cover every user") {
     val events = Tables.events(spark, sf)
     val totals = EventStreams.runningTotals(spark, events).collect()
