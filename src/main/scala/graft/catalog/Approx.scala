@@ -1315,6 +1315,76 @@ object Approx {
         "no-shuffle, oracle from the generation formula"),
 
     QueryDef(
+      "mm13_shot_keyframes",
+      (s, dir) => {
+        // Shot KEYFRAME extraction — the step after mm11's boundary
+        // detection in every video-curation pipeline: segment each
+        // video into shots (shot id = running count of boundaries)
+        // and represent each shot by its FIRST frame (the keyframe —
+        // what gets embedded/captioned downstream, at 1/len the
+        // pixel cost). min_by/arg_min picks the keyframe stats
+        // deterministically (frame ids are unique per video). Same
+        // decode scan as mm11 + one lag window + one running-sum
+        // window over the SAME per-video partitioning (exchange
+        // reused) + one bounded groupBy.
+        val frames = graft.functions.Multimodal.frameLumaStats(
+          t(s, dir, "documents").select(col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id")).orderBy(col("f"))
+        val wRun = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        frames
+          .withColumn("dy", col("y_sum") - lag(col("y_sum"), 1).over(w))
+          .withColumn("boundary",
+            when(col("dy").isNull, 0L)
+              .otherwise(when(abs(col("dy")) >= col("wh") * 16, 1L)
+                .otherwise(0L)))
+          .withColumn("shot", sum(col("boundary")).over(wRun))
+          .groupBy(col("media_id"), col("shot"))
+          .agg(min(col("f")).as("start_f"),
+            count(lit(1)).as("len"),
+            min_by(col("y_sum"), col("f")).as("key_y_sum"))
+          .orderBy("media_id", "shot")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 3 AS h,
+            doc_id % 20 + 5 AS nf
+          FROM documents),
+        fr AS (
+          SELECT doc_id, w * h AS wh, CAST(t.f AS BIGINT) AS f
+          FROM m, UNNEST(range(0, CAST(nf AS INT))) t(f)),
+        s AS (
+          SELECT doc_id AS media_id, f, wh,
+            CAST(list_sum(list_transform(range(0, CAST(wh AS INT)),
+              p -> (doc_id*31 + f*19 + p*7) % 256)) AS BIGINT) AS y_sum
+          FROM fr),
+        d AS (
+          SELECT media_id, f, y_sum, wh,
+            y_sum - LAG(y_sum) OVER (PARTITION BY media_id ORDER BY f)
+              AS dy
+          FROM s),
+        b AS (
+          SELECT media_id, f, y_sum,
+            CASE WHEN dy IS NULL THEN 0
+              WHEN ABS(dy) >= wh * 16 THEN 1 ELSE 0 END AS boundary
+          FROM d),
+        sh AS (
+          SELECT media_id, f, y_sum,
+            SUM(boundary) OVER (PARTITION BY media_id ORDER BY f
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+          FROM b)
+        SELECT media_id, CAST(shot AS BIGINT) AS shot,
+          MIN(f) AS start_f, COUNT(*) AS len,
+          CAST(arg_min(y_sum, f) AS BIGINT) AS key_y_sum
+        FROM sh GROUP BY media_id, shot
+        ORDER BY media_id, shot"""),
+      "shot keyframe extraction over mm11's boundaries: shot id = " +
+        "running boundary count, each shot represented by its first " +
+        "frame's exact stats (min_by/arg_min, deterministic) — one " +
+        "decode scan, two windows sharing one per-video exchange, one " +
+        "bounded groupBy"),
+
+    QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")
