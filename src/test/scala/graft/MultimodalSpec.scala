@@ -264,6 +264,39 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audio features: autocorrelation and zero crossings match an " +
+      "independent recomputation, with both sign paths load-bearing") {
+    val s2 = spark; import s2.implicits._
+    // ids 40..100: the sample ladder (step 7 per frame, span < 483 of
+    // the 4096 lattice) first straddles the zero boundary around id 60,
+    // so this window covers all-negative, crossing, AND all-positive
+    // channels
+    val got = Multimodal.audioFeatureStats((40L until 100L).toDF("id"), 4)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("channel")) ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("autocorr"),
+          r.getAs[Long]("zero_cross")))).toMap
+    (40L until 100L).foreach { id =>
+      val nCh = (id % 2 + 1).toInt; val nF = (id % 50 + 20).toInt
+      (0 until nCh).foreach { c =>
+        val s = (0 until nF).map(f => Multimodal.wavSample(id, f, c).toInt)
+        val ac = (0 until nF - 4).map(f => s(f).toLong * s(f + 4)).sum
+        val zc = (1 until nF).count(f => (s(f) >= 0) != (s(f - 1) >= 0)).toLong
+        assert(got((id, c.toLong)) == ((nF.toLong, ac, zc)),
+          s"id $id ch $c: features diverged")
+      }
+    }
+    // sign coverage is corpus-level: a channel's samples span < 4096/7
+    // frames' worth of the lattice and can legitimately sit all-negative
+    assert(got.values.exists(_._3 > 0),
+      "some channel must actually cross zero")
+    // periodicity detection is real: autocorr must take both signs
+    // across the corpus (mixed-phase products), not collapse to one
+    val acs = got.values.map(_._2)
+    assert(acs.exists(_ > 0) && acs.exists(_ < 0),
+      "lag-4 products must realize both signs across payloads")
+  }
+
   test("Y4M per-frame luma walk agrees with the full decode: frame " +
       "sums add up to the video's Y total, frame count matches") {
     (0L until 60L).foreach { id =>
