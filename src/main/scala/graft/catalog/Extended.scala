@@ -2050,17 +2050,17 @@ object Extended {
         val items = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
           .distinct()
-        items.as("a")
-          .join(items.as("b"),
-            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-          .agg(count(lit(1)).as("support"))
+        cooccurPairs(items)
           .orderBy(col("support").desc, col("pa"), col("pb"))
           .limit(20)
       },
-      Some("""WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      Some(s"""WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        sz AS (SELECT l_orderkey FROM s GROUP BY l_orderkey
+          HAVING COUNT(*) <= $MaxBasket),
+        k AS (SELECT s.l_orderkey, s.l_partkey
+          FROM s JOIN sz ON s.l_orderkey = sz.l_orderkey)
         SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
-        FROM s a JOIN s b
+        FROM k a JOIN k b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         ORDER BY support DESC, pa, pb LIMIT 20"""),
@@ -2284,6 +2284,41 @@ object Extended {
     * with native conv() (codegen'd — measured 9x cheaper than a
     * 6-way instr fold on q94); the SQL twin keeps the strpos fold
     * (DuckDB has no conv, and oracle cost is check-time only). */
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Baskets above this size are dropped before q99's pair join — the
+    * d7 oversized-bucket discipline applied to market-basket mining:
+    * one pathological mega-basket (a crawler cart, a bot order) makes
+    * pair generation quadratic in ITS size; capping bounds every
+    * basket's fan-out at MaxBasket²/2 pairs, and the dropped mass is
+    * logged. A no-op on this corpus (max basket 13); EdgeSpec pins
+    * bounded pair counts on a synthetic 500-item basket.
+    * (lazy: referenced by `queries`, which initializes first — the
+    * poissonThr ordering discipline.) */
+  private[catalog] lazy val MaxBasket = 64L
+
+  /** q99's pair generator over any (ok, p) item frame — factored so
+    * EdgeSpec can drive it with an adversarial mega-basket. */
+  private[graft] def cooccurPairs(items: DataFrame): DataFrame = {
+    val sizes = items.groupBy("ok").agg(count(lit(1)).as("bsz"))
+    val dropped = sizes.filter(col("bsz") > MaxBasket)
+      .agg(coalesce(sum(col("bsz")), lit(0L)).as("items"),
+        count(lit(1)).as("baskets")).head()
+    if (dropped.getLong(1) > 0L)
+      logger.warn(
+        s"cooccurPairs: dropped ${dropped.getLong(1)} oversized " +
+          s"basket(s) (> $MaxBasket items) holding " +
+          s"${dropped.getLong(0)} items before pair generation")
+    val kept = items
+      .join(sizes.filter(col("bsz") <= MaxBasket), Seq("ok"))
+      .select("ok", "p")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("support"))
+  }
+
   private def u24Spark(hcol: String): Column =
     expr(s"CAST(conv(substr($hcol, 1, 6), 16, 10) AS BIGINT)")
 

@@ -224,6 +224,24 @@ class EdgeSpec extends SparkSuite {
       s"guard must drop clone mega-buckets and keep small ones: $got")
   }
 
+  test("cooccurPairs: a 500-item mega-basket is dropped (bounded pair " +
+      "count) while normal baskets' pairs survive") {
+    val s2 = spark; import s2.implicits._
+    // one pathological basket (a bot cart): C(500,2) ≈ 125k pairs from
+    // ONE key without the guard — quadratic in basket size. Plus 10
+    // normal 3-item baskets sharing overlapping parts so real support
+    // accumulates.
+    val mega = (0L until 500L).map(p => (999L, p))
+    val normal = (0 until 10).flatMap(b =>
+      Seq((b.toLong, 1L), (b.toLong, 2L), (b.toLong, 3L)))
+    val items = (mega ++ normal).toDF("ok", "p").repartition(8)
+    val got = graft.catalog.Extended.cooccurPairs(items).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) ->
+        r.getAs[Long]("support")).toMap
+    assert(got == Map((1L, 2L) -> 10L, (1L, 3L) -> 10L, (2L, 3L) -> 10L),
+      s"guard must drop the mega-basket and keep normal support: $got")
+  }
+
   test("ivfDedup: the C scale knob — C=64 over a 5k clustered corpus " +
       "collapses every near-copy group to its minimum id") {
     val s2 = spark; import s2.implicits._
