@@ -25,7 +25,7 @@ object Approx {
     * shingle sets separate real near-dups). Callers must pass a cached/
     * bound column, never an inline split expression (HOF-inlining
     * discipline, SCALE.md). */
-  private[catalog] def shinglesOfTokens(tok: Column): Column =
+  private[graft] def shinglesOfTokens(tok: Column): Column =
     array_distinct(transform(sequence(lit(1), size(tok) - 2),
       i => concat_ws(" ", element_at(tok, i), element_at(tok, i + 1),
         element_at(tok, i + 2))))

@@ -111,4 +111,41 @@ object DocStreams {
         coalesce(col("hist_id"), lit(-1L)).as("hist_id"),
         when(col("hist_id").isNull, lit("ingest"))
           .otherwise(lit("skip_dup")).as("verdict"))
+
+  /** the historical 3-shingle universe (durable, table-backed — the
+    * same no-state-store discipline as historyHashes) */
+  def historyShingles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(toks(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(explode(graft.catalog.Approx.shinglesOfTokens(col("tok")))
+        .as("s"))
+      .distinct()
+
+  /** d41's novelty signal at INGEST time — score each incoming doc
+    * BEFORE paying to store/train on it: novelty = fraction of its
+    * distinct 3-shingles absent from the durable historical shingle
+    * table. Stream-static left join on the shingle key + one per-doc
+    * aggregate (streaming-legal in update/complete; DocStreamSpec runs
+    * the identical code on batch frames for exact parity and pins both
+    * verdict extremes). Unlike batch d41 (global first-occurrence
+    * attribution), the incremental form is causal: a doc is judged
+    * only against what the pipeline had ALREADY accepted — the
+    * diminishing-returns gate applied where the decision is actually
+    * made. The history lives in a table, not a state store, so a
+    * restart resumes from source offsets alone (the incrementalDedup
+    * discipline). */
+  def incrementalNovelty(incoming: DataFrame, history: DataFrame): DataFrame =
+    incoming
+      .select(col("doc_id"), toks(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.catalog.Approx.shinglesOfTokens(col("tok"))).as("s"))
+      .join(history.select(col("s"), lit(1L).as("known")), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
 }

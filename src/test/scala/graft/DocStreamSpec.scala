@@ -94,4 +94,39 @@ class DocStreamSpec extends SparkSuite {
           s"doc $id is fresh, got ($histId, $verdict)")
     }
   }
+
+  test("streaming incremental novelty (stream-static join) == batch " +
+      "twin; re-ingested docs score ~0, fresh-vocabulary docs score 1") {
+    // history = even doc_ids' shingle universe; streaming the full
+    // corpus back means every even doc finds ALL its shingles known
+    // (novelty 0), while odd docs score by genuine overlap
+    val history = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
+      .select(split(trim(col("text")), " +").as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(explode(
+        graft.catalog.Approx.shinglesOfTokens(col("tok"))).as("s"))
+      .distinct()
+      .cache()
+    val stream = DocStreams.incrementalNovelty(
+      DocStreams.readStream(spark, sf), history)
+    val got = EventStreams.runToMemory(spark, stream, "doc_novel",
+      OutputMode.Complete)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val batch = DocStreams.incrementalNovelty(batchDocs, history)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == batch && got.nonEmpty,
+      "streaming novelty must equal the batch twin exactly")
+    // verdict extremes: every even doc is fully known; some odd doc
+    // must carry genuinely novel shingles
+    got.foreach { case (id, (_, novel, nov)) =>
+      if (id % 2 == 0)
+        assert(novel == 0L && nov == 0.0,
+          s"re-ingested doc $id must score zero novelty, got $nov")
+    }
+    assert(got.exists { case (id, (_, novel, _)) => id % 2 == 1 && novel > 0 },
+      "some fresh doc must carry novel shingles")
+  }
 }
