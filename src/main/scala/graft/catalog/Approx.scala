@@ -46,8 +46,20 @@ object Approx {
   private[catalog] val MaxLshBucket = 256
 
   /** The d7 pipeline over any (doc_id, text) frame — factored out so
-    * EdgeSpec can drive it with an adversarial near-identical corpus. */
-  private[graft] def minhashLshPairs(docsIn: DataFrame): DataFrame = {
+    * EdgeSpec can drive it with an adversarial near-identical corpus.
+    *
+    * Two signature families, same LSH plan shape:
+    *  - fast (default): the compiled MinHashSig expression (xxhash64
+    *    core) + xxhash64 band keys — the 100 TB path.
+    *  - md5Sig=true: per-permutation min over md5(k + ":" + shingle)
+    *    hex strings (lexicographic min == numeric min at fixed width),
+    *    band key = the band's 4 sig strings joined with '|'. Every step
+    *    is reproducible in DuckDB, so the catalog's d7 entry runs this
+    *    mode under a FULL SQL oracle (the d39 md5-nibble discipline);
+    *    EdgeSpec pins that both modes emit the identical verified pair
+    *    set on the test corpus. */
+  private[graft] def minhashLshPairs(docsIn: DataFrame,
+      md5Sig: Boolean = false): DataFrame = {
     // Materialize tokens BEFORE building shingles: the shingle lambda
     // references the token array 3x per element, and CollapseProject
     // would inline the split() into every reference — ~750 regex
@@ -62,12 +74,16 @@ object Approx {
       .cache()
     // (doc, band, band_key) — keys ONLY: the expensive shingle arrays
     // must not ride through the bucket join + pair dedup
+    val sigCol = if (md5Sig) minhashSigMd5(col("tk")) else minhashSig(col("tk"))
+    def bandKey(b: Column): Column = {
+      val bandSlice = slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))
+      if (md5Sig) concat_ws("|", bandSlice) else xxhash64(bandSlice, b)
+    }
     val banded = docs
-      .withColumn("sig", minhashSig(col("tk")))
+      .withColumn("sig", sigCol)
       .select("doc_id", "sig").cache() // barrier: sig once, not once per band
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-          xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), b))))
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)), b => bandKey(b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     // oversized-bucket guard: count bucket sizes, keep only rows whose
     // bucket is under the cap. The size attach is an equi-join on the
@@ -111,6 +127,18 @@ object Approx {
   private def minhashSig(tokens: Column): Column =
     graft.functions.MinHashSig.min_hash_sig(array_distinct(tokens), MinhashK)
 
+  /** oracle-mode signature: element k = MIN over shingles of
+    * md5(k + ":" + shingle). Fixed-width lowercase hex compares
+    * lexicographically exactly as the underlying 128-bit value, so the
+    * string min IS the hash min — and DuckDB's md5/MIN reproduce it
+    * byte-for-byte (no engine-private hashing anywhere). K·|shingles|
+    * md5 calls per doc vs one fused xxhash64 pass: the measured cost of
+    * auditability, which is why the fast family stays the default. */
+  private def minhashSigMd5(tokens: Column): Column =
+    transform(sequence(lit(0), lit(MinhashK - 1)), k =>
+      array_min(transform(tokens, sh =>
+        md5(concat(k.cast("string"), lit(":"), sh)))))
+
   /** splitmix64 finalizer → uniform double in [0, 1): the driver-side
     * PRNG for hyperplane/centroid components (deterministic, well-mixed) */
   private def mixToUnit(z0: Long): Double = {
@@ -147,6 +175,50 @@ object Approx {
     s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)
        / (sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))
         * sqrt(list_reduce(list_transform($b, x -> x * x), (x, y) -> x + y)))"""
+
+  /** the md5-mode d7 pipeline, stage for stage, in DuckDB SQL: shingles
+    * → per-permutation min-md5 signature → '|'-joined band keys → bucket
+    * sizes → MaxLshBucket guard → in-bucket pairs → exact-Jaccard verify.
+    * Integer-over-integer division rounds identically on both engines,
+    * so even the jaccard doubles compare bit-exact. */
+  private def d7OracleSql: String =
+    s"""WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        FROM (SELECT doc_id,
+                string_split_regex(trim(lower(text)), ' +') AS tk
+              FROM documents)
+        WHERE len(tk) >= 3),
+      sig AS (
+        SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || ':' || s)) AS mh
+        FROM (SELECT doc_id, unnest(sh) AS s FROM d),
+          UNNEST(range(0, $MinhashK)) t(k)
+        GROUP BY 1, 2),
+      banded AS (
+        SELECT doc_id, k // $RowsPerBand AS band,
+          string_agg(mh, '|' ORDER BY k) AS band_key
+        FROM sig GROUP BY doc_id, k // $RowsPerBand),
+      bsz AS (SELECT band, band_key, COUNT(*) AS n
+        FROM banded GROUP BY 1, 2),
+      kept AS (SELECT b.doc_id, b.band, b.band_key FROM banded b
+        JOIN bsz USING (band, band_key) WHERE bsz.n <= $MaxLshBucket),
+      prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      sp AS (SELECT doc_id, unnest(sh) AS s1 FROM d),
+      szs AS (SELECT doc_id, len(sh) AS nsh FROM d),
+      io AS (SELECT p.id_a, p.id_b, COUNT(*) AS i
+        FROM prs p JOIN sp a ON a.doc_id = p.id_a
+                   JOIN sp b ON b.doc_id = p.id_b AND b.s1 = a.s1
+        GROUP BY 1, 2)
+      SELECT io.id_a, io.id_b,
+        CAST(i AS DOUBLE) / CAST(na.nsh + nb.nsh - i AS DOUBLE) AS jaccard
+      FROM io JOIN szs na ON na.doc_id = io.id_a
+              JOIN szs nb ON nb.doc_id = io.id_b
+      WHERE CAST(i AS DOUBLE) / CAST(na.nsh + nb.nsh - i AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""
 
   private def e2OracleSql: String = {
     val dims = 64
@@ -611,28 +683,66 @@ object Approx {
 
     QueryDef(
       "d7_minhash_lsh",
+      // md5Sig mode: same LSH plan as the fast path (band bucket join,
+      // oversized-bucket guard, exact-Jaccard verify) but with
+      // DuckDB-recomputable md5 signatures, so the WHOLE pipeline —
+      // banding, bucketing, candidate generation, verification — sits
+      // under an exact SQL oracle. EdgeSpec pins fast == md5 on the
+      // verified pair output.
       (s, dir) => minhashLshPairs(
-        t(s, dir, "documents").select(col("doc_id"), col("text"))),
-      None,
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        md5Sig = true),
+      Some(d7OracleSql),
       "MinHash+LSH near-dup: shingle→minhash→band→bucket-join with an " +
         "oversized-bucket guard; candidates verified with exact Jaccard " +
-        "(scale path for d6)"),
+        "(scale path for d6); md5 signature family carries a full SQL " +
+        "oracle, xxhash64 family is the fast path (EdgeSpec pins parity)"),
 
     QueryDef(
       "d8_simhash",
       (s, dir) =>
-        // 64-bit simhash: bit j is set iff the sum over distinct tokens of
-        // (+1 if token-hash bit j set, else -1) is positive — computed by
-        // the compiled SimHashSig expression in one pass per document
-        // (the 64-HOF formulation needed a cache barrier and still cost
-        // 2.6 s at sf0.1; see SimHashSig).
+        // 64-bit simhash: bit j is set iff the sum over distinct tokens
+        // of (+1 if token-hash bit j set, else -1) is positive. Catalog
+        // mode hashes tokens with md5 and reads bit j out of the hex
+        // nibbles, so every bit-vote is recomputable in DuckDB and the
+        // signature carries a FULL oracle (emitted MSB-first as a 64-char
+        // bit string — bit 63 would overflow a signed BIGINT literal
+        // sum). The 100 TB fast path is the compiled one-pass SimHashSig
+        // expression (xxhash64 core; ExtensionsSpec pins it against the
+        // per-bit HOF reference, PlanSpec pins whole-stage codegen).
+        // md5 is computed ONCE per token ("th"); the 64 bit-votes then
+        // reread the cached hex string — not 64 md5 calls.
         t(s, dir, "documents")
-          .select(col("doc_id"),
-            graft.functions.SimHashSig.sim_hash_sig(
-              array_distinct(toks(col("text")))).as("simhash"))
+          .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+          .withColumn("th", expr("transform(tk, w -> md5(w))"))
+          .select(col("doc_id"), expr(
+            """concat_ws('', transform(sequence(63, 0, -1), j ->
+                 CASE WHEN aggregate(th, 0, (acc, h) -> acc +
+                   (CASE WHEN (shiftright(CAST(conv(substring(h,
+                        1 + (j div 4), 1), 16, 10) AS INT),
+                      CAST(j % 4 AS INT)) & 1) = 1
+                    THEN 1 ELSE -1 END)) > 0
+                 THEN '1' ELSE '0' END))""").as("simhash_bits"))
           .orderBy("doc_id"),
-      None,
-      "SimHash 64-bit signature per document (compiled one-pass Expression)"),
+      Some("""WITH d AS (SELECT doc_id,
+            list_distinct(string_split_regex(trim(lower(text)), ' +')) AS tk
+          FROM documents),
+        th AS (SELECT doc_id, md5(w) AS h
+          FROM (SELECT doc_id, unnest(tk) AS w FROM d)),
+        b AS (SELECT doc_id, j,
+            SUM(CASE WHEN (((strpos('0123456789abcdef',
+                  substr(h, CAST(1 + j // 4 AS INTEGER), 1)) - 1)
+                >> CAST(j % 4 AS INTEGER)) & 1) = 1
+              THEN 1 ELSE -1 END) AS s
+          FROM th, UNNEST(range(0, 64)) t2(j)
+          GROUP BY 1, 2)
+        SELECT doc_id,
+          string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+            '' ORDER BY j DESC) AS simhash_bits
+        FROM b GROUP BY doc_id ORDER BY doc_id"""),
+      "SimHash 64-bit signature per document as an MSB-first bit string " +
+        "(md5 bit-votes, full SQL oracle); compiled SimHashSig is the " +
+        "fast path, spec-pinned"),
 
     QueryDef(
       "e2_ann_lsh",
@@ -1387,13 +1497,34 @@ object Approx {
     QueryDef(
       "q21_approx_distinct",
       (s, dir) =>
+        // HLL++ approximate distinct under a BUCKETED-VERDICT oracle:
+        // DuckDB cannot recompute the sketch registers, but it CAN
+        // assert the claim the sketch exists to make — the estimate
+        // lands within 2× the default rsd (0.05) of the exact count.
+        // The query emits the exact count (oracle-checked) plus the
+        // verdict as a deterministic integer (HLL merges are order-free
+        // register maxes, so the estimate — hence the verdict — is
+        // identical at any parallelism); the oracle asserts verdict=1.
+        // A broken sketch flips the verdict → hash mismatch, no longer
+        // a rows-only blind spot. CatalogSpec still pins the raw
+        // relative error at two scales.
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
             count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("exact_parts"), col("n"),
+            when(abs(col("approx_parts").cast("double")
+                / col("exact_parts") - 1.0) <= 0.10, lit(1))
+              .otherwise(lit(0)).as("hll_within_2rsd"))
           .orderBy("l_returnflag"),
-      None,
-      "HLL approximate distinct (sketch aggregate; estimate != oracle)"),
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS exact_parts, COUNT(*) AS n,
+          1 AS hll_within_2rsd
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      "HLL approximate distinct under a bucketed-verdict oracle: exact " +
+        "count oracle-checked, estimate-within-2rsd claim emitted as a " +
+        "deterministic verdict the oracle asserts"),
 
     QueryDef(
       "e11_kmeans_train",

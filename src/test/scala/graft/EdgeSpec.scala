@@ -224,6 +224,28 @@ class EdgeSpec extends SparkSuite {
       s"guard must drop clone mega-buckets and keep small ones: $got")
   }
 
+  test("minhashLshPairs: the xxhash64 fast family and the md5 oracle " +
+      "family emit the identical verified pair set") {
+    // The two signature families bucket differently, but both candidate
+    // sets pass through the same exact-Jaccard >= 0.5 verification; on
+    // this corpus (near-dups are high-jaccard, so per-band collision
+    // probability is near 1 for true pairs in BOTH families) the final
+    // verified outputs must coincide row for row — the parity pin that
+    // lets the catalog run md5 mode under the SQL oracle while the 100 TB
+    // path stays on the compiled xxhash64 expression.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def rows(md5Mode: Boolean) =
+      graft.catalog.Approx.minhashLshPairs(docs, md5Sig = md5Mode)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard"))).toSet
+    val fast = rows(false)
+    val md5m = rows(true)
+    assert(fast.nonEmpty, "corpus must contain near-dup pairs")
+    assert(fast == md5m,
+      s"families diverge: fast-only=${fast -- md5m} md5-only=${md5m -- fast}")
+  }
+
   test("cooccurPairs: a 500-item mega-basket is dropped (bounded pair " +
       "count) while normal baskets' pairs survive") {
     val s2 = spark; import s2.implicits._
