@@ -15,8 +15,6 @@ import org.apache.spark.sql.expressions.Window
 object Approx {
   import Tables.t
 
-  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
-
   /** whitespace tokens of trimmed lowercased text */
   private def toks(c: Column): Column = split(trim(lower(c)), " +")
 
@@ -59,7 +57,17 @@ object Approx {
     *    EdgeSpec pins that both modes emit the identical verified pair
     *    set on the test corpus. */
   private[graft] def minhashLshPairs(docsIn: DataFrame,
-      md5Sig: Boolean = false): DataFrame = {
+      md5Sig: Boolean = false): DataFrame =
+    minhashLshPairsWithStats(docsIn, md5Sig)._1
+
+  /** minhashLshPairs plus the oversized-bucket guard's dropped-mass
+    * accounting AS DATA (one row: dropped_groups, dropped_entries) —
+    * a lazy side frame sharing the bucket-size aggregate with the
+    * guard join, so plan construction runs no eager job and a 100 TB
+    * operator reads the dropped mass from a result, not a log line
+    * (the d43 surface). */
+  private[graft] def minhashLshPairsWithStats(docsIn: DataFrame,
+      md5Sig: Boolean = false): (DataFrame, DataFrame) = {
     // Materialize tokens BEFORE building shingles: the shingle lambda
     // references the token array 3x per element, and CollapseProject
     // would inline the split() into every reference — ~750 regex
@@ -91,14 +99,9 @@ object Approx {
     // partitioned, no extra shuffle pattern at scale.
     val bucketSizes = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bsz")).cache()
-    val dropped = bucketSizes.filter(col("bsz") > MaxLshBucket)
-      .agg(coalesce(sum(col("bsz")), lit(0L)).as("docs"),
-        count(lit(1)).as("buckets")).head()
-    if (dropped.getLong(1) > 0L)
-      logger.warn(
-        s"minhashLshPairs: dropped ${dropped.getLong(1)} oversized LSH " +
-          s"bucket(s) (> $MaxLshBucket members) holding " +
-          s"${dropped.getLong(0)} doc-band entries before pair generation")
+    val stats = bucketSizes.filter(col("bsz") > MaxLshBucket)
+      .agg(count(lit(1)).as("dropped_groups"),
+        coalesce(sum(col("bsz")), lit(0L)).as("dropped_entries"))
     val bandedKept = banded
       .join(bucketSizes.filter(col("bsz") <= MaxLshBucket), Seq("band", "band_key"))
       .select("band", "band_key", "doc_id")
@@ -112,13 +115,14 @@ object Approx {
     // exact-Jaccard confirmation: attach shingles once per pair side
     val ja = docs.select(col("doc_id").as("id_a"), col("tk").as("tk_a"))
     val jb = docs.select(col("doc_id").as("id_b"), col("tk").as("tk_b"))
-    pairs.join(ja, Seq("id_a")).join(jb, Seq("id_b"))
+    val verified = pairs.join(ja, Seq("id_a")).join(jb, Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("tk_a"), col("tk_b"))).cast("double")
           / size(array_distinct(concat(col("tk_a"), col("tk_b")))).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
+    (verified, stats)
   }
 
   /** K minhash values via the compiled MinHashSig expression — the
@@ -181,8 +185,11 @@ object Approx {
     * sizes → MaxLshBucket guard → in-bucket pairs → exact-Jaccard verify.
     * Integer-over-integer division rounds identically on both engines,
     * so even the jaccard doubles compare bit-exact. */
-  private def d7OracleSql: String =
-    s"""WITH d AS (
+  /** the shared md5-mode CTE prefix: shingles → signature → band keys
+    * → bucket sizes (d7 chains the pair pipeline on it, d43 reads the
+    * guard's dropped mass out of `bsz`). */
+  private def d7OracleCtes: String =
+    s"""d AS (
         SELECT doc_id, list_distinct(list_transform(
             range(1, len(tk) - 1),
             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
@@ -200,7 +207,10 @@ object Approx {
           string_agg(mh, '|' ORDER BY k) AS band_key
         FROM sig GROUP BY doc_id, k // $RowsPerBand),
       bsz AS (SELECT band, band_key, COUNT(*) AS n
-        FROM banded GROUP BY 1, 2),
+        FROM banded GROUP BY 1, 2)"""
+
+  private def d7OracleSql: String =
+    s"""WITH $d7OracleCtes,
       kept AS (SELECT b.doc_id, b.band, b.band_key FROM banded b
         JOIN bsz USING (band, band_key) WHERE bsz.n <= $MaxLshBucket),
       prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -743,6 +753,46 @@ object Approx {
       "SimHash 64-bit signature per document as an MSB-first bit string " +
         "(md5 bit-votes, full SQL oracle); compiled SimHashSig is the " +
         "fast path, spec-pinned"),
+
+    QueryDef(
+      "d43_guard_dropped_mass",
+      (s, dir) => {
+        // The quadratic-guard OBSERVABILITY surface: both oversized-
+        // group guards (d7's LSH bucket cap, q99's basket cap) report
+        // what they dropped AS A QUERY RESULT — group count and member
+        // entries — instead of a log line an operator at 100 TB never
+        // sees. The stats frames share their size aggregates with the
+        // guards' own filter joins (no second corpus scan shape), and
+        // both are exact integers under the full SQL oracle. Zero rows
+        // dropped on this corpus (max basket 13, max LSH bucket ≪ 256)
+        // — the VALUE 0 is the load-bearing assertion here; EdgeSpec
+        // pins the nonzero counts on adversarial mega-group corpora.
+        val (_, lshStats) = minhashLshPairsWithStats(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          md5Sig = true)
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val (_, basketStats) = Extended.cooccurPairsWithStats(items)
+        basketStats.withColumn("guard", lit("basket"))
+          .unionByName(lshStats.withColumn("guard", lit("lsh_bucket")))
+          .select("guard", "dropped_groups", "dropped_entries")
+          .orderBy("guard")
+      },
+      Some(s"""WITH $d7OracleCtes,
+        lsh AS (SELECT 'lsh_bucket' AS guard, COUNT(*) AS dropped_groups,
+          CAST(COALESCE(SUM(n), 0) AS BIGINT) AS dropped_entries
+          FROM bsz WHERE n > $MaxLshBucket),
+        s2 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        bsz2 AS (SELECT l_orderkey, COUNT(*) AS n FROM s2 GROUP BY 1),
+        bk AS (SELECT 'basket' AS guard, COUNT(*) AS dropped_groups,
+          CAST(COALESCE(SUM(n), 0) AS BIGINT) AS dropped_entries
+          FROM bsz2 WHERE n > ${Extended.MaxBasket})
+        SELECT * FROM bk UNION ALL SELECT * FROM lsh ORDER BY guard"""),
+      "dropped-mass observability for the quadratic guards (d7 LSH " +
+        "buckets, q99 baskets): group and entry counts as data under " +
+        "the exact oracle — what a 100 TB operator reads instead of a " +
+        "log line; EdgeSpec pins nonzero counts on adversarial corpora"),
 
     QueryDef(
       "e2_ann_lsh",

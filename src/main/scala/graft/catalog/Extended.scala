@@ -2272,8 +2272,9 @@ object Extended {
         // misses: a class can have >= k members who all share the
         // SENSITIVE value (here the 1000-unit balance band), so
         // membership still discloses it. Verdict per equivalence
-        // class: released iff class_n >= 10 AND >= 3 distinct
-        // sensitive values — both exact integers from ONE aggregate
+        // class: released iff class_n >= 10 AND >= 7 distinct
+        // sensitive values (k=10, l=7) — both exact integers from ONE
+        // aggregate
         // over the corpus (count + count distinct per bounded class
         // key). The audit table is what a privacy review reads; q96's
         // row-level release composes with it. Load-bearing at sf0.01:
@@ -2306,47 +2307,54 @@ object Extended {
         "q96's row-level release")
   )
 
+  /** Baskets above this size are dropped before q99's pair join — the
+    * d7 oversized-bucket discipline applied to market-basket mining:
+    * one pathological mega-basket (a crawler cart, a bot order) makes
+    * pair generation quadratic in ITS size; capping bounds every
+    * basket's fan-out at MaxBasket²/2 pairs, and the dropped mass is
+    * surfaced as a side frame (d43). A no-op on this corpus (max
+    * basket 13); EdgeSpec pins bounded pair counts on a synthetic
+    * 500-item basket.
+    * (lazy: referenced by `queries`, which initializes first — the
+    * poissonThr ordering discipline.) */
+  private[catalog] lazy val MaxBasket = 64L
+
+  /** q99's pair generator over any (ok, p) item frame, plus the guard's
+    * dropped-mass accounting AS DATA: at 100 TB an operator reads the
+    * dropped-basket count from a query result or metric, not a log
+    * line — and a lazy side frame also keeps plan construction free of
+    * eager jobs (merely explaining q99 must not scan lineitem). The
+    * stats frame shares the `sizes` aggregate with the filter join, so
+    * evaluating both costs one extra reuse of a basket-count frame,
+    * never a second corpus scan shape. */
+  private[graft] def cooccurPairsWithStats(items: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val sizes = items.groupBy("ok").agg(count(lit(1)).as("bsz"))
+    val stats = sizes.filter(col("bsz") > MaxBasket)
+      .agg(count(lit(1)).as("dropped_groups"),
+        coalesce(sum(col("bsz")), lit(0L)).as("dropped_entries"))
+    val kept = items
+      .join(sizes.filter(col("bsz") <= MaxBasket), Seq("ok"))
+      .select("ok", "p")
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("support"))
+    (pairs, stats)
+  }
+
+  /** q99's pair generator — factored so EdgeSpec can drive it with an
+    * adversarial mega-basket. */
+  private[graft] def cooccurPairs(items: DataFrame): DataFrame =
+    cooccurPairsWithStats(items)._1
+
   /** 24-bit uniform from the first 6 hex digits of an md5 column —
     * the q94 lattice trick factored for reuse: both engines read the
     * identical digit window, so u is bit-identical. Spark converts
     * with native conv() (codegen'd — measured 9x cheaper than a
     * 6-way instr fold on q94); the SQL twin keeps the strpos fold
     * (DuckDB has no conv, and oracle cost is check-time only). */
-  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
-
-  /** Baskets above this size are dropped before q99's pair join — the
-    * d7 oversized-bucket discipline applied to market-basket mining:
-    * one pathological mega-basket (a crawler cart, a bot order) makes
-    * pair generation quadratic in ITS size; capping bounds every
-    * basket's fan-out at MaxBasket²/2 pairs, and the dropped mass is
-    * logged. A no-op on this corpus (max basket 13); EdgeSpec pins
-    * bounded pair counts on a synthetic 500-item basket.
-    * (lazy: referenced by `queries`, which initializes first — the
-    * poissonThr ordering discipline.) */
-  private[catalog] lazy val MaxBasket = 64L
-
-  /** q99's pair generator over any (ok, p) item frame — factored so
-    * EdgeSpec can drive it with an adversarial mega-basket. */
-  private[graft] def cooccurPairs(items: DataFrame): DataFrame = {
-    val sizes = items.groupBy("ok").agg(count(lit(1)).as("bsz"))
-    val dropped = sizes.filter(col("bsz") > MaxBasket)
-      .agg(coalesce(sum(col("bsz")), lit(0L)).as("items"),
-        count(lit(1)).as("baskets")).head()
-    if (dropped.getLong(1) > 0L)
-      logger.warn(
-        s"cooccurPairs: dropped ${dropped.getLong(1)} oversized " +
-          s"basket(s) (> $MaxBasket items) holding " +
-          s"${dropped.getLong(0)} items before pair generation")
-    val kept = items
-      .join(sizes.filter(col("bsz") <= MaxBasket), Seq("ok"))
-      .select("ok", "p")
-    kept.as("a")
-      .join(kept.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-      .agg(count(lit(1)).as("support"))
-  }
-
   private def u24Spark(hcol: String): Column =
     expr(s"CAST(conv(substr($hcol, 1, 6), 16, 10) AS BIGINT)")
 

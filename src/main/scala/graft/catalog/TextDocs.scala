@@ -1943,9 +1943,15 @@ object TextDocs {
         // then every merge iteration runs over the VOCAB-sized dict —
         // pair counts are frequency-weighted sums, the argmax merge is
         // deterministic (count desc, pair asc), and applying a merge
-        // is a literal left-to-right non-overlapping replace on the
-        // space-separated symbol string (exactly BPE's greedy merge
-        // order, and exactly what replace() does on BOTH engines).
+        // is a BOUNDARY-ANCHORED left-to-right non-overlapping replace
+        // on the space-separated symbol string: separators are doubled
+        // so every symbol owns a space on each side, the padded pattern
+        // ' a  b ' can then only match a whole adjacent symbol pair
+        // (never the tail of a multi-char symbol like 'xa' + 'b'), and
+        // the doubled separators collapse back afterwards. replace()'s
+        // left-to-right non-overlap IS BPE's greedy order (a a a ->
+        // [aa, a]), and the same three nested replaces run identically
+        // on BOTH engines.
         // Each iteration collects ONE row (the argmax pair) — driver
         // metadata, same class as e2's literal planes. Output: the 5
         // learned merges with their exact weighted counts.
@@ -1974,8 +1980,11 @@ object TextDocs {
           val pair = best.getString(0); val cnt = best.getLong(1)
           val merged = pair.replace(" ", "")
           merges += ((step.toLong, pair, merged, cnt))
+          val pairD = pair.replace(" ", "  ") // doubled-separator pattern
           dict = dict
-            .withColumn("ws", expr(s"replace(ws, '$pair', '$merged')"))
+            .withColumn("ws", expr(
+              s"trim(replace(replace(concat(' ', replace(ws, ' ', '  '), ' '), " +
+                s"' $pairD ', ' $merged '), '  ', ' '))"))
             .localCheckpoint() // constant plan depth across iterations
         }
         import s.implicits._
@@ -1992,7 +2001,10 @@ object TextDocs {
             FROM d${k - 1})
           GROUP BY pr),
         b$k AS (SELECT p, cnt FROM p$k ORDER BY cnt DESC, p LIMIT 1),
-        d$k AS (SELECT replace(d.ws, b.p, replace(b.p, ' ', '')) AS ws,
+        d$k AS (SELECT trim(replace(replace(
+            ' ' || replace(d.ws, ' ', '  ') || ' ',
+            ' ' || replace(b.p, ' ', '  ') || ' ',
+            ' ' || replace(b.p, ' ', '') || ' '), '  ', ' ')) AS ws,
           d.f FROM d${k - 1} d, b$k b)"""
         }.mkString(",\n        ")
         s"""WITH tok AS (

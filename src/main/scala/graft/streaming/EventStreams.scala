@@ -385,19 +385,44 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        upsertBatch(spark, batch, tableRoot, id)
+        upsertBatch(spark, batch, tableRoot, id, checkpoint)
       }
       .option("checkpointLocation", checkpoint)
       .start()
   }
 
   /** One exactly-once merge step (factored out so the spec can also
-    * drive crash-replay cases directly). */
+    * drive crash-replay cases directly).
+    *
+    * Batch ids are only monotonic WITHIN one checkpoint's lifetime, so
+    * the marker records the checkpoint identity next to the committed
+    * id and two invalid histories fail fast instead of corrupting the
+    * table silently: (a) a table directory reused with a FRESH
+    * checkpoint — ids restart at 0 and the old `>= id` guard would
+    * have skipped every early batch as a "replay", dropping their data
+    * with no error; (b) an id regression within the same checkpoint —
+    * impossible under Spark's foreachBatch contract (only the latest
+    * committed batch replays), so seeing one means the marker or
+    * checkpoint was tampered with. */
   private[graft] def upsertBatch(spark: SparkSession,
       batch: Dataset[org.apache.spark.sql.Row], tableRoot: String,
-      id: Long): Unit = {
+      id: Long, checkpointId: String): Unit = {
     val committed = readCommitted(tableRoot)
-    if (committed.exists(_ >= id)) return // replayed batch: already merged
+    committed.foreach { case (cid, ck) =>
+      if (ck != checkpointId)
+        throw new IllegalStateException(
+          s"upsert table $tableRoot was last committed by checkpoint " +
+            s"'$ck' but batch $id arrived from '$checkpointId'; a fresh " +
+            "checkpoint restarts batch ids at 0 and would silently skip " +
+            "early batches — use a new tableRoot or restore the " +
+            "original checkpoint")
+      if (id < cid)
+        throw new IllegalStateException(
+          s"upsert table $tableRoot is committed at batch $cid but " +
+            s"batch $id arrived from the same checkpoint — id " +
+            "regressions are outside foreachBatch's replay contract")
+    }
+    if (committed.exists(_._1 == id)) return // replayed batch: already merged
     val cur = upsertTable(spark, tableRoot)
     val agg = batch
       .filter(col("event_type") === "purchase")
@@ -413,14 +438,22 @@ object EventStreams {
         (coalesce(col("cents"), lit(0L)) + coalesce(col("b_cents"), lit(0L)))
           .as("cents"))
     merged.write.mode("overwrite").parquet(s"$tableRoot/v_$id")
-    writeCommitted(tableRoot, id)
+    writeCommitted(tableRoot, id, checkpointId)
+    // GC: once the marker names id, replays of id skip at the marker
+    // and a marker-lost crash replay re-reads only the immediate
+    // predecessor — versions older than that are unreachable. Keeping
+    // (id, predecessor) bounds the directory at two live versions
+    // instead of one-per-batch forever.
+    committed.foreach { case (prev, _) =>
+      gcVersions(tableRoot, keep = Set(id, prev))
+    }
   }
 
   /** Current view of the upsert table: the version the marker names, or
     * an empty frame before the first commit. */
   def upsertTable(spark: SparkSession, tableRoot: String): DataFrame =
     readCommitted(tableRoot) match {
-      case Some(v) => spark.read.parquet(s"$tableRoot/v_$v")
+      case Some((v, _)) => spark.read.parquet(s"$tableRoot/v_$v")
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -428,21 +461,44 @@ object EventStreams {
             StructField("n", LongType), StructField("cents", LongType))))
     }
 
-  private def readCommitted(tableRoot: String): Option[Long] = {
+  /** marker = two lines: committed batch id, committing checkpoint. */
+  private def readCommitted(tableRoot: String): Option[(Long, String)] = {
     val p = java.nio.file.Paths.get(tableRoot, "_committed")
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
-    else None
+    if (java.nio.file.Files.exists(p)) {
+      val lines = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .linesIterator.toSeq
+      Some((lines.head.trim.toLong,
+        lines.drop(1).headOption.getOrElse("").trim))
+    } else None
   }
 
-  private def writeCommitted(tableRoot: String, id: Long): Unit = {
+  private def writeCommitted(tableRoot: String, id: Long,
+      checkpointId: String): Unit = {
     val dir = java.nio.file.Paths.get(tableRoot)
     java.nio.file.Files.createDirectories(dir)
     val tmp = dir.resolve(s"_committed.tmp$id")
-    java.nio.file.Files.write(tmp, id.toString.getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp, s"$id\n$checkpointId".getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, dir.resolve("_committed"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** delete every v_<n> directory whose version is not in `keep`. */
+  private def gcVersions(tableRoot: String, keep: Set[Long]): Unit = {
+    val root = java.nio.file.Paths.get(tableRoot)
+    val listing = java.nio.file.Files.list(root)
+    try {
+      listing.iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v_") && name.drop(2).forall(_.isDigit)
+            && !keep.contains(name.drop(2).toLong)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(java.nio.file.Files.delete(_))
+          finally walk.close()
+        }
+      }
+    } finally listing.close()
   }
 
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

@@ -947,10 +947,53 @@ class CatalogSpec extends SparkSuite {
       }
       val (pair, cnt) = pc.toSeq.minBy { case (p, c) => (-c, p) }
       val merged = pair.replace(" ", "")
-      dict = dict.groupBy { case (ws, _) => ws.replace(pair, merged) }
+      val Array(pa, pb) = pair.split(" ")
+      // TRUE BPE merge: greedy left-to-right over the SYMBOL ARRAY —
+      // a plain string replace would also match across symbol
+      // boundaries (symbols [xa, b] contain the substring "a b"),
+      // which is not an adjacent-symbol merge. Keeping the reference
+      // honest is what makes this spec able to catch that bug.
+      def applyMerge(ws: String): String = {
+        val sp = ws.split(" ")
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < sp.length) {
+          if (i + 1 < sp.length && sp(i) == pa && sp(i + 1) == pb) {
+            out += merged; i += 2
+          } else { out += sp(i); i += 1 }
+        }
+        out.mkString(" ")
+      }
+      dict = dict.groupBy { case (ws, _) => applyMerge(ws) }
         .view.mapValues(_.values.sum).toMap
       (step.toLong, pair, merged, cnt)
     }
     assert(got == expect, s"merges diverged:\n got   $got\n expect $expect")
+  }
+
+  test("d42 BPE merge is boundary-anchored: a learned multi-char symbol " +
+      "ending in 'a' never fuses its tail with a following 'b'") {
+    // Crafted so merge 0 learns "x a"->"xa" and merge 2 learns "a b":
+    // at that point the word 'xab' is the symbol string "xa b", which
+    // CONTAINS the substring "a b" — a plain replace would produce the
+    // illegal "xab" fusion; true adjacent-symbol BPE must leave it
+    // untouched (only 'zab' = "z a b" carries a real (a, b) pair).
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_edge").toString
+    val s2 = spark; import s2.implicits._
+    val text = (Seq.fill(3)("xab") ++ Seq.fill(9)("xay")
+      ++ Seq.fill(5)("zab")).mkString(" ")
+    Seq((0L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d42_bpe_train")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("step"), r.getString(1), r.getString(2),
+        r.getAs[Long]("cnt"))).toSeq
+    assert(got == Seq(
+      (0L, "x a", "xa", 12L),
+      (1L, "xa y", "xay", 9L),
+      (2L, "a b", "ab", 5L), // fires ONLY inside "z a b", not "xa b"
+      (3L, "z ab", "zab", 5L),
+      (4L, "xa b", "xab", 3L)),
+      s"boundary-anchored merge order diverged: $got")
   }
 }

@@ -216,12 +216,20 @@ class EdgeSpec extends SparkSuite {
       Seq((100000L + 2 * p, txt), (100001L + 2 * p, txt))
     }
     val docs = (clones ++ pairs).toDF("doc_id", "text").repartition(16)
-    val got = graft.catalog.Approx.minhashLshPairs(docs)
+    val (pairsDf, statsDf) =
+      graft.catalog.Approx.minhashLshPairsWithStats(docs)
+    val got = pairsDf
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     val expected = (0 until 5)
       .map(p => (100000L + 2 * p, 100001L + 2 * p)).toSet
     assert(got == expected,
       s"guard must drop clone mega-buckets and keep small ones: $got")
+    // dropped-mass-as-data (d43 surface): the clone signature floods
+    // one bucket in every band — 8 dropped buckets x 5000 entries
+    val st = statsDf.collect().head
+    assert(st.getAs[Long]("dropped_groups") == 8L
+      && st.getAs[Long]("dropped_entries") == 40000L,
+      s"stats must expose the dropped mega-buckets: $st")
   }
 
   test("minhashLshPairs: the xxhash64 fast family and the md5 oracle " +
@@ -257,11 +265,18 @@ class EdgeSpec extends SparkSuite {
     val normal = (0 until 10).flatMap(b =>
       Seq((b.toLong, 1L), (b.toLong, 2L), (b.toLong, 3L)))
     val items = (mega ++ normal).toDF("ok", "p").repartition(8)
-    val got = graft.catalog.Extended.cooccurPairs(items).collect()
+    val (pairsDf, statsDf) =
+      graft.catalog.Extended.cooccurPairsWithStats(items)
+    val got = pairsDf.collect()
       .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) ->
         r.getAs[Long]("support")).toMap
     assert(got == Map((1L, 2L) -> 10L, (1L, 3L) -> 10L, (2L, 3L) -> 10L),
       s"guard must drop the mega-basket and keep normal support: $got")
+    // dropped-mass-as-data (d43 surface): exactly the one mega-basket
+    val st = statsDf.collect().head
+    assert(st.getAs[Long]("dropped_groups") == 1L
+      && st.getAs[Long]("dropped_entries") == 500L,
+      s"stats must expose the dropped mega-basket: $st")
   }
 
   test("ivfDedup: the C scale knob — C=64 over a 5k clustered corpus " +

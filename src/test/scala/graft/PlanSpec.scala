@@ -37,6 +37,30 @@ class PlanSpec extends SparkSuite {
       "bucket join must be an equi join on (band, band_key)")
   }
 
+  test("guarded-operator construction is lazy: building cooccurPairs / " +
+      "minhashLshPairs plans never evaluates the input") {
+    // the guards' dropped-mass accounting must be a lazy side frame —
+    // an eager .head() at build time would make merely constructing or
+    // explaining a query scan the corpus. Pin it with a POISONED input:
+    // any job that touches a row throws, so construction + physical
+    // planning succeeding proves zero eager evaluation.
+    // spark.range leaves (NOT local Seqs — ConvertToLocalRelation
+    // would evaluate a LocalRelation projection during optimization)
+    def poison(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, when(assert_true(col(c).isNull).isNull, col(c)))
+    val items = poison(spark.range(2)
+      .select(lit(1L).as("ok"), (col("id") + 10).as("p")), "p")
+    val (pairs, stats) = graft.catalog.Extended.cooccurPairsWithStats(items)
+    pairs.queryExecution.executedPlan; stats.queryExecution.executedPlan
+    val docs = poison(spark.range(2)
+      .select(col("id").as("doc_id"),
+        concat(lit("a b c "), col("id").cast("string")).as("text")), "text")
+    val (lp, ls) = graft.catalog.Approx.minhashLshPairsWithStats(docs)
+    lp.queryExecution.executedPlan; ls.queryExecution.executedPlan
+    // the poison itself must be live — execution has to throw
+    intercept[Exception] { pairs.collect() }
+  }
+
   test("q42: salted aggregation plans as two aggregate exchanges, " +
       "neither keyed on the hot key alone") {
     val p = plan("q42_salted_skew_agg")

@@ -520,13 +520,38 @@ class StreamingSpec extends SparkSuite {
     assert(got == expect,
       s"maintained view diverged from the batch aggregate " +
         s"(${got.size} vs ${expect.size} users)")
+    // GC: superseded versions must not accumulate — at most the
+    // committed version and its immediate predecessor survive
+    val versions = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(table))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v_")).toSeq
+      finally l.close()
+    }
+    assert(versions.size <= 2,
+      s"version GC must bound the table at 2 live versions: $versions")
     // crash replay, window 1: marker already advanced -> replay skips.
     // Batch ids are per-checkpoint; replay the LAST committed id with
     // DIFFERENT (already-merged) data — a double-merge would show.
+    // (marker = "<id>\n<checkpoint>" since the identity guard)
     val lastId = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(table, "_committed")), "UTF-8").trim.toLong
-    EventStreams.upsertBatch(spark, ev.limit(50).toDF(), table, lastId)
+      java.nio.file.Paths.get(table, "_committed")), "UTF-8")
+      .linesIterator.next().trim.toLong
+    EventStreams.upsertBatch(spark, ev.limit(50).toDF(), table, lastId, cp)
     assert(snapshot(table) == expect, "replayed batch id must be a no-op")
+    // a FRESH checkpoint against the same table (ids restart at 0) must
+    // fail fast, not silently skip batches as "replays"
+    val boom = intercept[IllegalStateException] {
+      EventStreams.upsertBatch(spark, ev.limit(50).toDF(), table, 0L,
+        s"$base/cp_fresh")
+    }
+    assert(boom.getMessage.contains("checkpoint"))
+    // an id regression WITHIN the checkpoint is outside foreachBatch's
+    // replay contract — also fail fast
+    intercept[IllegalStateException] {
+      EventStreams.upsertBatch(spark, ev.limit(50).toDF(), table,
+        lastId - 1, cp)
+    }
     // crash replay, window 2: data written but the marker move LOST
     // (crash between the two) — roll the marker back one version and
     // replay: the rewrite must land on the identical table
@@ -534,10 +559,10 @@ class StreamingSpec extends SparkSuite {
       .exists(java.nio.file.Paths.get(table, s"v_$v"))).max
     java.nio.file.Files.write(
       java.nio.file.Paths.get(table, "_committed"),
-      prev.toString.getBytes("UTF-8"))
+      s"$prev\n$cp".getBytes("UTF-8"))
     val replayData = ev.join(first.select("event_id"), Seq("event_id"),
       "left_anti") // the second half again, as the source would replay it
-    EventStreams.upsertBatch(spark, replayData.toDF(), table, lastId)
+    EventStreams.upsertBatch(spark, replayData.toDF(), table, lastId, cp)
     assert(snapshot(table) == expect,
       "marker-lost replay must rebuild the identical version")
   }
