@@ -2304,7 +2304,49 @@ object Extended {
       "l-diversity audit (k=10, l=7): per-equivalence-class size AND " +
         "distinct-sensitive-value counts in one aggregate — the " +
         "disclosure check k-anonymity alone misses; composes with " +
-        "q96's row-level release")
+        "q96's row-level release"),
+
+    QueryDef(
+      "q107_skew_join",
+      (s, dir) => {
+        // Hot-key fan-in JOIN under AQE skew handling — the join-side
+        // complement to q42's salted aggregation: ~80% of lineitems
+        // collapse onto supplier 1 (the anonymous-user / null-key shape
+        // real fact tables produce), and the fix is NOT rewritten keys
+        // but Spark's own OptimizeSkewedJoin: at runtime AQE splits the
+        // hot shuffle partition and duplicates the matching dim rows,
+        // keeping every task bounded while the RESULT is untouched.
+        // hint("merge") forces the sort-merge join a cluster-scale dim
+        // requires (broadcast is the toy-scale escape, and a broadcast
+        // join has no skew to split); the groupBy on s_name re-shuffles
+        // after the join anyway, so the skew split never adds an
+        // exchange. PlanSpec pins skew=true in the final adaptive plan
+        // with production thresholds lowered to fire at sf0.01; this
+        // oracle pins that the split changes nothing about the answer.
+        val fact = t(s, dir, "lineitem")
+          .select(when(pmod(col("l_partkey"), lit(5)) < 4, 1L)
+            .otherwise(col("l_suppkey")).as("k"),
+            col("l_quantity"))
+        val dim = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("k"), col("s_name"))
+        fact.join(dim.hint("merge"), "k")
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(12, 2)))
+              .cast("double").as("qty"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+            AS DOUBLE) AS qty
+        FROM (SELECT CASE WHEN l_partkey % 5 < 4 THEN 1 ELSE l_suppkey END
+            AS k, l_quantity FROM lineitem) l
+        JOIN supplier s ON s.s_suppkey = l.k
+        GROUP BY s_name ORDER BY s_name"""),
+      "hot-key fan-in join (80% of the fact on one dim key) answered by " +
+        "AQE's OptimizeSkewedJoin instead of key rewriting: forced SMJ, " +
+        "runtime hot-partition split, exact oracle proves the split is " +
+        "semantically invisible — q42's aggregation-skew complement")
   )
 
   /** Baskets above this size are dropped before q99's pair join — the

@@ -13,13 +13,23 @@ import graft.schema.ReportSchema
   */
 object ReportReader {
 
-  /** within-partition row id — preserves row order inside a file */
+  /** within-partition row id — preserves row order inside a file split */
   val RowId = "_rowid"
   /** argument-order index of the file's sample — Spark packs input files
     * by SIZE, not argument order, so scan-order ids alone cannot express
     * the reference's "first file in argument order" dict semantics */
   val ArgIdx = "_argidx"
-  /** composite file-order key: order by (file argument position, row) */
+  /** byte offset of the row's file SPLIT — Spark bin-packs splits by
+    * size, so partition ids (hence monotonic row ids) do NOT follow byte
+    * order when one file splits across tasks; the block start restores
+    * it (splits of one file sort by their offset, rows within a split by
+    * the partition-monotonic id) */
+  val BlockStart = "_blockstart"
+  /** composite file-order key: order by
+    * (file argument position, split byte offset, row-in-split) —
+    * deterministic file order even when a single report TSV is larger
+    * than maxPartitionBytes and splits across tasks (SourcesSpec pins
+    * it with a forced multi-split file) */
   val OrderKey = "_orderkey"
 
   /** S1: TSV with 2 `#` comment lines + header row (`bigbugdata.py:250–254`).
@@ -27,9 +37,10 @@ object ReportReader {
     * A user-supplied schema maps positionally, so the `%` header cell needs
     * no escaping.
     *
-    * Note: with one tiny file per sample (the reference's regime) RowId is
-    * exact within a file; a single file large enough to split across tasks
-    * makes within-file order best-effort — documented limitation.
+    * Within-file order is exact even when a file splits across tasks:
+    * OrderKey carries the split's byte offset between the argument index
+    * and the row id, so A2's first-seen taxName and F1's last-wins
+    * duplicate stats stay deterministic at any maxPartitionBytes.
     */
   /** prefix of the verbatim-text twin each report column keeps alongside
     * its typed value (K4 sink fidelity: the reference echoes raw
@@ -64,8 +75,9 @@ object ReportReader {
       }.toSeq: _*)
       .withColumn(ReportSchema.Sample, sampleIdLastUnderscore(input_file_name()))
       .withColumn(RowId, monotonically_increasing_id())
+      .withColumn(BlockStart, input_file_block_start())
       .withColumn(ArgIdx, idxExpr)
-      .withColumn(OrderKey, struct(col(ArgIdx), col(RowId)))
+      .withColumn(OrderKey, struct(col(ArgIdx), col(BlockStart), col(RowId)))
   }
 
   /** F5: sample ID = basename minus everything after the LAST underscore

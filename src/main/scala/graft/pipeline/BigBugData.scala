@@ -220,11 +220,23 @@ object BigBugData {
     val idxExpr = coalesce(element_at(
       map(out.orderedSamples.zipWithIndex.flatMap { case (s, i) =>
         Seq(lit(s), lit(i)) }: _*), col("sampleName")), lit(Int.MaxValue))
-    CsvSink.writeSingleCsv(
-      out.tophits.orderBy(idxExpr, col("rank")),
-      Seq("sampleName", TaxId, TaxName, "rank", "rRPM", "kmers", "dup",
-        "reads", "cov", "e_val", "z_score"),
-      tophitsPath)
+    strategy match {
+      case "parquet" =>
+        // the strategy governs ALL THREE outputs: at cluster scale a
+        // single-file tophits CSV would reintroduce exactly the driver
+        // bottleneck the parquet strategy exists to remove. tophits is
+        // already long/line-shaped — no pivot to undo; the emit order is
+        // recoverable by any consumer from (sampleName, rank), so no
+        // global sort is paid either.
+        out.tophits.write.mode("overwrite")
+          .parquet(s"${params.resultsDir}/tophits_${params.rank}.parquet")
+      case _ =>
+        CsvSink.writeSingleCsv(
+          out.tophits.orderBy(idxExpr, col("rank")),
+          Seq("sampleName", TaxId, TaxName, "rank", "rRPM", "kmers", "dup",
+            "reads", "cov", "e_val", "z_score"),
+          tophitsPath)
+    }
     out
   }
 }

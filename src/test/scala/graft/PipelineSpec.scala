@@ -202,6 +202,31 @@ class PipelineSpec extends SparkSuite {
     assert(NcGroups.sampleToControl(ids, groups)("S_1") == "NCA_0")
   }
 
+  test("regex dialect boundary (trap 9): NcGroups runs Scala/Java Regex " +
+      "— matches Python re on the reference's pattern shapes, and the " +
+      "two known divergence classes surface as ERRORS, never silence") {
+    import graft.ops.NcGroups
+    val ids = Seq("CF_Negative1", "CF_1", "CF_2")
+    // agreement surface: unanchored search + the literal/prefix patterns
+    // the reference actually passes (bigbugdata.py -n groups)
+    assert(NcGroups.resolve(ids, Seq(("Negative", "CF_")))
+      .head._2 == ids.toSet)
+    // DIVERGENCE 1 — fail-loud: Python named groups (?P<g>...) are a
+    // PatternSyntaxException in Java, so a Python-ported invocation
+    // errors instead of matching differently
+    intercept[java.util.regex.PatternSyntaxException] {
+      NcGroups.resolve(ids, Seq(("(?P<nc>Negative)", "CF_")))
+    }
+    // DIVERGENCE 2 — silent in the regex engine, loud in the pipeline:
+    // '[C&&F]' is the literal class {C,&,F} in Python (matches every id
+    // here) but set INTERSECTION {C}∩{F} = ∅ in Java (matches none).
+    // P5's ≥1-member cardinality assertion converts that empty match
+    // set into an error rather than letting an empty group flow on.
+    intercept[IllegalArgumentException] {
+      NcGroups.resolve(ids, Seq(("Negative", "[C&&F]")))
+    }
+  }
+
   test("sample-id rules: rpartition vs first-token stay distinct (trap 7)") {
     assert(ReportReader.sampleIdOf("/x/CF_DNA_Negative1_report.tsv") == "CF_DNA_Negative1")
     assert(ReportReader.sampleIdFirstTokenOf("/x/CF_DNA_Negative1_report.tsv") == "CF")
@@ -238,7 +263,10 @@ class PipelineSpec extends SparkSuite {
     try BigBugData.write(spark, params)
     finally spark.conf.unset("spark.graft.sink.strategy")
     val outs = fixture._1
-    for ((name, frame) <- Seq("combined" -> outs.combined, "rrpm" -> outs.rrpm)) {
+    // the strategy governs ALL THREE outputs (a single-file tophits CSV
+    // would reintroduce the driver bottleneck at cluster scale)
+    for ((name, frame) <- Seq("combined" -> outs.combined,
+        "rrpm" -> outs.rrpm, "tophits" -> outs.tophits)) {
       val path = s"${params.resultsDir}/${name}_species.parquet"
       val back = spark.read.parquet(path)
       assert(back.count() == frame.count(), s"$name row count")

@@ -173,6 +173,41 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q107: the CATALOG skew-join query gets the AQE skew split " +
+      "(skew=true in its final adaptive plan)") {
+    // q42 pins salted AGGREGATION; q107 is the join-side complement —
+    // the oracle proves the split changes nothing, this pins that the
+    // split actually happens. Two production realities are scaled down
+    // to fire at test size: thresholds (256 MB → 8 KB), and the fact
+    // layout — a skew split subdivides a reduce partition BY MAP INDEX,
+    // so a single-file single-row-group fact (one mapper) is physically
+    // unsplittable no matter how skewed; production facts are thousands
+    // of files, so the fixture rewrites lineitem as 8 files and runs
+    // the catalog query verbatim on that dir.
+    val tmp = Files.createTempDirectory("graft_skew_dir")
+    spark.read.parquet(s"$sf/lineitem.parquet").repartition(8)
+      .write.parquet(s"$tmp/lineitem.parquet")
+    spark.read.parquet(s"$sf/supplier.parquet")
+      .write.parquet(s"$tmp/supplier.parquet")
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = SparkEntry.queries("q107_skew_join")(spark, tmp.toString)
+      // collect() finalizes THIS QueryExecution's adaptive plan
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must split the catalog query's hot join partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter: a selective dimension predicate is pushed " +
       "to the fact side as an injected might_contain filter") {
     // the AQE-era runtime filter (Spark's answer to sideways information
