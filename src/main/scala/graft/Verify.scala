@@ -10,8 +10,14 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master for the cross-executor
+    // gate (e.g. local-cluster[2,16,4096] — real serialization
+    // boundaries for custom Expressions / TopKPerKeyExec / broadcasts);
+    // SPARK_GRAFT_JARS then ships the app jar to the executor JVMs.
+    val builder0 = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+    val spark = sys.env.get("SPARK_GRAFT_JARS")
+      .fold(builder0)(j => builder0.config("spark.jars", j))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); set explicitly here

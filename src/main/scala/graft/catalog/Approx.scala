@@ -49,9 +49,9 @@ object Approx {
     * Two signature families, same LSH plan shape:
     *  - fast (default): the compiled MinHashSig expression (xxhash64
     *    core) + xxhash64 band keys — the 100 TB path.
-    *  - md5Sig=true: per-permutation min over md5(k + ":" + shingle)
-    *    hex strings (lexicographic min == numeric min at fixed width),
-    *    band key = the band's 4 sig strings joined with '|'. Every step
+    *  - md5Sig=true: one md5 per shingle split into 32-bit halves,
+    *    permutation k = (h1 + k·h2) mod 2^32 (Kirsch–Mitzenmacher),
+    *    band key = the band's 4 sig values joined with '|'. Every step
     *    is reproducible in DuckDB, so the catalog's d7 entry runs this
     *    mode under a FULL SQL oracle (the d39 md5-nibble discipline);
     *    EdgeSpec pins that both modes emit the identical verified pair
@@ -82,13 +82,19 @@ object Approx {
       .cache()
     // (doc, band, band_key) — keys ONLY: the expensive shingle arrays
     // must not ride through the bucket join + pair dedup
-    val sigCol = if (md5Sig) minhashSigMd5(col("tk")) else minhashSig(col("tk"))
+    val sigDf =
+      if (md5Sig)
+        docs.withColumn("hs", transform(col("tk"), sh => md5Halves(sh)))
+          .select("doc_id", "hs")
+          .cache() // barrier: ONE digest per shingle, not one per (shingle, k)
+          .withColumn("sig", minhashSigKM(col("hs")))
+      else docs.withColumn("sig", minhashSig(col("tk")))
     def bandKey(b: Column): Column = {
       val bandSlice = slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))
-      if (md5Sig) concat_ws("|", bandSlice) else xxhash64(bandSlice, b)
+      if (md5Sig) concat_ws("|", transform(bandSlice, x => x.cast("string")))
+      else xxhash64(bandSlice, b)
     }
-    val banded = docs
-      .withColumn("sig", sigCol)
+    val banded = sigDf
       .select("doc_id", "sig").cache() // barrier: sig once, not once per band
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), b => bandKey(b))))
@@ -131,17 +137,29 @@ object Approx {
   private def minhashSig(tokens: Column): Column =
     graft.functions.MinHashSig.min_hash_sig(array_distinct(tokens), MinhashK)
 
-  /** oracle-mode signature: element k = MIN over shingles of
-    * md5(k + ":" + shingle). Fixed-width lowercase hex compares
-    * lexicographically exactly as the underlying 128-bit value, so the
-    * string min IS the hash min — and DuckDB's md5/MIN reproduce it
-    * byte-for-byte (no engine-private hashing anywhere). K·|shingles|
-    * md5 calls per doc vs one fused xxhash64 pass: the measured cost of
-    * auditability, which is why the fast family stays the default. */
-  private def minhashSigMd5(tokens: Column): Column =
+  /** oracle-mode shingle digest: ONE md5 per shingle, split into two
+    * 32-bit integer halves (h1 = hex[1..8], h2 = hex[9..16]) — the
+    * Kirsch–Mitzenmacher base pair. */
+  private[catalog] def md5Halves(sh: Column): Column = {
+    val h = md5(sh)
+    struct(
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
+  }
+
+  /** oracle-mode signature over materialized (h1, h2) shingle digests:
+    * permutation k's hash = (h1 + k·h2) mod 2^32 (Kirsch & Mitzenmacher
+    * 2006 — K pairwise-independent hashes from one digest). Pure BIGINT
+    * arithmetic both engines share bit-for-bit, and 32× fewer digests
+    * than a per-permutation seeded md5 (which measured 5.9 s at sf0.1
+    * vs 1.4 s for the compiled fast path). Callers must pass a CACHED
+    * hs column — the K signature lambdas each reference it, and
+    * CollapseProject would otherwise inline the md5 K times. */
+  private def minhashSigKM(hs: Column): Column =
     transform(sequence(lit(0), lit(MinhashK - 1)), k =>
-      array_min(transform(tokens, sh =>
-        md5(concat(k.cast("string"), lit(":"), sh)))))
+      array_min(transform(hs, t =>
+        (t.getField("h1") + k.cast("long") * t.getField("h2"))
+          % lit(4294967296L))))
 
   /** splitmix64 finalizer → uniform double in [0, 1): the driver-side
     * PRNG for hyperplane/centroid components (deterministic, well-mixed) */
@@ -185,9 +203,18 @@ object Approx {
     * sizes → MaxLshBucket guard → in-bucket pairs → exact-Jaccard verify.
     * Integer-over-integer division rounds identically on both engines,
     * so even the jaccard doubles compare bit-exact. */
-  /** the shared md5-mode CTE prefix: shingles → signature → band keys
-    * → bucket sizes (d7 chains the pair pipeline on it, d43 reads the
-    * guard's dropped mass out of `bsz`). */
+  /** a 32-bit integer from 8 lowercase-hex chars of column `h` starting
+    * after `off` — the strpos nibble fold (DuckDB has no conv; cost is
+    * oracle-side only) */
+  private def hex8Sql(h: String, off: Int): String =
+    (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substr($h, ${off + i}, 1)) - 1) * ${1L << (4 * (8 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** the shared md5-mode CTE prefix: shingles → one-md5 (h1, h2) halves
+    * → Kirsch–Mitzenmacher signature → band keys → bucket sizes (d7
+    * chains the pair pipeline on it, d43 reads the guard's dropped mass
+    * out of `bsz`). */
   private def d7OracleCtes: String =
     s"""d AS (
         SELECT doc_id, list_distinct(list_transform(
@@ -197,14 +224,17 @@ object Approx {
                 string_split_regex(trim(lower(text)), ' +') AS tk
               FROM documents)
         WHERE len(tk) >= 3),
+      hs AS (
+        SELECT doc_id, ${hex8Sql("h", 0)} AS h1, ${hex8Sql("h", 8)} AS h2
+        FROM (SELECT doc_id, md5(s) AS h
+              FROM (SELECT doc_id, unnest(sh) AS s FROM d))),
       sig AS (
-        SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || ':' || s)) AS mh
-        FROM (SELECT doc_id, unnest(sh) AS s FROM d),
-          UNNEST(range(0, $MinhashK)) t(k)
+        SELECT doc_id, k, MIN((h1 + k * h2) % 4294967296) AS mh
+        FROM hs, UNNEST(range(0, $MinhashK)) t(k)
         GROUP BY 1, 2),
       banded AS (
         SELECT doc_id, k // $RowsPerBand AS band,
-          string_agg(mh, '|' ORDER BY k) AS band_key
+          string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS band_key
         FROM sig GROUP BY doc_id, k // $RowsPerBand),
       bsz AS (SELECT band, band_key, COUNT(*) AS n
         FROM banded GROUP BY 1, 2)"""
@@ -713,36 +743,44 @@ object Approx {
       (s, dir) =>
         // 64-bit simhash: bit j is set iff the sum over distinct tokens
         // of (+1 if token-hash bit j set, else -1) is positive. Catalog
-        // mode hashes tokens with md5 and reads bit j out of the hex
-        // nibbles, so every bit-vote is recomputable in DuckDB and the
-        // signature carries a FULL oracle (emitted MSB-first as a 64-char
-        // bit string — bit 63 would overflow a signed BIGINT literal
-        // sum). The 100 TB fast path is the compiled one-pass SimHashSig
-        // expression (xxhash64 core; ExtensionsSpec pins it against the
-        // per-bit HOF reference, PlanSpec pins whole-stage codegen).
-        // md5 is computed ONCE per token ("th"); the 64 bit-votes then
-        // reread the cached hex string — not 64 md5 calls.
+        // mode hashes tokens with ONE md5 each, decoded ONCE into two
+        // 32-bit integer halves (bit j reads as a pure shift/mask on
+        // the halves — the first formulation re-parsed a hex nibble per
+        // (token, bit) via conv() and measured 17 s at sf0.1; this one
+        // ~1.5 s), so every bit-vote is recomputable in DuckDB and the
+        // signature carries a FULL oracle (emitted MSB-first as a
+        // 64-char bit string — bit 63 would overflow a signed BIGINT
+        // literal sum). The 100 TB fast path is the compiled one-pass
+        // SimHashSig expression (xxhash64 core; ExtensionsSpec pins it
+        // against the per-bit HOF reference, PlanSpec pins whole-stage
+        // codegen). The cache() is the CollapseProject barrier: 64
+        // bit-vote lambdas reference th.
         t(s, dir, "documents")
           .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
-          .withColumn("th", expr("transform(tk, w -> md5(w))"))
+          .withColumn("th",
+            transform(col("tk"), w => md5Halves(w)))
+          .select("doc_id", "th")
+          .cache() // barrier: one digest per token, not one per (token, bit)
           .select(col("doc_id"), expr(
             """concat_ws('', transform(sequence(63, 0, -1), j ->
-                 CASE WHEN aggregate(th, 0, (acc, h) -> acc +
-                   (CASE WHEN (shiftright(CAST(conv(substring(h,
-                        1 + (j div 4), 1), 16, 10) AS INT),
-                      CAST(j % 4 AS INT)) & 1) = 1
+                 CASE WHEN aggregate(th, 0, (acc, t) -> acc +
+                   (CASE WHEN ((CASE WHEN j < 32
+                        THEN shiftright(t.h2, j)
+                        ELSE shiftright(t.h1, j - 32) END) & 1) = 1
                     THEN 1 ELSE -1 END)) > 0
                  THEN '1' ELSE '0' END))""").as("simhash_bits"))
           .orderBy("doc_id"),
-      Some("""WITH d AS (SELECT doc_id,
+      Some(s"""WITH d AS (SELECT doc_id,
             list_distinct(string_split_regex(trim(lower(text)), ' +')) AS tk
           FROM documents),
-        th AS (SELECT doc_id, md5(w) AS h
-          FROM (SELECT doc_id, unnest(tk) AS w FROM d)),
+        th AS (SELECT doc_id,
+            ${hex8Sql("h", 0)} AS h1, ${hex8Sql("h", 8)} AS h2
+          FROM (SELECT doc_id, md5(w) AS h
+                FROM (SELECT doc_id, unnest(tk) AS w FROM d))),
         b AS (SELECT doc_id, j,
-            SUM(CASE WHEN (((strpos('0123456789abcdef',
-                  substr(h, CAST(1 + j // 4 AS INTEGER), 1)) - 1)
-                >> CAST(j % 4 AS INTEGER)) & 1) = 1
+            SUM(CASE WHEN ((CASE WHEN j < 32
+                  THEN h2 >> CAST(j AS INTEGER)
+                  ELSE h1 >> CAST(j - 32 AS INTEGER) END) & 1) = 1
               THEN 1 ELSE -1 END) AS s
           FROM th, UNNEST(range(0, 64)) t2(j)
           GROUP BY 1, 2)

@@ -27,7 +27,12 @@ object StressPipeline {
     // default 30min tick (shuffle files live until their dependency is
     // GC'd — at 5 shuffles x ~20 GB that's the difference between
     // fitting and ENOSPC).
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_MASTER/_JARS: the cross-executor gate runs this same
+    // driver under local-cluster[2,16,4096] with the packaged jars
+    val builder0 = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+    val spark = sys.env.get("SPARK_GRAFT_JARS")
+      .fold(builder0)(j => builder0.config("spark.jars", j))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
