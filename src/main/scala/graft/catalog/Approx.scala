@@ -147,6 +147,25 @@ object Approx {
       conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
   }
 
+  /** one 32-bit word of the simhash built from a cached `th` column of
+    * md5Halves structs: bit (j − off) of the word is set iff the
+    * +1/−1 bit-vote sum over tokens at global bit j is positive —
+    * hiWord covers j 32..63, loWord j 0..31. Same votes as d8's bit
+    * string, folded into integers so banding and Hamming are pure
+    * BIGINT ops on both engines. */
+  private def simhashWord(hiWord: Boolean): Column = {
+    val (jFrom, jTo, off) = if (hiWord) (32, 63, 32) else (0, 31, 0)
+    expr(s"""aggregate(sequence($jFrom, $jTo), CAST(0 AS BIGINT),
+        (acc, j) -> acc +
+          CASE WHEN aggregate(th, 0, (acc2, t) -> acc2 +
+            (CASE WHEN ((CASE WHEN j < 32
+                THEN shiftright(t.h2, j)
+                ELSE shiftright(t.h1, j - 32) END) & 1) = 1
+              THEN 1 ELSE -1 END)) > 0
+          THEN shiftleft(CAST(1 AS BIGINT), j - $off)
+          ELSE CAST(0 AS BIGINT) END)""")
+  }
+
   /** oracle-mode signature over materialized (h1, h2) shingle digests:
     * permutation k's hash = (h1 + k·h2) mod 2^32 (Kirsch & Mitzenmacher
     * 2006 — K pairwise-independent hashes from one digest). Pure BIGINT
@@ -791,6 +810,108 @@ object Approx {
       "SimHash 64-bit signature per document as an MSB-first bit string " +
         "(md5 bit-votes, full SQL oracle); compiled SimHashSig is the " +
         "fast path, spec-pinned"),
+
+    QueryDef(
+      "d44_simhash_pairs",
+      (s, dir) => {
+        // SimHash near-dup PAIR MINING — the operator d8's signatures
+        // exist for, banded the way Manku, Jain & Das Sarma (WWW 2007)
+        // dedup Google's crawl: split the 64-bit signature into 4
+        // 16-bit bands; by pigeonhole ANY two signatures within
+        // Hamming distance 3 agree EXACTLY on at least one band, so an
+        // equi-join per (band, band_value) finds every qualifying pair
+        // — this is exact recall at k=3, not an approximation — and
+        // the verify step needs only two XOR+popcounts per candidate.
+        // Scale shape mirrors d7: keys-only banding, oversized-bucket
+        // guard (a 16-bit band value shared by >256 docs is boilerplate
+        // best handled by exact dedup first), bare-id pair dedup before
+        // the popcount verify. Signatures are the same md5-halves
+        // bit-votes d8 emits, folded into two 32-bit integer words, so
+        // the WHOLE pipeline — votes, bands, buckets, Hamming — is one
+        // exact SQL oracle; CatalogSpec pins d44 == brute-force Hamming
+        // <= 3 over d8's own bit strings.
+        val th = t(s, dir, "documents")
+          .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+          .withColumn("th", transform(col("tk"), w => md5Halves(w)))
+          .select("doc_id", "th")
+          .cache() // barrier: one digest per token (the d8 discipline)
+        val sig = th.select(col("doc_id"),
+            simhashWord(hiWord = true).as("hi"),
+            simhashWord(hiWord = false).as("lo"))
+          .cache() // reused by banding and both verify sides
+        val bands = sig.select(col("doc_id"), posexplode(array(
+            col("lo").bitwiseAND(lit(65535L)),
+            shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+            col("hi").bitwiseAND(lit(65535L)),
+            shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+        val bsz = bands.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+        val kept = bands
+          .join(bsz.filter(col("bsz") <= MaxLshBucket), Seq("band", "key"))
+          .select("band", "key", "doc_id")
+        val pairs = kept.select(col("band"), col("key"), col("doc_id").as("id_a"))
+          .join(kept.select(col("band"), col("key"), col("doc_id").as("id_b")),
+            Seq("band", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val sa = sig.select(col("doc_id").as("id_a"),
+          col("hi").as("hi_a"), col("lo").as("lo_a"))
+        val sb = sig.select(col("doc_id").as("id_b"),
+          col("hi").as("hi_b"), col("lo").as("lo_b"))
+        pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+          .withColumn("hamming",
+            (bit_count(col("hi_a").bitwiseXOR(col("hi_b")))
+              + bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+            list_distinct(string_split_regex(trim(lower(text)), ' +')) AS tk
+          FROM documents),
+        th AS (SELECT doc_id,
+            ${hex8Sql("h", 0)} AS h1, ${hex8Sql("h", 8)} AS h2
+          FROM (SELECT doc_id, md5(w) AS h
+                FROM (SELECT doc_id, unnest(tk) AS w FROM d))),
+        b AS (SELECT doc_id, j,
+            SUM(CASE WHEN ((CASE WHEN j < 32
+                  THEN h2 >> CAST(j AS INTEGER)
+                  ELSE h1 >> CAST(j - 32 AS INTEGER) END) & 1) = 1
+              THEN 1 ELSE -1 END) AS s
+          FROM th, UNNEST(range(0, 64)) t2(j)
+          GROUP BY 1, 2),
+        sig AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN s > 0 AND j >= 32
+              THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER))
+              ELSE 0 END) AS BIGINT) AS hi,
+            CAST(SUM(CASE WHEN s > 0 AND j < 32
+              THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+              ELSE 0 END) AS BIGINT) AS lo
+          FROM b GROUP BY doc_id),
+        bands AS (SELECT doc_id, bb,
+            CASE bb WHEN 0 THEN lo & 65535
+                    WHEN 1 THEN (lo >> 16) & 65535
+                    WHEN 2 THEN hi & 65535
+                    ELSE (hi >> 16) & 65535 END AS key
+          FROM sig, UNNEST(range(0, 4)) t3(bb)),
+        bsz AS (SELECT bb, key, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+        kept AS (SELECT ba.doc_id, ba.bb, ba.key FROM bands ba
+          JOIN bsz USING (bb, key) WHERE bsz.n <= $MaxLshBucket),
+        prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM kept a JOIN kept b
+            ON a.bb = b.bb AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT p.id_a, p.id_b,
+          CAST(bit_count(xor(sa.hi, sb.hi))
+             + bit_count(xor(sa.lo, sb.lo)) AS BIGINT) AS hamming
+        FROM prs p JOIN sig sa ON sa.doc_id = p.id_a
+                   JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE bit_count(xor(sa.hi, sb.hi))
+            + bit_count(xor(sa.lo, sb.lo)) <= 3
+        ORDER BY id_a, id_b"""),
+      "SimHash near-dup pair mining, Manku/WWW'07 banding: 4 exact-match " +
+        "16-bit bands guarantee (pigeonhole) every Hamming<=3 pair is " +
+        "found by equi-joins alone; XOR+popcount verify; oversized-band " +
+        "guard; full SQL oracle over the md5-halves bit-votes"),
 
     QueryDef(
       "d43_guard_dropped_mass",

@@ -75,9 +75,19 @@ object Synthesize {
 
   /** K4: write one complete TSV per sample — 2 `#` comment lines, header,
     * unclassified row, root row, then the sample's species rows in file
-    * order (`modify_reports.py:95–140`). Per-sample files are tiny by
-    * construction; collected and written driver-side. `clock` injected
-    * for deterministic tests (F10 timestamp format).
+    * order (`modify_reports.py:95–140`). `clock` injected for
+    * deterministic tests (F10 timestamp format).
+    *
+    * DRIVER-SIDE BOUND (the one data-bearing collect in the engine):
+    * species rows are collected and written from the driver, so
+    * samples × species-rows must fit driver memory — faithful to the
+    * reference's regime (per-sample report TSVs are tiny by
+    * construction: thousands of taxa rows each, a few KB–MB per file).
+    * If a deployment ever needs K4 at data scale, the shape to switch
+    * to is one `foreachPartition` writer per sample after a
+    * `repartition(sample)` — kept out deliberately: this sink's
+    * contract is byte-exact tiny TSVs, and the reference tool it
+    * mirrors is itself a driver-style script.
     */
   def writeCompleteReports(spark: SparkSession, speciesReports: DataFrame,
       totals: DataFrame, outputDir: String,

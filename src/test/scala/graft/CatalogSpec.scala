@@ -269,6 +269,27 @@ class CatalogSpec extends SparkSuite {
     }
   }
 
+  test("d44 simhash pair mining: banding finds EXACTLY the brute-force " +
+      "Hamming<=3 pairs over d8's own signatures (pigeonhole recall)") {
+    val sigs = SparkEntry.queries("d8_simhash")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash_bits"))
+      .toSeq
+    val exact = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = sa.zip(sb).count { case (x, y) => x != y } if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = SparkEntry.queries("d44_simhash_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(exact.nonEmpty, "corpus must contain Hamming<=3 near-dups")
+    // 4 exact-match 16-bit bands: any two signatures differing in <=3
+    // bits agree on >=1 band, so (absent mega-band drops, none at this
+    // sf) the banded join is EXACT — same pairs, same distances
+    assert(got == exact,
+      s"banding must be exact at k=3: only-banded=${got -- exact} " +
+        s"only-brute=${exact -- got}")
+  }
+
   test("d27 corpus shuffle: each epoch is a full permutation, epochs " +
       "differ, shard = (pos-1)/64, and a re-run reproduces it exactly") {
     val rows = SparkEntry.queries("d27_corpus_shuffle")(spark, sf).collect()
