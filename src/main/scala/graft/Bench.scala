@@ -5,8 +5,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = SparkEnv.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -38,9 +37,12 @@ object Bench {
       "d32_setsim_join", "e11_kmeans_train", "e8_embed_dedup_ivf",
       "q65_compaction")
     stagingQueries.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
-        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      }
+      // fail fast on a stale name: a silent skip would quietly
+      // reintroduce the fixture-build timing artifact this pass removes
+      require(SparkEntry.queries.contains(name),
+        s"staging pre-pass references unknown query '$name'")
+      try materialize(SparkEntry.queries(name)(spark, sfDir))
+      catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
     var failed = Set.empty[String]

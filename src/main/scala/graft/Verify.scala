@@ -10,14 +10,9 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // SPARK_GRAFT_MASTER overrides the master for the cross-executor
-    // gate (e.g. local-cluster[2,16,4096] — real serialization
-    // boundaries for custom Expressions / TopKPerKeyExec / broadcasts);
-    // SPARK_GRAFT_JARS then ships the app jar to the executor JVMs.
-    val builder0 = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-    val spark = sys.env.get("SPARK_GRAFT_JARS")
-      .fold(builder0)(j => builder0.config("spark.jars", j))
+    // SparkEnv resolves the SPARK_GRAFT_MASTER/_JARS overrides for the
+    // cross-executor gate (CORRECTNESS_CLUSTER.md)
+    val spark = SparkEnv.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); set explicitly here

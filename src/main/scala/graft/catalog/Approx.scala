@@ -4,9 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Hash-based approximate operators (no DuckDB oracle — Spark-native
-  * murmur3/xxhash64 have no DuckDB equivalent, so the driver records the
-  * weaker rows-only check; exact semantics are pinned by ScalaTest specs).
+/** Hash-based approximate operators. Since round 6 every entry carries a
+  * FULL DuckDB oracle: the catalog runs md5-derived signature families
+  * (one digest per token/shingle, Kirsch–Mitzenmacher permutations,
+  * integer bit-votes — all recomputable in SQL), while the compiled
+  * xxhash64 Expressions remain the fast 100-TB path, pinned equivalent
+  * (d7 pair parity) or reference-equal (SimHashSig HOF parity) by spec.
   *
   * These are the 100-TB scale paths: MinHash+LSH and SimHash replace the
   * O(n²) pairwise scan of d6_ngram_jaccard with band-bucket joins; the
@@ -40,7 +43,8 @@ object Approx {
     * input that kills an otherwise-linear plan. Dropping whole oversized
     * buckets is standard LSH practice: a genuine near-dup pair trapped in
     * a mega-bucket still has Bands−1 other chances to collide in a small
-    * bucket, and the dropped mass is logged so operators can see it. */
+    * bucket, and the dropped mass is surfaced as data (the d43 stats
+    * frame) so operators can see it. */
   private[catalog] val MaxLshBucket = 256
 
   /** The d7 pipeline over any (doc_id, text) frame — factored out so
@@ -147,6 +151,18 @@ object Approx {
       conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
   }
 
+  /** the simhash bit-vote sum at bit `j` over a cached `th` column of
+    * md5Halves structs: Σ over tokens of (+1 if bit j of the 64-bit
+    * digest (h1·2³² + h2) is set, else −1). Shared by simhashWord (d44)
+    * and d8's bit-string formatter so the vote semantics live in ONE
+    * place on the Spark side (simhashVoteCtes is its SQL twin). */
+  private val voteSql: String =
+    """aggregate(th, 0, (acc2, t) -> acc2 +
+        (CASE WHEN ((CASE WHEN j < 32
+            THEN shiftright(t.h2, j)
+            ELSE shiftright(t.h1, j - 32) END) & 1) = 1
+          THEN 1 ELSE -1 END))"""
+
   /** one 32-bit word of the simhash built from a cached `th` column of
     * md5Halves structs: bit (j − off) of the word is set iff the
     * +1/−1 bit-vote sum over tokens at global bit j is positive —
@@ -157,14 +173,29 @@ object Approx {
     val (jFrom, jTo, off) = if (hiWord) (32, 63, 32) else (0, 31, 0)
     expr(s"""aggregate(sequence($jFrom, $jTo), CAST(0 AS BIGINT),
         (acc, j) -> acc +
-          CASE WHEN aggregate(th, 0, (acc2, t) -> acc2 +
-            (CASE WHEN ((CASE WHEN j < 32
-                THEN shiftright(t.h2, j)
-                ELSE shiftright(t.h1, j - 32) END) & 1) = 1
-              THEN 1 ELSE -1 END)) > 0
+          CASE WHEN $voteSql > 0
           THEN shiftleft(CAST(1 AS BIGINT), j - $off)
           ELSE CAST(0 AS BIGINT) END)""")
   }
+
+  /** the shared simhash-vote CTE prefix (tokens → one-md5 halves →
+    * per-(doc, j) vote sums `b(doc_id, j, s)`) — d8 formats b into the
+    * bit string, d44 folds b into (hi, lo) words. */
+  private def simhashVoteCtes: String =
+    s"""d AS (SELECT doc_id,
+          list_distinct(string_split_regex(trim(lower(text)), ' +')) AS tk
+        FROM documents),
+      th AS (SELECT doc_id,
+          ${hex8Sql("h", 0)} AS h1, ${hex8Sql("h", 8)} AS h2
+        FROM (SELECT doc_id, md5(w) AS h
+              FROM (SELECT doc_id, unnest(tk) AS w FROM d))),
+      b AS (SELECT doc_id, j,
+          SUM(CASE WHEN ((CASE WHEN j < 32
+                THEN h2 >> CAST(j AS INTEGER)
+                ELSE h1 >> CAST(j - 32 AS INTEGER) END) & 1) = 1
+            THEN 1 ELSE -1 END) AS s
+        FROM th, UNNEST(range(0, 64)) t2(j)
+        GROUP BY 1, 2)"""
 
   /** oracle-mode signature over materialized (h1, h2) shingle digests:
     * permutation k's hash = (h1 + k·h2) mod 2^32 (Kirsch & Mitzenmacher
@@ -781,28 +812,11 @@ object Approx {
           .select("doc_id", "th")
           .cache() // barrier: one digest per token, not one per (token, bit)
           .select(col("doc_id"), expr(
-            """concat_ws('', transform(sequence(63, 0, -1), j ->
-                 CASE WHEN aggregate(th, 0, (acc, t) -> acc +
-                   (CASE WHEN ((CASE WHEN j < 32
-                        THEN shiftright(t.h2, j)
-                        ELSE shiftright(t.h1, j - 32) END) & 1) = 1
-                    THEN 1 ELSE -1 END)) > 0
+            s"""concat_ws('', transform(sequence(63, 0, -1), j ->
+                 CASE WHEN $voteSql > 0
                  THEN '1' ELSE '0' END))""").as("simhash_bits"))
           .orderBy("doc_id"),
-      Some(s"""WITH d AS (SELECT doc_id,
-            list_distinct(string_split_regex(trim(lower(text)), ' +')) AS tk
-          FROM documents),
-        th AS (SELECT doc_id,
-            ${hex8Sql("h", 0)} AS h1, ${hex8Sql("h", 8)} AS h2
-          FROM (SELECT doc_id, md5(w) AS h
-                FROM (SELECT doc_id, unnest(tk) AS w FROM d))),
-        b AS (SELECT doc_id, j,
-            SUM(CASE WHEN ((CASE WHEN j < 32
-                  THEN h2 >> CAST(j AS INTEGER)
-                  ELSE h1 >> CAST(j - 32 AS INTEGER) END) & 1) = 1
-              THEN 1 ELSE -1 END) AS s
-          FROM th, UNNEST(range(0, 64)) t2(j)
-          GROUP BY 1, 2)
+      Some(s"""WITH $simhashVoteCtes
         SELECT doc_id,
           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
             '' ORDER BY j DESC) AS simhash_bits
@@ -866,20 +880,7 @@ object Approx {
           .select("id_a", "id_b", "hamming")
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH d AS (SELECT doc_id,
-            list_distinct(string_split_regex(trim(lower(text)), ' +')) AS tk
-          FROM documents),
-        th AS (SELECT doc_id,
-            ${hex8Sql("h", 0)} AS h1, ${hex8Sql("h", 8)} AS h2
-          FROM (SELECT doc_id, md5(w) AS h
-                FROM (SELECT doc_id, unnest(tk) AS w FROM d))),
-        b AS (SELECT doc_id, j,
-            SUM(CASE WHEN ((CASE WHEN j < 32
-                  THEN h2 >> CAST(j AS INTEGER)
-                  ELSE h1 >> CAST(j - 32 AS INTEGER) END) & 1) = 1
-              THEN 1 ELSE -1 END) AS s
-          FROM th, UNNEST(range(0, 64)) t2(j)
-          GROUP BY 1, 2),
+      Some(s"""WITH $simhashVoteCtes,
         sig AS (SELECT doc_id,
             CAST(SUM(CASE WHEN s > 0 AND j >= 32
               THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER))

@@ -409,13 +409,17 @@ object EventStreams {
       id: Long, checkpointId: String): Unit = {
     val committed = readCommitted(tableRoot)
     committed.foreach { case (cid, ck) =>
-      if (ck != checkpointId)
+      // ck is None for a pre-identity one-line marker: a legitimate
+      // resume of an old table must not wedge — accept it once and let
+      // this commit stamp the identity (migration path)
+      ck.filter(_ != checkpointId).foreach { other =>
         throw new IllegalStateException(
           s"upsert table $tableRoot was last committed by checkpoint " +
-            s"'$ck' but batch $id arrived from '$checkpointId'; a fresh " +
-            "checkpoint restarts batch ids at 0 and would silently skip " +
-            "early batches — use a new tableRoot or restore the " +
-            "original checkpoint")
+            s"'$other' but batch $id arrived from '$checkpointId'; a " +
+            "fresh checkpoint restarts batch ids at 0 and would " +
+            "silently skip early batches — use a new tableRoot or " +
+            "restore the original checkpoint")
+      }
       if (id < cid)
         throw new IllegalStateException(
           s"upsert table $tableRoot is committed at batch $cid but " +
@@ -461,14 +465,16 @@ object EventStreams {
             StructField("n", LongType), StructField("cents", LongType))))
     }
 
-  /** marker = two lines: committed batch id, committing checkpoint. */
-  private def readCommitted(tableRoot: String): Option[(Long, String)] = {
+  /** marker = two lines: committed batch id, committing checkpoint.
+    * A one-line marker (pre-identity format) yields checkpoint None —
+    * readable, and upgraded in place on the next commit. */
+  private def readCommitted(tableRoot: String): Option[(Long, Option[String])] = {
     val p = java.nio.file.Paths.get(tableRoot, "_committed")
     if (java.nio.file.Files.exists(p)) {
       val lines = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         .linesIterator.toSeq
       Some((lines.head.trim.toLong,
-        lines.drop(1).headOption.getOrElse("").trim))
+        lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty)))
     } else None
   }
 

@@ -10,13 +10,10 @@ trait SparkSuite extends AnyFunSuite {
 
 object SparkSuite {
   lazy val session: SparkSession = {
-    // SPARK_GRAFT_MASTER/_JARS: the cross-executor gate reruns the spec
-    // suite under local-cluster[2,16,4096] (real serialization
-    // boundaries); default stays the fast in-process local[4]
-    val builder0 = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
-    val s = sys.env.get("SPARK_GRAFT_JARS")
-      .fold(builder0)(j => builder0.config("spark.jars", j))
+    // SparkEnv resolves the SPARK_GRAFT_MASTER/_JARS overrides so the
+    // cross-executor gate can rerun the whole suite under
+    // local-cluster[2,16,4096]; default stays the fast in-process local[4]
+    val s = graft.SparkEnv.builder("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

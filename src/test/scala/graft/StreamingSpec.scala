@@ -565,5 +565,19 @@ class StreamingSpec extends SparkSuite {
     EventStreams.upsertBatch(spark, replayData.toDF(), table, lastId, cp)
     assert(snapshot(table) == expect,
       "marker-lost replay must rebuild the identical version")
+    // legacy one-line marker (pre-identity format): a legitimate resume
+    // of an old table must NOT wedge on the identity guard — it merges
+    // normally and the commit upgrades the marker in place
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_committed"),
+      prev.toString.getBytes("UTF-8"))
+    EventStreams.upsertBatch(spark, replayData.toDF(), table, lastId, cp)
+    assert(snapshot(table) == expect,
+      "legacy-marker resume must merge, not throw")
+    val upgraded = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table, "_committed")), "UTF-8")
+      .linesIterator.toSeq
+    assert(upgraded == Seq(lastId.toString, cp),
+      s"commit must stamp the checkpoint identity: $upgraded")
   }
 }

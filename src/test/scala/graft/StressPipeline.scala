@@ -27,12 +27,9 @@ object StressPipeline {
     // default 30min tick (shuffle files live until their dependency is
     // GC'd — at 5 shuffles x ~20 GB that's the difference between
     // fitting and ENOSPC).
-    // SPARK_GRAFT_MASTER/_JARS: the cross-executor gate runs this same
-    // driver under local-cluster[2,16,4096] with the packaged jars
-    val builder0 = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
-    val spark = sys.env.get("SPARK_GRAFT_JARS")
-      .fold(builder0)(j => builder0.config("spark.jars", j))
+    // SparkEnv resolves the SPARK_GRAFT_MASTER/_JARS overrides for the
+    // cross-executor gate (CORRECTNESS_CLUSTER.md)
+    val spark = graft.SparkEnv.builder("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
