@@ -88,10 +88,12 @@ object Approx {
     // must not ride through the bucket join + pair dedup
     val sigDf =
       if (md5Sig)
-        docs.withColumn("hs", transform(col("tk"), sh => md5Halves(sh)))
-          .select("doc_id", "hs")
-          .cache() // barrier: ONE digest per shingle, not one per (shingle, k)
-          .withColumn("sig", minhashSigKM(col("hs")))
+        // compiled Md5MinHashKM: one digest + K integer lanes per
+        // shingle in a tight codegen loop — the HOF formulation of the
+        // same arithmetic ran interpreted lambdas per (shingle, lane)
+        // and cost ~3.4 s/pass at sf0.1 vs ~1 s compiled
+        docs.withColumn("sig",
+          graft.functions.Md5Sketch.md5_minhash_km(col("tk"), MinhashK))
       else docs.withColumn("sig", minhashSig(col("tk")))
     def bandKey(b: Column): Column = {
       val bandSlice = slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))
@@ -140,43 +142,6 @@ object Approx {
     * seconds per 5k docs; see MinHashSig. */
   private def minhashSig(tokens: Column): Column =
     graft.functions.MinHashSig.min_hash_sig(array_distinct(tokens), MinhashK)
-
-  /** oracle-mode shingle digest: ONE md5 per shingle, split into two
-    * 32-bit integer halves (h1 = hex[1..8], h2 = hex[9..16]) — the
-    * Kirsch–Mitzenmacher base pair. */
-  private[catalog] def md5Halves(sh: Column): Column = {
-    val h = md5(sh)
-    struct(
-      conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
-      conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
-  }
-
-  /** the simhash bit-vote sum at bit `j` over a cached `th` column of
-    * md5Halves structs: Σ over tokens of (+1 if bit j of the 64-bit
-    * digest (h1·2³² + h2) is set, else −1). Shared by simhashWord (d44)
-    * and d8's bit-string formatter so the vote semantics live in ONE
-    * place on the Spark side (simhashVoteCtes is its SQL twin). */
-  private val voteSql: String =
-    """aggregate(th, 0, (acc2, t) -> acc2 +
-        (CASE WHEN ((CASE WHEN j < 32
-            THEN shiftright(t.h2, j)
-            ELSE shiftright(t.h1, j - 32) END) & 1) = 1
-          THEN 1 ELSE -1 END))"""
-
-  /** one 32-bit word of the simhash built from a cached `th` column of
-    * md5Halves structs: bit (j − off) of the word is set iff the
-    * +1/−1 bit-vote sum over tokens at global bit j is positive —
-    * hiWord covers j 32..63, loWord j 0..31. Same votes as d8's bit
-    * string, folded into integers so banding and Hamming are pure
-    * BIGINT ops on both engines. */
-  private def simhashWord(hiWord: Boolean): Column = {
-    val (jFrom, jTo, off) = if (hiWord) (32, 63, 32) else (0, 31, 0)
-    expr(s"""aggregate(sequence($jFrom, $jTo), CAST(0 AS BIGINT),
-        (acc, j) -> acc +
-          CASE WHEN $voteSql > 0
-          THEN shiftleft(CAST(1 AS BIGINT), j - $off)
-          ELSE CAST(0 AS BIGINT) END)""")
-  }
 
   /** the shared simhash-vote CTE prefix (tokens → one-md5 halves →
     * per-(doc, j) vote sums `b(doc_id, j, s)`) — d8 formats b into the
@@ -793,27 +758,29 @@ object Approx {
       (s, dir) =>
         // 64-bit simhash: bit j is set iff the sum over distinct tokens
         // of (+1 if token-hash bit j set, else -1) is positive. Catalog
-        // mode hashes tokens with ONE md5 each, decoded ONCE into two
-        // 32-bit integer halves (bit j reads as a pure shift/mask on
-        // the halves — the first formulation re-parsed a hex nibble per
-        // (token, bit) via conv() and measured 17 s at sf0.1; this one
-        // ~1.5 s), so every bit-vote is recomputable in DuckDB and the
-        // signature carries a FULL oracle (emitted MSB-first as a
-        // 64-char bit string — bit 63 would overflow a signed BIGINT
-        // literal sum). The 100 TB fast path is the compiled one-pass
-        // SimHashSig expression (xxhash64 core; ExtensionsSpec pins it
-        // against the per-bit HOF reference, PlanSpec pins whole-stage
-        // codegen). The cache() is the CollapseProject barrier: 64
-        // bit-vote lambdas reference th.
+        // mode hashes tokens with ONE md5 each via the compiled
+        // Md5SimHashWords kernel (votes folded into two 32-bit words in
+        // a tight codegen loop — the HOF formulations measured 17 s,
+        // then 2.7 s; the kernel ~0.3 s at sf0.1), so every bit-vote is
+        // recomputable in DuckDB and the signature carries a FULL
+        // oracle (emitted MSB-first as a 64-char bit string — bit 63
+        // would overflow a signed BIGINT literal sum). The 100 TB fast
+        // path is the compiled one-pass SimHashSig expression (xxhash64
+        // core; ExtensionsSpec pins it against the per-bit HOF
+        // reference, PlanSpec pins whole-stage codegen). The cache() is
+        // the CollapseProject barrier: the 64-bit formatter references
+        // w once per bit.
         t(s, dir, "documents")
           .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
-          .withColumn("th",
-            transform(col("tk"), w => md5Halves(w)))
-          .select("doc_id", "th")
-          .cache() // barrier: one digest per token, not one per (token, bit)
+          .select(col("doc_id"),
+            graft.functions.Md5Sketch.md5_simhash_words(col("tk")).as("w"))
+          .cache() // barrier: one kernel pass per doc, not one per bit
           .select(col("doc_id"), expr(
-            s"""concat_ws('', transform(sequence(63, 0, -1), j ->
-                 CASE WHEN $voteSql > 0
+            """concat_ws('', transform(sequence(63, 0, -1), j ->
+                 CASE WHEN ((CASE WHEN j < 32
+                     THEN shiftright(element_at(w, 2), j)
+                     ELSE shiftright(element_at(w, 1), j - 32) END)
+                   & 1) = 1
                  THEN '1' ELSE '0' END))""").as("simhash_bits"))
           .orderBy("doc_id"),
       Some(s"""WITH $simhashVoteCtes
@@ -844,15 +811,14 @@ object Approx {
         // the WHOLE pipeline — votes, bands, buckets, Hamming — is one
         // exact SQL oracle; CatalogSpec pins d44 == brute-force Hamming
         // <= 3 over d8's own bit strings.
-        val th = t(s, dir, "documents")
+        val sig = t(s, dir, "documents")
           .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
-          .withColumn("th", transform(col("tk"), w => md5Halves(w)))
-          .select("doc_id", "th")
-          .cache() // barrier: one digest per token (the d8 discipline)
-        val sig = th.select(col("doc_id"),
-            simhashWord(hiWord = true).as("hi"),
-            simhashWord(hiWord = false).as("lo"))
-          .cache() // reused by banding and both verify sides
+          .select(col("doc_id"),
+            graft.functions.Md5Sketch.md5_simhash_words(col("tk")).as("w"))
+          .cache() // reused by banding and both verify sides; barrier
+          .select(col("doc_id"),
+            element_at(col("w"), 1).as("hi"),
+            element_at(col("w"), 2).as("lo"))
         val bands = sig.select(col("doc_id"), posexplode(array(
             col("lo").bitwiseAND(lit(65535L)),
             shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),

@@ -94,6 +94,71 @@ class ExtensionsSpec extends SparkSuite {
       s"codegen=${codegen.toSeq} interpreted=$interp")
   }
 
+  test("Md5Sketch kernels match an independent digest-level reference " +
+      "(KM minhash lanes, simhash vote words) and run in codegen") {
+    val s2 = spark; import s2.implicits._
+    // independent reference: raw MessageDigest + explicit BE word
+    // decode + the same arithmetic, written from the definitions
+    def halvesRef(s: String): (Long, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      def be(from: Int) = (0 until 4).foldLeft(0L)((a, i) =>
+        (a << 8) | (d(from + i) & 0xffL))
+      (be(0), be(4))
+    }
+    def kmRef(xs: Seq[String], k: Int): Seq[Long] =
+      (0 until k).map { j =>
+        xs.map { x =>
+          val (h1, h2) = halvesRef(x)
+          (h1 + j * h2) & 0xffffffffL
+        }.min
+      }
+    def wordsRef(xs: Seq[String]): (Long, Long) = {
+      val votes = Array.fill(64)(0)
+      xs.foreach { x =>
+        val (h1, h2) = halvesRef(x)
+        (0 until 32).foreach { j =>
+          votes(j) += (if (((h2 >>> j) & 1L) == 1L) 1 else -1)
+          votes(j + 32) += (if (((h1 >>> j) & 1L) == 1L) 1 else -1)
+        }
+      }
+      def word(off: Int) = (0 until 32).foldLeft(0L)((a, j) =>
+        if (votes(off + j) > 0) a | (1L << j) else a)
+      (word(32), word(0))
+    }
+    val cases = Seq(
+      Seq("alpha", "beta", "gamma", "alpha beta"),
+      Seq(""),            // md5 of the empty string is well-defined
+      Seq("ünïcødé ツ"),  // digest runs over UTF-8 bytes
+      (1 to 100).map(i => s"w$i"))
+    val df = cases.toDF("tk")
+    val got = df.select(
+        graft.functions.Md5Sketch.md5_minhash_km(col("tk"), 32).as("mh"),
+        graft.functions.Md5Sketch.md5_simhash_words(col("tk")).as("w"))
+      .collect()
+      .map(r => (r.getAs[scala.collection.Seq[Long]]("mh").toSeq,
+        r.getAs[scala.collection.Seq[Long]]("w").toSeq))
+    cases.zip(got).foreach { case (xs, (mh, w)) =>
+      assert(mh == kmRef(xs, 32), s"minhash diverged on $xs")
+      val (hi, lo) = wordsRef(xs)
+      assert(w == Seq(hi, lo), s"simhash words diverged on $xs")
+    }
+    // and the kernels must sit inside WholeStageCodegen (non-literal
+    // input so nothing constant-folds)
+    val arrs = spark.range(8).select(
+      transform(sequence(lit(0L), col("id") + 2),
+        x => concat(lit("w"), x.cast("string"))).as("tk"))
+    val p = arrs.select(
+        graft.functions.Md5Sketch.md5_minhash_km(col("tk"), 8).as("a"),
+        graft.functions.Md5Sketch.md5_simhash_words(col("tk")).as("b"))
+      .queryExecution.executedPlan.toString
+    val projLine = p.linesIterator
+      .find(l => l.contains("md5_minhash_km") || l.contains("md5_simhash_words"))
+      .getOrElse(fail(s"expressions not found in plan:\n$p"))
+    assert(projLine.trim.startsWith("*"),
+      s"kernels must run inside WholeStageCodegen:\n$p")
+  }
+
   test("DotProductRewrite: HOF dot-product idiom becomes the compiled " +
       "expression with identical results") {
     val s2 = spark; import s2.implicits._
