@@ -143,6 +143,37 @@ object Approx {
   private def minhashSig(tokens: Column): Column =
     graft.functions.MinHashSig.min_hash_sig(array_distinct(tokens), MinhashK)
 
+  /** (doc_id, hi, lo) simhash words of a (doc_id, text) frame via the
+    * compiled Md5SimHashWords kernel. `barrier = true` caches the raw
+    * word array so downstream fan-out (banding + both verify sides of
+    * d44) evaluates the kernel once per doc — streaming callers must
+    * pass false (persist is illegal on a streaming frame; the kernel
+    * re-evaluates a handful of times per row there, microseconds
+    * against an ingest path's cost). */
+  private[graft] def simhashSig(docsIn: DataFrame,
+      barrier: Boolean): DataFrame = {
+    val w = docsIn
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        graft.functions.Md5Sketch.md5_simhash_words(col("tk")).as("w"))
+    (if (barrier) w.cache() else w)
+      .select(col("doc_id"),
+        element_at(col("w"), 1).as("hi"),
+        element_at(col("w"), 2).as("lo"))
+  }
+
+  /** d44's pigeonhole decomposition attached as rows: the 4 exact-match
+    * 16-bit bands of (hi, lo) — any two signatures within Hamming 3
+    * share at least one (band, key). Carries hi/lo through so a probe
+    * can verify Hamming in the joined row. */
+  private[graft] def simhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("hi"), col("lo"), posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+
   /** the shared simhash-vote CTE prefix (tokens → one-md5 halves →
     * per-(doc, j) vote sums `b(doc_id, j, s)`) — d8 formats b into the
     * bit string, d44 folds b into (hi, lo) words. */
@@ -422,13 +453,16 @@ object Approx {
       SELECT q_id, c_id, rk, cos FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
-  private def e8OracleSql: String = {
+  /** the IVF multi-probe CTE prefix shared by e8 and e16 (C=16, P=4,
+    * tau=0.4, the ivfCellsAndPairs recipe): v → sims → cells → probes →
+    * bare-id candidates → cosine-confirmed `pairs` */
+  private def ivfPairCtes: String = {
     val dims = 64
     def centroid(c: Int): Seq[Double] =
       (0 until dims).map(d => mixToUnit(0x49564600L + c.toLong * dims + d) - 0.5)
     val simsList = (0 until 16).map(c => dotLitSql("dv", centroid(c)))
       .mkString("list_value(", ",\n ", ")")
-    s"""WITH v AS (
+    s"""v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
         FROM embeddings),
       sims AS (SELECT vec_id, dv, $simsList AS sims FROM v),
@@ -450,13 +484,35 @@ object Approx {
         FROM cand
         JOIN v va ON va.vec_id = cand.id_a
         JOIN v vb ON vb.vec_id = cand.id_b
-        WHERE ${cosineSql("va.dv", "vb.dv")} >= 0.4),
+        WHERE ${cosineSql("va.dv", "vb.dv")} >= 0.4)"""
+  }
+
+  private def e8OracleSql: String =
+    s"""WITH $ivfPairCtes,
       reps AS (SELECT id_b AS vec_id, MIN(id_a) AS rep_min
         FROM pairs GROUP BY id_b)
       SELECT c.vec_id, c.cell, COALESCE(r.rep_min, c.vec_id) AS rep_id
       FROM cells c LEFT JOIN reps r ON r.vec_id = c.vec_id
       ORDER BY c.vec_id"""
-  }
+
+  private def e16OracleSql: String =
+    s"""WITH $ivfPairCtes,
+      contam AS (
+        SELECT id_b AS vec_id, id_a AS eval_id FROM pairs
+        WHERE id_a % 50 = 0 AND id_b % 50 <> 0
+        UNION ALL
+        SELECT id_a AS vec_id, id_b AS eval_id FROM pairs
+        WHERE id_b % 50 = 0 AND id_a % 50 <> 0),
+      flags AS (SELECT vec_id, COUNT(*) AS n_near_eval,
+          MIN(eval_id) AS witness_eval
+        FROM contam GROUP BY vec_id)
+      SELECT c.vec_id, c.cell,
+        CAST(COALESCE(f.n_near_eval, 0) AS BIGINT) AS n_near_eval,
+        CAST(COALESCE(f.witness_eval, -1) AS BIGINT) AS witness_eval,
+        CAST(CASE WHEN f.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM cells c LEFT JOIN flags f ON f.vec_id = c.vec_id
+      WHERE c.vec_id % 50 <> 0
+      ORDER BY c.vec_id"""
 
   /** FULL-CORPUS embedding near-dup dedup — the SemDeDup shape (cluster,
     * then dedup within cluster): every vector is assigned to its top-P of
@@ -484,6 +540,23 @@ object Approx {
     */
   private[graft] def ivfDedup(embIn: DataFrame, C: Int, P: Int,
       tau: Double): DataFrame = {
+    val (cells, pairs) = ivfCellsAndPairs(embIn, C, P, tau)
+    val reps = pairs.select("id_b", "id_a")
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("rep_min"))
+    cells.select("vec_id", "cell")
+      .join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("rep_min"), col("vec_id")).as("rep_id"))
+      .orderBy("vec_id")
+  }
+
+  /** the IVF multi-probe machinery shared by e8 (dedup reps) and e16
+    * (semantic decontamination): (cells, confirmed pairs). `cells` =
+    * (vec_id, dv, cell, probes) cached; `pairs` = (id_a < id_b) with
+    * cosine >= tau, bare-id-deduped before the cosine. */
+  private[graft] def ivfCellsAndPairs(embIn: DataFrame, C: Int, P: Int,
+      tau: Double): (DataFrame, DataFrame) = {
     val dims = 64
     val emb = embIn
       .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
@@ -515,14 +588,8 @@ object Approx {
     val vb = cells.select(col("vec_id").as("id_b"), col("dv").as("vb"))
     val pairs = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .filter(Vectors.cosine(col("va"), col("vb")) >= tau)
-      .select("id_b", "id_a")
-    val reps = pairs.groupBy(col("id_b").as("vec_id"))
-      .agg(min(col("id_a")).as("rep_min"))
-    cells.select("vec_id", "cell")
-      .join(reps, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        coalesce(col("rep_min"), col("vec_id")).as("rep_id"))
-      .orderBy("vec_id")
+      .select("id_a", "id_b")
+    (cells, pairs)
   }
 
   // ---- product quantization constants (e6/e7) --------------------------
@@ -811,20 +878,10 @@ object Approx {
         // the WHOLE pipeline — votes, bands, buckets, Hamming — is one
         // exact SQL oracle; CatalogSpec pins d44 == brute-force Hamming
         // <= 3 over d8's own bit strings.
-        val sig = t(s, dir, "documents")
-          .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
-          .select(col("doc_id"),
-            graft.functions.Md5Sketch.md5_simhash_words(col("tk")).as("w"))
-          .cache() // reused by banding and both verify sides; barrier
-          .select(col("doc_id"),
-            element_at(col("w"), 1).as("hi"),
-            element_at(col("w"), 2).as("lo"))
-        val bands = sig.select(col("doc_id"), posexplode(array(
-            col("lo").bitwiseAND(lit(65535L)),
-            shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
-            col("hi").bitwiseAND(lit(65535L)),
-            shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+        val sig = simhashSig(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          barrier = true)
+        val bands = simhashBands(sig).select("doc_id", "band", "key")
         val bsz = bands.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
         val kept = bands
           .join(bsz.filter(col("bsz") <= MaxLshBucket), Seq("band", "key"))
@@ -1100,6 +1157,47 @@ object Approx {
         "assignment (e3's literal centroids) + within-cell pairwise " +
         "cosine + keep-lowest-id representative — no corpus x corpus " +
         "join, no id bound, full oracle"),
+
+    QueryDef(
+      "e16_semantic_decontam",
+      (s, dir) => {
+        // SEMANTIC decontamination — d18's eval-overlap gate lifted to
+        // embedding space (the FineWeb/SemDeDup-era concern n-gram
+        // checks miss: paraphrased eval data): eval split = vec_id % 50
+        // == 0 (the d18 convention), and a TRAINING vector is dropped
+        // iff some eval vector sits within cosine >= 0.4. Same IVF
+        // multi-probe machinery as e8 (shared ivfCellsAndPairs —
+        // candidates only inside shared probe cells, bare-id dedup
+        // before the cosine, never corpus x corpus), same shared CTE
+        // prefix in the oracle; the output keeps the witness eval id
+        // and neighbor count so a curation review can audit every drop.
+        // Scale: eval sets are tiny relative to the corpus — at 100 TB
+        // the eval side's bands broadcast and the train side streams.
+        val (cells, pairs) = ivfCellsAndPairs(
+          t(s, dir, "embeddings"), C = 16, P = 4, tau = 0.4)
+        val contam = pairs
+          .filter(col("id_a") % 50 === 0 && col("id_b") % 50 =!= 0)
+          .select(col("id_b").as("vec_id"), col("id_a").as("eval_id"))
+          .unionByName(pairs
+            .filter(col("id_b") % 50 === 0 && col("id_a") % 50 =!= 0)
+            .select(col("id_a").as("vec_id"), col("id_b").as("eval_id")))
+        val flags = contam.groupBy("vec_id")
+          .agg(count(lit(1)).as("n_near_eval"),
+            min(col("eval_id")).as("witness_eval"))
+        cells.filter(col("vec_id") % 50 =!= 0)
+          .select("vec_id", "cell")
+          .join(flags, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("n_near_eval"), lit(0L)).as("n_near_eval"),
+            coalesce(col("witness_eval"), lit(-1L)).as("witness_eval"),
+            when(col("n_near_eval").isNull, 1L).otherwise(0L).as("keep"))
+          .orderBy("vec_id")
+      },
+      Some(e16OracleSql),
+      "semantic decontamination: training vectors within cosine 0.4 of " +
+        "any eval vector (vec_id % 50 == 0) are dropped with witness " +
+        "eval id + neighbor count — d18's gate in embedding space via " +
+        "e8's shared IVF multi-probe machinery, full oracle"),
 
     QueryDef(
       "d9_rolling_fp",

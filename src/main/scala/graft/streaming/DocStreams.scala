@@ -135,6 +135,50 @@ object DocStreams {
     * made. The history lives in a table, not a state store, so a
     * restart resumes from source offsets alone (the incrementalDedup
     * discipline). */
+  /** the historical simhash band index — d44's pigeonhole decomposition
+    * (4 exact-match 16-bit bands over the compiled Md5SimHashWords
+    * signature) of every accepted doc, carrying its (hi, lo) words so a
+    * probe verifies Hamming in the joined row. 4 rows per historical
+    * doc, durable in a table (the historyHashes discipline: restart
+    * resumes from source offsets alone; at 100 TB this index is itself
+    * a parquet table keyed by (band, key)). */
+  def historySimhashBands(spark: SparkSession, dir: String): DataFrame =
+    graft.catalog.Approx.simhashBands(
+      graft.catalog.Approx.simhashSig(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")),
+        barrier = true))
+      .select(col("band"), col("key"), col("doc_id").as("hist_id"),
+        col("hi").as("hist_hi"), col("lo").as("hist_lo"))
+
+  /** d44's NEAR-dup dedup at INGEST time — the causal streaming twin of
+    * the batch pair-mining query: each incoming doc is simhash-signed
+    * (compiled kernel), its 4 pigeonhole bands probe the durable
+    * historical band index (stream-static equi-join — by the Hamming≤3
+    * guarantee every qualifying historical partner IS found), candidates
+    * verify with two XOR+popcounts, and the doc's verdict is decided by
+    * its BEST historical match: skip_near_dup iff min Hamming ≤ 3.
+    * Stateless per batch (update/complete mode for the per-doc min);
+    * DocStreamSpec runs the identical code on batch frames for exact
+    * parity and cross-checks the verdicts against d44's pair output. */
+  def incrementalNearDedup(incoming: DataFrame, history: DataFrame): DataFrame =
+    graft.catalog.Approx.simhashBands(
+      graft.catalog.Approx.simhashSig(
+        incoming.select(col("doc_id"), col("text")), barrier = false))
+      .join(history, Seq("band", "key"), "left")
+      .withColumn("hamming", when(col("hist_id").isNull, lit(64L))
+        .otherwise((bit_count(col("hi").bitwiseXOR(col("hist_hi")))
+          + bit_count(col("lo").bitwiseXOR(col("hist_lo")))).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("hamming"),
+        coalesce(col("hist_id"), lit(-1L)).as("hist_id"))).as("best"))
+      .select(col("doc_id"),
+        col("best.hamming").as("hamming"),
+        when(col("best.hamming") <= 3, col("best.hist_id"))
+          .otherwise(lit(-1L)).as("near_hist_id"),
+        when(col("best.hamming") <= 3, lit("skip_near_dup"))
+          .otherwise(lit("ingest")).as("verdict"))
+
   def incrementalNovelty(incoming: DataFrame, history: DataFrame): DataFrame =
     incoming
       .select(col("doc_id"), toks(col("text")).as("tok"))

@@ -174,6 +174,42 @@ class CatalogSpec extends SparkSuite {
     }
   }
 
+  test("e16 semantic decontamination: no false positives vs brute-force " +
+      "cosine truth, recall above floor, eval rows excluded, verdicts " +
+      "consistent") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("e16_semantic_decontam")(spark, dir)
+        .collect()
+      // eval split never appears in the audited output
+      assert(rows.forall(_.getLong(0) % 50 != 0))
+      rows.foreach { r =>
+        assert((r.getAs[Long]("keep") == 0L)
+          == (r.getAs[Long]("n_near_eval") > 0L), s"verdict mismatch: $r")
+        assert((r.getAs[Long]("witness_eval") >= 0L)
+          == (r.getAs[Long]("keep") == 0L), s"witness mismatch: $r")
+      }
+      val flagged = rows.filter(_.getAs[Long]("keep") == 0L)
+        .map(_.getLong(0)).toSet
+      // brute-force truth over the full eval x train cross product
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+        .select("vec_id", "dv")
+      val truth = emb.filter(col("vec_id") % 50 =!= 0)
+        .crossJoin(emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("e_id"), col("dv").as("edv")))
+        .filter(graft.catalog.Vectors.cosine(col("dv"), col("edv")) >= 0.4)
+        .select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(truth.nonEmpty, s"$dir: fixture must contain contamination")
+      assert(flagged.subsetOf(truth),
+        s"$dir: cosine-verified flags can never be false positives")
+      // measured recall 1.0 at both scales (multi-probe); floor with
+      // margin so a probe/banding regression fails loudly
+      assert(flagged.size.toDouble / truth.size >= 0.8,
+        s"$dir: recall ${flagged.size}/${truth.size} below floor")
+    }
+  }
+
   test("q21 HLL estimate is within 2x the default rsd of the exact count, " +
       "and the emitted verdict is load-bearing") {
     // approx_count_distinct default rsd = 0.05; measured rel err ~0.026

@@ -129,4 +129,49 @@ class DocStreamSpec extends SparkSuite {
     assert(got.exists { case (id, (_, novel, _)) => id % 2 == 1 && novel > 0 },
       "some fresh doc must carry novel shingles")
   }
+
+  test("streaming incremental NEAR-dedup (simhash bands, stream-static " +
+      "join) == batch twin, and verdicts agree with d44's pair mining") {
+    // history = the even docs' simhash band index; stream the full
+    // corpus back: every even doc finds itself at Hamming 0 (skip);
+    // an odd doc is skipped iff some EVEN doc sits within Hamming 3 —
+    // which is exactly the (even, odd) pair set d44 emits
+    val history = DocStreams.historySimhashBands(spark, sf)
+      .filter(col("hist_id") % 2 === 0)
+    val stream = DocStreams.incrementalNearDedup(
+      DocStreams.readStream(spark, sf), history)
+    val got = EventStreams.runToMemory(spark, stream, "doc_near",
+      OutputMode.Complete)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val batch = DocStreams.incrementalNearDedup(batchDocs, history)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == batch && got.nonEmpty,
+      "streaming near-dedup must equal the batch twin exactly")
+    got.foreach { case (id, (hamming, histId, verdict)) =>
+      // a re-ingested even doc always finds a Hamming-0 partner (itself
+      // at minimum); an exact-duplicate doc may resolve to a SMALLER
+      // even doc with the identical signature (min tie-break)
+      if (id % 2 == 0)
+        assert(verdict == "skip_near_dup" && hamming == 0L && histId <= id,
+          s"re-ingested doc $id must match at Hamming 0, got " +
+            s"($hamming, $histId, $verdict)")
+    }
+    // coherence with the batch pair miner: odd docs flagged skip ==
+    // odd docs that d44 pairs with an even partner
+    val d44Pairs = SparkEntry.queries("d44_simhash_pairs")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val oddWithEvenPartner = d44Pairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(_ % 2 == 1)
+        .filter(_ => a % 2 == 0 || b % 2 == 0)
+    }.toSet
+    val oddSkipped = got.collect {
+      case (id, (_, _, "skip_near_dup")) if id % 2 == 1 => id
+    }.toSet
+    assert(oddSkipped == oddWithEvenPartner,
+      s"ingest verdicts must mirror d44: only-stream=" +
+        s"${oddSkipped -- oddWithEvenPartner} only-d44=" +
+        s"${oddWithEvenPartner -- oddSkipped}")
+  }
 }
