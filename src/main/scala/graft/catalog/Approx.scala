@@ -45,7 +45,7 @@ object Approx {
     * a mega-bucket still has Bands−1 other chances to collide in a small
     * bucket, and the dropped mass is surfaced as data (the d43 stats
     * frame) so operators can see it. */
-  private[catalog] val MaxLshBucket = 256
+  private[graft] val MaxLshBucket = 256
 
   /** The d7 pipeline over any (doc_id, text) frame — factored out so
     * EdgeSpec can drive it with an adversarial near-identical corpus.
@@ -192,20 +192,6 @@ object Approx {
             THEN 1 ELSE -1 END) AS s
         FROM th, UNNEST(range(0, 64)) t2(j)
         GROUP BY 1, 2)"""
-
-  /** oracle-mode signature over materialized (h1, h2) shingle digests:
-    * permutation k's hash = (h1 + k·h2) mod 2^32 (Kirsch & Mitzenmacher
-    * 2006 — K pairwise-independent hashes from one digest). Pure BIGINT
-    * arithmetic both engines share bit-for-bit, and 32× fewer digests
-    * than a per-permutation seeded md5 (which measured 5.9 s at sf0.1
-    * vs 1.4 s for the compiled fast path). Callers must pass a CACHED
-    * hs column — the K signature lambdas each reference it, and
-    * CollapseProject would otherwise inline the md5 K times. */
-  private def minhashSigKM(hs: Column): Column =
-    transform(sequence(lit(0), lit(MinhashK - 1)), k =>
-      array_min(transform(hs, t =>
-        (t.getField("h1") + k.cast("long") * t.getField("h2"))
-          % lit(4294967296L))))
 
   /** splitmix64 finalizer → uniform double in [0, 1): the driver-side
     * PRNG for hyperplane/centroid components (deterministic, well-mixed) */

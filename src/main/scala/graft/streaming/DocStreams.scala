@@ -142,14 +142,25 @@ object DocStreams {
     * doc, durable in a table (the historyHashes discipline: restart
     * resumes from source offsets alone; at 100 TB this index is itself
     * a parquet table keyed by (band, key)). */
-  def historySimhashBands(spark: SparkSession, dir: String): DataFrame =
-    graft.catalog.Approx.simhashBands(
+  def historySimhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val bands = graft.catalog.Approx.simhashBands(
       graft.catalog.Approx.simhashSig(
         spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text")),
         barrier = true))
+    // oversized-bucket guard AT INDEX BUILD (the d7/d44 discipline): a
+    // 16-bit band value shared by > MaxLshBucket historical docs is
+    // boilerplate that exact dedup owns; without the cap one mega-bucket
+    // makes every incoming doc sharing it fan out to N join rows per
+    // micro-batch — the uncapped-LSH blowup on the ingest hot path.
+    val sizes = bands.groupBy("band", "key")
+      .agg(count(lit(1)).as("bsz"))
+    bands
+      .join(sizes.filter(col("bsz") <= graft.catalog.Approx.MaxLshBucket),
+        Seq("band", "key"))
       .select(col("band"), col("key"), col("doc_id").as("hist_id"),
         col("hi").as("hist_hi"), col("lo").as("hist_lo"))
+  }
 
   /** d44's NEAR-dup dedup at INGEST time — the causal streaming twin of
     * the batch pair-mining query: each incoming doc is simhash-signed

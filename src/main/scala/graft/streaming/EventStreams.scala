@@ -408,25 +408,43 @@ object EventStreams {
       batch: Dataset[org.apache.spark.sql.Row], tableRoot: String,
       id: Long, checkpointId: String): Unit = {
     val committed = readCommitted(tableRoot)
-    committed.foreach { case (cid, ck) =>
-      // ck is None for a pre-identity one-line marker: a legitimate
-      // resume of an old table must not wedge — accept it once and let
-      // this commit stamp the identity (migration path)
-      ck.filter(_ != checkpointId).foreach { other =>
-        throw new IllegalStateException(
-          s"upsert table $tableRoot was last committed by checkpoint " +
-            s"'$other' but batch $id arrived from '$checkpointId'; a " +
-            "fresh checkpoint restarts batch ids at 0 and would " +
-            "silently skip early batches — use a new tableRoot or " +
-            "restore the original checkpoint")
-      }
-      if (id < cid)
-        throw new IllegalStateException(
-          s"upsert table $tableRoot is committed at batch $cid but " +
-            s"batch $id arrived from the same checkpoint — id " +
-            "regressions are outside foreachBatch's replay contract")
+    committed match {
+      case Some((cid, Some(ck))) =>
+        if (ck != checkpointId)
+          throw new IllegalStateException(
+            s"upsert table $tableRoot was last committed by checkpoint " +
+              s"'$ck' but batch $id arrived from '$checkpointId'; a " +
+              "fresh checkpoint restarts batch ids at 0 and would " +
+              "silently skip early batches — use a new tableRoot or " +
+              "restore the original checkpoint")
+        if (id < cid)
+          throw new IllegalStateException(
+            s"upsert table $tableRoot is committed at batch $cid but " +
+              s"batch $id arrived from the same checkpoint — id " +
+              "regressions are outside foreachBatch's replay contract")
+        if (id == cid) return // replayed batch: already merged
+      case Some((cid, None)) =>
+        // legacy one-line marker (no identity recorded): the FIRST
+        // checkpoint to touch the table post-upgrade ADOPTS it, and the
+        // adoption is stamped immediately — even on the skip path — so
+        // any second checkpoint fails the identity guard from then on.
+        // Only id >= cid is accepted: a lower id is indistinguishable
+        // from a fresh checkpoint replaying history against a table
+        // that is already ahead, so it fails fast with migration
+        // instructions instead of silently dropping batches.
+        if (id < cid)
+          throw new IllegalStateException(
+            s"upsert table $tableRoot carries a legacy marker at batch " +
+              s"$cid with no checkpoint identity, and batch $id < $cid " +
+              "arrived — cannot distinguish a resume from a foreign " +
+              "fresh checkpoint; append the owning checkpoint path as " +
+              "a second marker line to migrate, or use a new tableRoot")
+        if (id == cid) {
+          writeCommitted(tableRoot, cid, checkpointId) // adopt + upgrade
+          return
+        }
+      case None => ()
     }
-    if (committed.exists(_._1 == id)) return // replayed batch: already merged
     val cur = upsertTable(spark, tableRoot)
     val agg = batch
       .filter(col("event_type") === "purchase")

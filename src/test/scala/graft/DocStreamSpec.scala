@@ -159,7 +159,20 @@ class DocStreamSpec extends SparkSuite {
             s"($hamming, $histId, $verdict)")
     }
     // coherence with the batch pair miner: odd docs flagged skip ==
-    // odd docs that d44 pairs with an even partner
+    // odd docs that d44 pairs with an even partner. PRECONDITION: the
+    // equality assumes no (band, key) bucket exceeds MaxLshBucket —
+    // d44's cap counts full-corpus buckets, the ingest index caps
+    // history-side buckets, and the two cap different pair sets on a
+    // corpus with mega-buckets. Assert the precondition explicitly so
+    // a fixture/scale change fails with the real reason.
+    val maxBucket = graft.catalog.Approx.simhashBands(
+        graft.catalog.Approx.simhashSig(
+          batchDocs.select(col("doc_id"), col("text")), barrier = false))
+      .groupBy("band", "key").count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    assert(maxBucket <= graft.catalog.Approx.MaxLshBucket,
+      s"fixture grew a mega-bucket ($maxBucket): the d44-equality " +
+        "below is only defined under the cap — regenerate or rescope")
     val d44Pairs = SparkEntry.queries("d44_simhash_pairs")(spark, sf)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     val oddWithEvenPartner = d44Pairs.flatMap { case (a, b) =>

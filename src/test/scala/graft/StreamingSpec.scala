@@ -579,5 +579,29 @@ class StreamingSpec extends SparkSuite {
       .linesIterator.toSeq
     assert(upgraded == Seq(lastId.toString, cp),
       s"commit must stamp the checkpoint identity: $upgraded")
+    // legacy marker at the CURRENT id: the replay skips, but adoption
+    // must stamp the identity EVEN on the skip path — otherwise a
+    // second (foreign) checkpoint could still slip past the guard
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_committed"),
+      lastId.toString.getBytes("UTF-8"))
+    EventStreams.upsertBatch(spark, ev.limit(50).toDF(), table, lastId, cp)
+    assert(snapshot(table) == expect, "legacy skip must not merge")
+    val adopted = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table, "_committed")), "UTF-8")
+      .linesIterator.toSeq
+    assert(adopted == Seq(lastId.toString, cp),
+      s"skip-path adoption must stamp the identity: $adopted")
+    // legacy marker AHEAD of the incoming id is ambiguous (foreign
+    // fresh checkpoint vs resume) — must fail fast with migration
+    // instructions, never silently drop the batch
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_committed"),
+      lastId.toString.getBytes("UTF-8"))
+    val legacyBoom = intercept[IllegalStateException] {
+      EventStreams.upsertBatch(spark, ev.limit(50).toDF(), table,
+        lastId - 1, cp)
+    }
+    assert(legacyBoom.getMessage.contains("legacy marker"))
   }
 }
