@@ -206,4 +206,48 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("Md5Sketch kernel properties over random corpora: reference " +
+      "equality, minhash lane MERGEABILITY, order independence") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Md5Sketch
+    def arr(xs: Seq[String]) = ArrayData.toArrayData(
+      xs.map(UTF8String.fromString).toArray[Any])
+    def km(xs: Seq[String]): Seq[Long] =
+      Md5Sketch.minhashKM(arr(xs), 16).toLongArray().toSeq
+    def words(xs: Seq[String]): Seq[Long] =
+      Md5Sketch.simhashWords(arr(xs)).toLongArray().toSeq
+    // independent digest-level reference (distinct from the kernel's
+    // packed-halves code path)
+    def kmRef(xs: Seq[String]): Seq[Long] = (0 until 16).map { j =>
+      if (xs.isEmpty) Long.MaxValue
+      else xs.map { x =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8"))
+        def be(f: Int) = (0 until 4).foldLeft(0L)((a, i) =>
+          (a << 8) | (d(f + i) & 0xffL))
+        (be(0) + j * be(4)) & 0xffffffffL
+      }.min
+    }
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr, Gen.identifier, Gen.const(""),
+      Gen.const("ünïcødé ツ"), Gen.asciiPrintableStr)
+    val pairGen = for {
+      a <- Gen.listOf(strGen); b <- Gen.listOf(strGen)
+    } yield (a, b)
+    forSamples(pairGen, 60) { case (a, b) =>
+      // reference equality on arbitrary strings (UTF-8, empties, ASCII)
+      assert(km(a) == kmRef(a), s"kernel diverged from reference on $a")
+      // MERGEABILITY — the property that makes minhash signatures
+      // map-side combinable at 100 TB: sig(A ++ B) is the elementwise
+      // min of sig(A) and sig(B) (empty sides are the MaxValue unit)
+      val merged = km(a).zip(km(b)).map { case (x, y) => math.min(x, y) }
+      assert(km(a ++ b) == merged,
+        s"minhash lanes must merge by elementwise min: $a ++ $b")
+      // order independence: both kernels are folds over multisets
+      assert(km(a.reverse) == km(a))
+      assert(words((a ++ b).reverse) == words(a ++ b))
+    }
+  }
 }
