@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{DocStreams, EventStreams}
+import graft.streaming.{DocStreams, EventStreams, VecStreams}
 
 /** Streaming documents pipeline == its batch twins on sf0.001. */
 class DocStreamSpec extends SparkSuite {
@@ -186,5 +186,41 @@ class DocStreamSpec extends SparkSuite {
       s"ingest verdicts must mirror d44: only-stream=" +
         s"${oddSkipped -- oddWithEvenPartner} only-d44=" +
         s"${oddWithEvenPartner -- oddSkipped}")
+  }
+
+  test("streaming vector decontamination (broadcast eval set, exact " +
+      "cosine) == batch twin, and quarantines exactly e16's drop set") {
+    val evalVecs = VecStreams.evalVectors(spark, sf)
+    val stream = VecStreams.decontaminateIngest(
+      VecStreams.readStream(spark, sf), evalVecs)
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    val got = EventStreams.runToMemory(spark, stream, "vec_decon",
+      OutputMode.Complete).collect().map(key(_)).toMap
+    val batch = VecStreams.decontaminateIngest(
+      spark.read.parquet(s"$sf/embeddings.parquet"), evalVecs)
+      .collect().map(key(_)).toMap
+    assert(got == batch && got.nonEmpty,
+      "streaming decontamination must equal the batch twin exactly")
+    // the eval split is never judged
+    assert(got.keySet.forall(_ % 50 != 0))
+    got.foreach { case (id, (n, witness, _, verdict)) =>
+      assert((verdict == "quarantine") == (n > 0L), s"verdict: $id")
+      assert((witness >= 0L) == (n > 0L), s"witness: $id")
+    }
+    // coherence with e16: the exact brute-force gate can only find a
+    // SUPERSET of the multi-probe drops; measured recall is 1.0 on
+    // this corpus, so the sets are pinned EQUAL (a probe regression or
+    // a cosine divergence both fail loudly)
+    val e16Dropped = SparkEntry.queries("e16_semantic_decontam")(spark, sf)
+      .filter(col("keep") === 0).collect().map(_.getLong(0)).toSet
+    val quarantined = got.collect {
+      case (id, (_, _, _, "quarantine")) => id
+    }.toSet
+    assert(e16Dropped.subsetOf(quarantined),
+      "exact gate must cover every multi-probe drop")
+    assert(quarantined == e16Dropped,
+      s"only-stream=${quarantined -- e16Dropped} " +
+        s"only-e16=${e16Dropped -- quarantined}")
   }
 }
