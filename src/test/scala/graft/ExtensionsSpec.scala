@@ -143,6 +143,25 @@ class ExtensionsSpec extends SparkSuite {
       val (hi, lo) = wordsRef(xs)
       assert(w == Seq(hi, lo), s"simhash words diverged on $xs")
     }
+    // the interpreted eval path must agree with the codegen path above
+    // (same-kernel discipline as MinHashSig/SimHashSig)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      def lit0(xs: Seq[String]) = Literal(
+        ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray[Any]),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))
+      val interp = cases.map { xs =>
+        (graft.functions.Md5MinHashKM(lit0(xs), 32).eval(null)
+          .asInstanceOf[ArrayData].toLongArray().toSeq,
+          graft.functions.Md5SimHashWords(lit0(xs)).eval(null)
+            .asInstanceOf[ArrayData].toLongArray().toSeq)
+      }
+      assert(interp == got.toSeq,
+        s"interpreted != codegen: $interp vs ${got.toSeq}")
+    }
     // and the kernels must sit inside WholeStageCodegen (non-literal
     // input so nothing constant-folds)
     val arrs = spark.range(8).select(
