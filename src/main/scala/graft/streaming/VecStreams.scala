@@ -53,16 +53,22 @@ object VecStreams {
       .filter(col("vec_id") % 50 =!= 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("dv"))
-      .crossJoin(broadcast(evalVecs))
-      .withColumn("cos", graft.catalog.Vectors.cosine(col("dv"), col("edv")))
+      // LEFT join on a constant key, not crossJoin: an EMPTY eval set
+      // must pass every vector through as "ingest", never swallow the
+      // stream (an inner cross join against zero rows emits nothing)
+      .withColumn("_k", lit(1))
+      .join(broadcast(evalVecs.withColumn("_k", lit(1))), Seq("_k"), "left")
+      .withColumn("cos",
+        when(col("eval_id").isNotNull,
+          graft.catalog.Vectors.cosine(col("dv"), col("edv"))))
       .groupBy(col("vec_id"))
       .agg(
         sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_near_eval"),
         min(when(col("cos") >= tau, col("eval_id"))).as("witness_raw"),
-        max(col("cos")).as("max_cos"))
+        max(col("cos")).as("max_cos_raw"))
       .select(col("vec_id"), col("n_near_eval"),
         coalesce(col("witness_raw"), lit(-1L)).as("witness_eval"),
-        col("max_cos"),
+        coalesce(col("max_cos_raw"), lit(-1.0)).as("max_cos"),
         when(col("n_near_eval") > 0, lit("quarantine"))
           .otherwise(lit("ingest")).as("verdict"))
 }

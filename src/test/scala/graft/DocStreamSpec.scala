@@ -223,4 +223,52 @@ class DocStreamSpec extends SparkSuite {
       s"only-stream=${quarantined -- e16Dropped} " +
         s"only-e16=${e16Dropped -- quarantined}")
   }
+
+  test("vector decontamination with an EMPTY eval set passes every " +
+      "vector through as ingest (never swallows the stream)") {
+    val emptyEval = VecStreams.evalVectors(spark, sf)
+      .filter(col("eval_id") < 0) // provably empty
+    val batchVecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = VecStreams.decontaminateIngest(batchVecs, emptyEval)
+      .collect()
+    val nTrain = batchVecs.filter(col("vec_id") % 50 =!= 0).count()
+    assert(got.length == nTrain && nTrain > 0,
+      "every training vector must surface even with no eval reference")
+    got.foreach { r =>
+      assert(r.getAs[String]("verdict") == "ingest"
+        && r.getAs[Long]("n_near_eval") == 0L
+        && r.getAs[Long]("witness_eval") == -1L
+        && r.getAs[Double]("max_cos") == -1.0, s"empty-eval row: $r")
+    }
+  }
+
+  test("ingest near-dedup index drops boilerplate mega-buckets (the " +
+      "d7/d44 guard) while genuine near-dups still match") {
+    val s2 = spark; import s2.implicits._
+    // history: 5,000 byte-identical boilerplate docs (every band a
+    // mega-bucket) + one distinct-vocabulary doc
+    val cloneText = (0 until 40).map(i => s"clone$i").mkString(" ")
+    val realText = (0 until 40).map(i => s"real$i").mkString(" ")
+    val histDocs = ((0L until 5000L).map(i => (i, cloneText))
+      :+ (90000L, realText)).toDF("doc_id", "text")
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft_near_guard").toString
+    histDocs.write.mode("overwrite").parquet(s"$histDir/documents.parquet")
+    val history = DocStreams.historySimhashBands(spark, histDir)
+    // the boilerplate bands must be GONE from the index
+    assert(history.filter(col("hist_id") < 5000L).count() == 0L,
+      "mega-bucket bands must be dropped at index build")
+    // incoming: one more clone (bands all dropped → no candidates →
+    // ingest: exact dedup owns byte-identical boilerplate) and one
+    // near-copy of the real doc (must still match at Hamming 0)
+    val incoming = Seq((100000L, cloneText), (100001L, realText))
+      .toDF("doc_id", "text")
+    val got = DocStreams.incrementalNearDedup(incoming, history)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(100000L)._3 == "ingest" && got(100000L)._2 == -1L,
+      s"clone must fall through to exact dedup, got ${got(100000L)}")
+    assert(got(100001L) == ((0L, 90000L, "skip_near_dup")),
+      s"real near-dup must still match, got ${got(100001L)}")
+  }
 }
