@@ -41,8 +41,14 @@ object Bench {
       // reintroduce the fixture-build timing artifact this pass removes
       require(SparkEntry.queries.contains(name),
         s"staging pre-pass references unknown query '$name'")
+      // a staging failure must be VISIBLE: silently swallowing it would
+      // revert pass 1 to cold-fixture timing — exactly the artifact this
+      // pre-pass exists to remove — and the regression would resurface
+      // only as mysterious cold/warm skew in `passes`
       try materialize(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] staging $name FAILED: $e")
+      }
     }
     spark.catalog.clearCache()
     var failed = Set.empty[String]

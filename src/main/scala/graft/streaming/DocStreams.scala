@@ -122,19 +122,6 @@ object DocStreams {
         .as("s"))
       .distinct()
 
-  /** d41's novelty signal at INGEST time — score each incoming doc
-    * BEFORE paying to store/train on it: novelty = fraction of its
-    * distinct 3-shingles absent from the durable historical shingle
-    * table. Stream-static left join on the shingle key + one per-doc
-    * aggregate (streaming-legal in update/complete; DocStreamSpec runs
-    * the identical code on batch frames for exact parity and pins both
-    * verdict extremes). Unlike batch d41 (global first-occurrence
-    * attribution), the incremental form is causal: a doc is judged
-    * only against what the pipeline had ALREADY accepted — the
-    * diminishing-returns gate applied where the decision is actually
-    * made. The history lives in a table, not a state store, so a
-    * restart resumes from source offsets alone (the incrementalDedup
-    * discipline). */
   /** the historical simhash band index — d44's pigeonhole decomposition
     * (4 exact-match 16-bit bands over the compiled Md5SimHashWords
     * signature) of every accepted doc, carrying its (hi, lo) words so a
@@ -165,31 +152,74 @@ object DocStreams {
   /** d44's NEAR-dup dedup at INGEST time — the causal streaming twin of
     * the batch pair-mining query: each incoming doc is simhash-signed
     * (compiled kernel), its 4 pigeonhole bands probe the durable
-    * historical band index (stream-static equi-join — by the Hamming≤3
-    * guarantee every qualifying historical partner IS found), candidates
-    * verify with two XOR+popcounts, and the doc's verdict is decided by
-    * its BEST historical match: skip_near_dup iff min Hamming ≤ 3.
-    * Stateless per batch (update/complete mode for the per-doc min);
-    * DocStreamSpec runs the identical code on batch frames for exact
-    * parity and cross-checks the verdicts against d44's pair output. */
-  def incrementalNearDedup(incoming: DataFrame, history: DataFrame): DataFrame =
-    graft.catalog.Approx.simhashBands(
-      graft.catalog.Approx.simhashSig(
-        incoming.select(col("doc_id"), col("text")), barrier = false))
-      .join(history, Seq("band", "key"), "left")
-      .withColumn("hamming", when(col("hist_id").isNull, lit(64L))
-        .otherwise((bit_count(col("hi").bitwiseXOR(col("hist_hi")))
-          + bit_count(col("lo").bitwiseXOR(col("hist_lo")))).cast("long")))
-      .groupBy(col("doc_id"))
-      .agg(min(struct(col("hamming"),
-        coalesce(col("hist_id"), lit(-1L)).as("hist_id"))).as("best"))
+    * historical band index (by the Hamming≤3 guarantee every qualifying
+    * historical partner IS found), candidates verify with XOR+popcount,
+    * and the doc's verdict is decided by its BEST historical match:
+    * skip_near_dup iff min Hamming ≤ 3.
+    *
+    * TRULY stateless: the static index is pre-grouped to ONE row per
+    * (band, key) carrying its candidates as an array (bounded by the
+    * index build's MaxLshBucket cap, so ≤ 4·65536 rows of ≤ 256 entries
+    * regardless of corpus size), each band probe is a 1:1 stream-static
+    * equi-join, and the per-doc min is a row-local array fold — NO
+    * streaming aggregation, no state store, append-mode output; a
+    * restart genuinely resumes from source offsets alone. `hamming` /
+    * `near_hist_id` are -1 when NO band collided at all (distinct from
+    * every legal distance 0–64, so audit consumers can tell "no
+    * candidate" from "candidate at distance 64"). DocStreamSpec runs the
+    * identical code on batch frames for exact parity and cross-checks
+    * the verdicts against d44's pair output. */
+  def incrementalNearDedup(incoming: DataFrame, history: DataFrame): DataFrame = {
+    val grouped = history.groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("hist_id"), col("hist_hi"),
+        col("hist_lo"))).as("cands"))
+    val sig = graft.catalog.Approx.simhashSig(
+      incoming.select(col("doc_id"), col("text")), barrier = false)
+    // the 4 pigeonhole band keys as COLUMNS (same order as
+    // Approx.simhashBands' posexplode), so no incoming row ever fans out
+    val keyed = sig
+      .withColumn("k0", col("lo").bitwiseAND(lit(65535L)))
+      .withColumn("k1", shiftright(col("lo"), 16).bitwiseAND(lit(65535L)))
+      .withColumn("k2", col("hi").bitwiseAND(lit(65535L)))
+      .withColumn("k3", shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))
+    val probed = (0 until 4).foldLeft(keyed) { (df, b) =>
+      df.join(grouped.filter(col("band") === b)
+        .select(col("key").as(s"k$b"), col("cands").as(s"c$b")),
+        Seq(s"k$b"), "left")
+    }
+    probed
+      .withColumn("allc", flatten(filter(
+        array(col("c0"), col("c1"), col("c2"), col("c3")), _.isNotNull)))
+      .withColumn("best", array_min(transform(col("allc"), c =>
+        struct((bit_count(col("hi").bitwiseXOR(c.getField("hist_hi")))
+            + bit_count(col("lo").bitwiseXOR(c.getField("hist_lo"))))
+          .cast("long").as("hamming"),
+          c.getField("hist_id").as("hist_id")))))
       .select(col("doc_id"),
-        col("best.hamming").as("hamming"),
+        coalesce(col("best.hamming"), lit(-1L)).as("hamming"),
         when(col("best.hamming") <= 3, col("best.hist_id"))
           .otherwise(lit(-1L)).as("near_hist_id"),
         when(col("best.hamming") <= 3, lit("skip_near_dup"))
           .otherwise(lit("ingest")).as("verdict"))
+  }
 
+  /** d41's novelty signal at INGEST time — score each incoming doc
+    * BEFORE paying to store/train on it: novelty = fraction of its
+    * distinct 3-shingles absent from the durable historical shingle
+    * table. Stream-static left join on the shingle key + one per-doc
+    * aggregate. Unlike batch d41 (global first-occurrence attribution),
+    * the incremental form is causal: a doc is judged only against what
+    * the pipeline had ALREADY accepted. The HISTORY lives in a table
+    * (the incrementalDedup discipline), but — unlike incrementalDedup /
+    * incrementalNearDedup — the final per-doc groupBy here IS a
+    * stateful streaming aggregation (update/complete mode): the state
+    * store accumulates one entry per doc_id with no watermark (the
+    * corpus has no event-time column to bound it), so a long-running
+    * deployment must either run this inside foreachBatch (each doc's
+    * shingle rows arrive in one micro-batch, so a per-batch aggregate
+    * is exact) or accept the documented unbounded keyed-state growth.
+    * DocStreamSpec runs the identical code on batch frames for exact
+    * parity and pins both verdict extremes. */
   def incrementalNovelty(incoming: DataFrame, history: DataFrame): DataFrame =
     incoming
       .select(col("doc_id"), toks(col("text")).as("tok"))

@@ -381,11 +381,11 @@ object EventStreams {
     * restarts only need source offsets.
     */
   def foreachBatchUpsert(spark: SparkSession, events: DataFrame,
-      tableRoot: String, checkpoint: String)
+      tableRoot: String, checkpoint: String, retainVersions: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        upsertBatch(spark, batch, tableRoot, id, checkpoint)
+        upsertBatch(spark, batch, tableRoot, id, checkpoint, retainVersions)
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -406,7 +406,7 @@ object EventStreams {
     * checkpoint was tampered with. */
   private[graft] def upsertBatch(spark: SparkSession,
       batch: Dataset[org.apache.spark.sql.Row], tableRoot: String,
-      id: Long, checkpointId: String): Unit = {
+      id: Long, checkpointId: String, retainVersions: Int = 2): Unit = {
     val committed = readCommitted(tableRoot)
     committed match {
       case Some((cid, Some(ck))) =>
@@ -463,12 +463,15 @@ object EventStreams {
     writeCommitted(tableRoot, id, checkpointId)
     // GC: once the marker names id, replays of id skip at the marker
     // and a marker-lost crash replay re-reads only the immediate
-    // predecessor — versions older than that are unreachable. Keeping
-    // (id, predecessor) bounds the directory at two live versions
-    // instead of one-per-batch forever.
-    committed.foreach { case (prev, _) =>
-      gcVersions(tableRoot, keep = Set(id, prev))
-    }
+    // predecessor — versions older than that are unreachable UNDER THE
+    // SINGLE-WRITER ASSUMPTION (one checkpoint owns the table; only the
+    // latest committed batch ever replays). The default retention of 2
+    // (committed + predecessor) covers exactly that one-version
+    // rollback; an operator who restores markers from backup, or has
+    // external readers pinning superseded versions, must raise
+    // `retainVersions` — deletes here are NOT coordinated with
+    // concurrent readers of old versions.
+    if (committed.nonEmpty) gcVersions(tableRoot, retainNewest = retainVersions)
   }
 
   /** Current view of the upsert table: the version the marker names, or
@@ -507,9 +510,23 @@ object EventStreams {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** delete every v_<n> directory whose version is not in `keep`. */
-  private def gcVersions(tableRoot: String, keep: Set[Long]): Unit = {
+  /** delete every v_<n> directory except the `retainNewest` highest
+    * versions (the committed version is always the highest present). */
+  private def gcVersions(tableRoot: String, retainNewest: Int): Unit = {
     val root = java.nio.file.Paths.get(tableRoot)
+    val all = {
+      val l = java.nio.file.Files.list(root)
+      try {
+        val b = Seq.newBuilder[Long]
+        l.iterator().forEachRemaining { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("v_") && name.drop(2).forall(_.isDigit))
+            b += name.drop(2).toLong
+        }
+        b.result()
+      } finally l.close()
+    }
+    val keep = all.sorted(Ordering[Long].reverse).take(retainNewest).toSet
     val listing = java.nio.file.Files.list(root)
     try {
       listing.iterator().forEachRemaining { p =>

@@ -37,38 +37,47 @@ object VecStreams {
         transform(col("embedding"), x => x.cast("double")).as("edv"))
 
   /** e16 at INGEST time — the causal form of semantic decontamination:
-    * each incoming vector is scored against the FULL broadcast eval set
-    * with exact cosine (no index: the eval side is small enough that
+    * each incoming vector is scored against the FULL eval set with
+    * exact cosine (no index: the eval side is small enough that
     * brute-force beats any ANN structure, and exactness means zero
     * missed contamination by construction — stronger than e16's
-    * multi-probe recall), then one per-vector aggregate decides the
-    * verdict and keeps the audit columns (neighbor count, witness eval
-    * id, max cosine). Stream-static broadcast join + update-mode
-    * aggregate; no state store — restarts resume from source offsets.
-    * The eval split itself passes through unjudged (it is not training
-    * data; e16 excludes it from the audit the same way). */
+    * multi-probe recall), and the verdict plus audit columns (neighbor
+    * count, witness eval id, max cosine) fall out of a row-local fold.
+    *
+    * TRULY stateless: the eval set is collapsed batch-side into ONE row
+    * holding all (eval_id, vector) pairs as an array, the stream-static
+    * join against it is therefore 1:1 (broadcast, one copy per
+    * executor), and the per-vector scoring is a higher-order-function
+    * fold over that array — NO streaming aggregation, no state store,
+    * append-mode output; restarts resume from source offsets alone. A
+    * global collect_list always yields exactly one row, so an EMPTY
+    * eval set still matches the left join and every vector passes
+    * through as "ingest" (never swallows the stream). The eval split
+    * itself passes through unjudged (it is not training data; e16
+    * excludes it from the audit the same way). */
   def decontaminateIngest(incoming: DataFrame, evalVecs: DataFrame,
-      tau: Double = 0.4): DataFrame =
+      tau: Double = 0.4): DataFrame = {
+    val evalRow = evalVecs
+      .agg(collect_list(struct(col("eval_id"), col("edv"))).as("evs"))
+      .withColumn("_k", lit(1))
     incoming
       .filter(col("vec_id") % 50 =!= 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("dv"))
-      // LEFT join on a constant key, not crossJoin: an EMPTY eval set
-      // must pass every vector through as "ingest", never swallow the
-      // stream (an inner cross join against zero rows emits nothing)
       .withColumn("_k", lit(1))
-      .join(broadcast(evalVecs.withColumn("_k", lit(1))), Seq("_k"), "left")
-      .withColumn("cos",
-        when(col("eval_id").isNotNull,
-          graft.catalog.Vectors.cosine(col("dv"), col("edv"))))
-      .groupBy(col("vec_id"))
-      .agg(
-        sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_near_eval"),
-        min(when(col("cos") >= tau, col("eval_id"))).as("witness_raw"),
-        max(col("cos")).as("max_cos_raw"))
-      .select(col("vec_id"), col("n_near_eval"),
-        coalesce(col("witness_raw"), lit(-1L)).as("witness_eval"),
-        coalesce(col("max_cos_raw"), lit(-1.0)).as("max_cos"),
-        when(col("n_near_eval") > 0, lit("quarantine"))
+      .join(broadcast(evalRow), Seq("_k"), "left")
+      .withColumn("scored", transform(col("evs"), e =>
+        struct(graft.catalog.Vectors.cosine(col("dv"), e.getField("edv"))
+          .as("cos"), e.getField("eval_id").as("eval_id"))))
+      .withColumn("hits",
+        filter(col("scored"), s => s.getField("cos") >= tau))
+      .select(col("vec_id"),
+        size(col("hits")).cast("long").as("n_near_eval"),
+        coalesce(array_min(transform(col("hits"),
+          s => s.getField("eval_id"))), lit(-1L)).as("witness_eval"),
+        coalesce(array_max(transform(col("scored"),
+          s => s.getField("cos"))), lit(-1.0)).as("max_cos"),
+        when(size(col("hits")) > 0, lit("quarantine"))
           .otherwise(lit("ingest")).as("verdict"))
+  }
 }

@@ -140,8 +140,9 @@ class DocStreamSpec extends SparkSuite {
       .filter(col("hist_id") % 2 === 0)
     val stream = DocStreams.incrementalNearDedup(
       DocStreams.readStream(spark, sf), history)
-    val got = EventStreams.runToMemory(spark, stream, "doc_near",
-      OutputMode.Complete)
+    // append mode: the stateless rewrite has no streaming aggregation,
+    // so each doc emits exactly one verdict row as it arrives
+    val got = EventStreams.runToMemory(spark, stream, "doc_near")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     val batch = DocStreams.incrementalNearDedup(batchDocs, history)
@@ -195,8 +196,9 @@ class DocStreamSpec extends SparkSuite {
       VecStreams.readStream(spark, sf), evalVecs)
     def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
       ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
-    val got = EventStreams.runToMemory(spark, stream, "vec_decon",
-      OutputMode.Complete).collect().map(key(_)).toMap
+    // append mode: stateless (1-row broadcast eval join + row-local fold)
+    val got = EventStreams.runToMemory(spark, stream, "vec_decon")
+      .collect().map(key(_)).toMap
     val batch = VecStreams.decontaminateIngest(
       spark.read.parquet(s"$sf/embeddings.parquet"), evalVecs)
       .collect().map(key(_)).toMap
