@@ -1262,7 +1262,6 @@ object Extended {
     QueryDef(
       "q78_winsorize",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         // Winsorized (outlier-clipped) aggregation: per group, clamp
         // every price into [p10, p90] before averaging — the robust-mean
         // move for corpora with fat tails. Percentiles are DISCRETE
@@ -1272,22 +1271,27 @@ object Extended {
         // order-independent. Rank indices use pure integer arithmetic
         // ((n+9) div 10, (9n+9) div 10) so both engines pick the
         // identical element — no double rounding at the boundary.
-        // Scale shape: one per-group sort window for the rank pick
-        // (group count is bounded: 3 returnflags), a 3-row broadcast of
-        // the cuts, then a plain partial-final aggregate over the
-        // clamped column.
+        // Scale shape: the rank pick is DISTRIBUTED (RankSelect: value
+        // histogram → range partitions → prefix offsets → bounded
+        // per-chunk windows) — the group cardinality is 3, so a
+        // per-group sort window would put a third of the corpus through
+        // one task; then a 3-row broadcast of the cuts and a plain
+        // partial-final aggregate over the clamped column.
         val pr = t(s, dir, "lineitem")
           .select(col("l_returnflag").as("rf"),
             d2(col("l_extendedprice")).as("p"))
         val sz = pr.groupBy("rf").agg(count(lit(1)).as("n"))
-        val wRk = Window.partitionBy(col("rf")).orderBy(col("p"))
-        val cuts = pr
-          .withColumn("rn", row_number().over(wRk))
-          .join(broadcast(sz), "rf")
+        val targets = sz
+          .select(col("rf"), expr("(n + 9) div 10").as("k"),
+            lit("lo").as("which"))
+          .union(sz.select(col("rf"), expr("(9 * n + 9) div 10").as("k"),
+            lit("hi").as("which")))
+        val cuts = graft.operators.RankSelect
+          .valueAtRanks(pr, "rf", "p", targets)
           .groupBy("rf")
           .agg(
-            max(when(col("rn") === expr("(n + 9) div 10"), col("p"))).as("lo"),
-            max(when(col("rn") === expr("(9 * n + 9) div 10"), col("p"))).as("hi"))
+            max(when(col("which") === "lo", col("p"))).as("lo"),
+            max(when(col("which") === "hi", col("p"))).as("hi"))
         pr.join(broadcast(cuts), "rf")
           .withColumn("w", greatest(col("lo"), least(col("hi"), col("p"))))
           .groupBy("rf")
@@ -1543,34 +1547,61 @@ object Extended {
     QueryDef(
       "q88_ntile_nth",
       (s, dir) => {
-        // The last unexercised window functions: ntile (equi-count
-        // bucketing — SQL defines the first buckets take the extra
-        // rows, so bucket membership is deterministic given a TOTAL
-        // order) and first_value / nth_value over the full-partition
-        // frame (constant per partition — also total-order-dependent,
-        // which is why the order carries the orderkey/linenumber
-        // tie-break). Aggregated per (flag, quartile) so the output is
-        // 12 rows of boundary-sensitive numbers: any engine
-        // disagreement about which row sits in which quartile moves a
-        // min/max and diverges the hash.
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("rf"))
-          .orderBy(col("p"), col("ok"), col("ln"))
-        val wf = w.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)
-        t(s, dir, "lineitem")
+        // ntile/first_value/nth_value semantics — but DISTRIBUTED. The
+        // naive form windows over PARTITION BY rf (3 partitions → a
+        // third of the corpus through one task's sort at scale). The
+        // aggregated output only ever reads p AT SPECIFIC GLOBAL RANKS:
+        // SQL's ntile gives bucket i of n rows the exact rank interval
+        //   [(i-1)·(n div 4) + least(i-1, n mod 4) + 1,
+        //        i·(n div 4) + least(i,   n mod 4)]
+        // (first buckets take the extras), so per-quartile count is
+        // pure integer arithmetic, per-quartile min/max p are the
+        // boundary-rank values (the order is p-first, so ok/ln
+        // tie-breaks never change WHICH VALUE sits at a rank), and
+        // first_value/nth_value(3) are ranks 1 and 3. All ten ranks per
+        // group come from one RankSelect pass (value histogram → range
+        // partitions → prefix offsets → bounded per-chunk windows).
+        // Boundary sensitivity is preserved: any disagreement about
+        // which value sits at a quartile boundary still moves lo/hi
+        // and diverges the hash.
+        val pr = t(s, dir, "lineitem")
           .select(col("l_returnflag").as("rf"),
-            d2(col("l_extendedprice")).as("p"),
-            col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-          .withColumn("quartile", ntile(4).over(w).cast("long"))
-          .withColumn("first_p", first(col("p")).over(wf))
-          .withColumn("third_p", nth_value(col("p"), 3).over(wf))
-          .groupBy(col("rf"), col("quartile"))
-          .agg(count(lit(1)).as("n"),
-            min(col("p")).cast("double").as("lo"),
-            max(col("p")).cast("double").as("hi"),
-            max(col("first_p")).cast("double").as("first_p"),
-            max(col("third_p")).cast("double").as("third_p"))
+            d2(col("l_extendedprice")).as("p"))
+        val sz = pr.groupBy("rf").agg(count(lit(1)).as("n"))
+        val quartTargets = sz.select(col("rf"), col("n"),
+            explode(expr("""flatten(transform(sequence(1, 4), i -> array(
+              named_struct('q', i, 'w', 'lo',
+                'k', CAST((i-1) * (n div 4) + least(i-1, n % 4) + 1 AS BIGINT)),
+              named_struct('q', i, 'w', 'hi',
+                'k', CAST(i * (n div 4) + least(i, n % 4) AS BIGINT)))))"""))
+              .as("t"))
+          .select(col("rf"), col("t.q").as("quartile"),
+            col("t.w").as("which"), col("t.k").as("k"))
+        val frameTargets = sz
+          .select(col("rf"), lit(0).as("quartile"),
+            lit("first").as("which"), lit(1L).as("k"))
+          .union(sz.select(col("rf"), lit(0).as("quartile"),
+            lit("third").as("which"), lit(3L).as("k")))
+        val picked = graft.operators.RankSelect
+          .valueAtRanks(pr, "rf", "p", quartTargets.union(frameTargets))
+        val byQ = picked.filter(col("quartile") >= 1)
+          .groupBy(col("rf"), col("quartile").cast("long").as("quartile"))
+          .agg(
+            (max(when(col("which") === "hi", col("k")))
+              - max(when(col("which") === "lo", col("k"))) + 1L).as("n"),
+            max(when(col("which") === "lo", col("p")))
+              .cast("double").as("lo"),
+            max(when(col("which") === "hi", col("p")))
+              .cast("double").as("hi"))
+        val frames = picked.filter(col("quartile") === 0)
+          .groupBy("rf")
+          .agg(max(when(col("which") === "first", col("p")))
+              .cast("double").as("first_p"),
+            max(when(col("which") === "third", col("p")))
+              .cast("double").as("third_p"))
+        byQ.join(broadcast(frames), "rf")
+          .select(col("rf"), col("quartile"), col("n"), col("lo"),
+            col("hi"), col("first_p"), col("third_p"))
           .orderBy("rf", "quartile")
       },
       Some("""WITH pr AS (

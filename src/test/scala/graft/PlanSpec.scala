@@ -555,6 +555,28 @@ class PlanSpec extends SparkSuite {
       s"3-row cuts must broadcast, not shuffle, onto the corpus:\n$p")
   }
 
+  test("q78/q88: rank picks are distributed (RankSelect) — every Window " +
+      "sorts within a (range-chunk, group) slice, never a whole " +
+      "3-value group through one task") {
+    for (q <- Seq("q78_winsorize", "q88_ntile_nth")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q must not funnel any stage through one task:\n$p")
+      // every Window node must key its partition spec on the range-chunk
+      // pid, not on the group column alone — a [rf]-only partitionSpec
+      // is the 3-task full-group sort this rewrite removed
+      val windows = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.nonEmpty, s"$q: expected a Window node in:\n$p")
+      windows.foreach { l =>
+        assert(l.contains("_pid"),
+          s"$q: window must partition by (_pid, grp), got: $l")
+      }
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: offsets/targets must attach by broadcast:\n$p")
+    }
+  }
+
   test("e11: the 512-row centroid table joins by broadcast each " +
       "iteration — the corpus never self-joins during training") {
     val p = plan("e11_kmeans_train")
