@@ -29,10 +29,24 @@ object ConnectedComponents {
     * @return columns `node`, `cluster` (= min node id reachable)
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    // symmetrized edge set, materialized ONCE: every round joins against
+    // it, and an un-materialized pair-mining plan upstream (an all-pairs
+    // jaccard verify, an LSH bucket join) would otherwise re-execute in
+    // full on every iteration — measured as the dominant cost of d11
+    // before this checkpoint
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = nodes.select(col("node")).distinct()
-      .withColumn("cluster", col("node"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    // iterate ONLY over edge-endpoint nodes: a node with no edges is its
+    // own cluster and needs no propagation, so the singleton majority of
+    // a corpus (at 100 TB the pair graph is a vanishing fraction of the
+    // nodes) never enters a round's shuffles — it joins back once at the
+    // end. Round 0 is FUSED: labels start as identity, so the first
+    // neighbor-min propagation is a plain groupBy with no label join.
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("_nbr"))
+      .select(col("node"), least(col("node"), col("_nbr")).as("cluster"))
       .localCheckpoint()
     var it = 0
     var done = false
@@ -69,7 +83,10 @@ object ConnectedComponents {
       it += 1
     }
     require(done, s"connected components did not converge in $maxIter iterations")
-    labels
+    // singletons re-enter here, once — never per round
+    nodes.select(col("node")).distinct()
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et

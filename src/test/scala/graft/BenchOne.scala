@@ -8,6 +8,10 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional runtime confs, e.g. SPARK_GRAFT_CONF=spark.graft.cc.algorithm=stars
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     // warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     args(0).split(",").foreach { name =>
