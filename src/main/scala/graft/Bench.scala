@@ -35,7 +35,7 @@ object Bench {
     // q16 9.9→4.4 s and e8 8.9→1.6 s dominated by exactly this).
     val stagingQueries = Seq("q16_json", "q61_json_source",
       "d32_setsim_join", "e11_kmeans_train", "e8_embed_dedup_ivf",
-      "q65_compaction")
+      "q65_compaction", "e17_pq_trained")
     stagingQueries.foreach { name =>
       // fail fast on a stale name: a silent skip would quietly
       // reintroduce the fixture-build timing artifact this pass removes

@@ -405,6 +405,120 @@ object Approx {
         $steps"""
   }
 
+  /** e17's trained-PQ codebooks, memoized per (session, dir) like
+    * lloydTrain (training is bit-deterministic, so memoization is
+    * invisible to results). Per-subspace integer fixed-point Lloyd:
+    * M = 8 subspaces of Sub = 8 dims, K = 8 codewords, 2 iterations;
+    * the subspace id m rides as a key, so ALL subspaces train in one
+    * grouped recurrence. Returns (q0 flattened corpus with (m, j)
+    * subspace coordinates, final codebook (m, cell, j, c), final codes
+    * (vec_id, m, cell)). */
+  private val pqTrained = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (DataFrame, DataFrame, DataFrame)]]())
+
+  private def pqLloydTrain(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val perDir = pqTrained.synchronized {
+      var m = pqTrained.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; pqTrained.put(s, m) }
+      m
+    }
+    perDir.synchronized {
+      perDir.getOrElseUpdate(dir, pqLloydTrainUncached(s, dir))
+    }
+  }
+
+  private def pqLloydTrainUncached(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import Tables.t
+    val K = 8
+    val iters = 2
+    val q0 = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"),
+        expr("CAST(pos div 8 AS BIGINT)").as("m"),
+        expr("CAST(pos % 8 + 1 AS BIGINT)").as("j"),
+        floor(col("col").cast("double") * 1000000L).as("q"))
+      .localCheckpoint() // read twice per iteration + at serving
+    // init: codeword k of every subspace = vector k's subvector (the c0
+    // seeding rule e11 uses, applied per subspace)
+    var cent = q0.filter(col("vec_id") < K)
+      .select(col("m"), col("vec_id").as("cell"), col("j"), col("q").as("c"))
+      .localCheckpoint()
+    var codes: DataFrame = null
+    for (_ <- 1 to iters) {
+      val dists = q0.join(broadcast(cent), Seq("m", "j"))
+        .groupBy(col("vec_id"), col("m"), col("cell"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      codes = dists.groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist"), col("cell"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best").getField("cell").as("cell"))
+      val upd = codes.join(q0, Seq("vec_id", "m"))
+        .groupBy(col("m"), col("cell"), col("j"))
+        .agg(expr("sum(q) div count(1)").as("cn"))
+      cent = cent.join(upd, Seq("m", "cell", "j"), "left")
+        .select(col("m"), col("cell"), col("j"),
+          coalesce(col("cn"), col("c")).as("c"))
+        .localCheckpoint()
+    }
+    (q0, cent, codes.localCheckpoint())
+  }
+
+  /** e17's oracle: the per-subspace training recurrence unrolled (the
+    * kmeansCtes discipline with subspace id m as an extra key), then the
+    * ADC + exact re-rank serving stages — all BIGINT. */
+  private def e17OracleSql: String = {
+    val steps = (1 to 2).map { k =>
+      s"""pd$k AS (SELECT f.vec_id, f.m, c.cell,
+            SUM((f.q - c.c) * (f.q - c.c)) AS dist
+          FROM pq0 f JOIN pc${k - 1} c USING (m, j) GROUP BY 1, 2, 3),
+        pa$k AS (SELECT vec_id, m, cell FROM pd$k
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+            ORDER BY dist, cell) = 1),
+        pc$k AS (SELECT pc${k - 1}.m, pc${k - 1}.cell, pc${k - 1}.j,
+            COALESCE(n.cn, pc${k - 1}.c) AS c
+          FROM pc${k - 1} LEFT JOIN (
+            SELECT a.m, a.cell, f.j, SUM(f.q) // COUNT(*) AS cn
+            FROM pa$k a JOIN pq0 f USING (vec_id, m) GROUP BY 1, 2, 3) n
+          USING (m, cell, j))"""
+    }.mkString(",\n        ")
+    s"""WITH pq0 AS (
+          SELECT vec_id,
+            CAST((i - 1) // 8 AS BIGINT) AS m,
+            CAST((i - 1) % 8 + 1 AS BIGINT) AS j,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+              AS q
+          FROM embeddings, range(1, 65) t(i)),
+        pc0 AS (SELECT m, vec_id AS cell, j, q AS c FROM pq0
+          WHERE vec_id < 8),
+        $steps,
+        cc AS (SELECT cd.vec_id AS c_id, cd.m, c.j, c.c
+          FROM pa2 cd JOIN pc2 c USING (m, cell)),
+        qq AS (SELECT vec_id AS q_id, m, j, q FROM pq0 WHERE vec_id < 8),
+        adc AS (SELECT qq.q_id, cc.c_id,
+            SUM((qq.q - cc.c) * (qq.q - cc.c)) AS adc
+          FROM cc JOIN qq USING (m, j)
+          WHERE qq.q_id <> cc.c_id
+          GROUP BY 1, 2),
+        short AS (SELECT q_id, c_id FROM adc
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adc, c_id) <= 50),
+        qa AS (SELECT vec_id, list(q ORDER BY m, j) AS qv FROM pq0
+          GROUP BY vec_id),
+        rr AS (SELECT s.q_id, s.c_id,
+            list_reduce(list_transform(range(1, 65),
+              i -> (x.qv[i] - y.qv[i]) * (x.qv[i] - y.qv[i])),
+              (a, b) -> a + b) AS dist
+          FROM short s
+          JOIN qa x ON x.vec_id = s.q_id
+          JOIN qa y ON y.vec_id = s.c_id)
+        SELECT q_id, c_id, rk, dist FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY dist, c_id) AS BIGINT) AS rk FROM rr)
+        WHERE rk <= 3 ORDER BY q_id, rk"""
+  }
+
   private def e3OracleSql: String = {
     val dims = 64
     def centroid(c: Int): Seq[Double] =
@@ -1889,6 +2003,61 @@ object Approx {
         WHERE rk <= 3 ORDER BY q_id, rk"""),
       "IVF serving through the TRAINED codebook (e11's c3): assignment " +
         "+ top-2-cell probes + exact integer-L2 re-rank, all BIGINT — " +
-        "the full train-to-serve ANN path under one exact oracle")
+        "the full train-to-serve ANN path under one exact oracle"),
+
+    QueryDef(
+      "e17_pq_trained",
+      (s, dir) => {
+        // TRAINED product quantization — closes the last "given" in the
+        // vector tier: e6/e7's codebooks are derived literals; here the
+        // per-subspace codebooks are LEARNED from the corpus with the
+        // e11 discipline (integer fixed-point Lloyd, bit-reproducible at
+        // any parallelism), then served through e7's ADC shape. All M
+        // subspaces train in ONE grouped recurrence — the subspace id m
+        // is just another key on the flattened (vec, m, j, q) frame, so
+        // per iteration it is still one broadcast centroid join (M*K*Sub
+        // = 512 rows) + two bounded aggregates, never M separate jobs.
+        // Serving: ADC = Σ_m ||q_sub(m) − cb[m][code_m]||² in pure
+        // BIGINT over the (candidate, m, j) code join, top-50 shortlist,
+        // exact integer-L2 re-rank — identical arithmetic both engines,
+        // so the ENTIRE train→encode→serve pipeline carries one exact
+        // SQL oracle (the unrolled recurrence); CatalogSpec pins recall
+        // vs exact integer L2 top-3.
+        val (q0, cent, codes) = pqLloydTrain(s, dir)
+        // trained codewords attached to each corpus code: (c_id, m, j, c)
+        val cc = codes.join(broadcast(cent), Seq("m", "cell"))
+          .select(col("vec_id").as("c_id"), col("m"), col("j"), col("c"))
+        val qq = q0.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("m"), col("j"), col("q"))
+        val adc = cc.join(broadcast(qq), Seq("m", "j"))
+          .filter(col("q_id") =!= col("c_id"))
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("adc"))
+        val wS = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").asc, col("c_id").asc)
+        val short = adc.withColumn("srk", row_number().over(wS))
+          .filter(col("srk") <= 50).select("q_id", "c_id")
+        val qa = t(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000L)).as("qv"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("dist").asc, col("c_id").asc)
+        short
+          .join(qa.select(col("vec_id").as("q_id"), col("qv").as("qva")), "q_id")
+          .join(qa.select(col("vec_id").as("c_id"), col("qv").as("qvb")), "c_id")
+          .withColumn("dist", aggregate(
+            zip_with(col("qva"), col("qvb"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("q_id", "c_id", "rk", "dist")
+          .orderBy("q_id", "rk")
+      },
+      Some(e17OracleSql),
+      "TRAINED product quantization: per-subspace integer fixed-point " +
+        "Lloyd (M=8 x K=8, one grouped recurrence for all subspaces), " +
+        "ADC shortlist over the learned codes, exact integer-L2 " +
+        "re-rank — train-to-serve PQ under one exact unrolled-recurrence " +
+        "oracle, recall floor pinned in CatalogSpec")
   )
 }
