@@ -72,8 +72,19 @@ object Bench {
         spark.catalog.clearCache()
         name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
+    // record the machine's load state around the timed passes: the
+    // r5→r6 artifact comparison showed a uniform ~17% drift on unchanged
+    // queries between two runs of IDENTICAL code (driver run 155.35 s vs
+    // builder run 136.0 s) — a co-tenancy signature, not a plan
+    // regression. Without a load record in the artifact that distinction
+    // is unrecoverable after the fact.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadAvg
     val p1 = timedPass()
     val p2 = timedPass()
+    val loadAfter = loadAvg
     val results = p1.map { case (k, (t1v, ok1)) =>
       val (t2v, ok2) = p2(k)
       k -> ((ok1, ok2) match {
@@ -93,8 +104,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val env = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      s"""{"cpus":${os.getAvailableProcessors},"load_before":$loadBefore,""" +
+        s""""load_after":$loadAfter,"epoch_ms":${System.currentTimeMillis()}}"""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failedJson,"sf":"$sfDir","env":$env}"""
     // The driver captures only a TAIL of stdout: with 75+ queries the
     // single JSON line grows past the capture window and the leading
     // "value" is lost (round-3 BENCH artifact had parsed:null). Persist
