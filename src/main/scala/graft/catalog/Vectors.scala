@@ -238,11 +238,16 @@ object Vectors {
         // deterministic. Candidate generation here is the e1 broadcast
         // brute-force (exactness baseline; e3's IVF is the 100 TB
         // candidate path — the vote stage is identical on top of
-        // either). The vote itself is a bounded groupBy: ≤ k rows per
-        // query ever exist after the rank filter.
+        // either). The query side is a CONSTANT eval batch (the e1
+        // discipline: vec_id < 500) — the round-7 sf0.5 bench caught
+        // the previous %-of-corpus query set turning the broadcast
+        // brute-force into O(N²/25) (89× time at 12.5× vectors);
+        // a fixed batch keeps it O(|batch|·N), linear in the corpus.
+        // The vote itself is a bounded groupBy: ≤ k rows per query
+        // ever exist after the rank filter.
         import org.apache.spark.sql.expressions.Window
         val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") % 25 === 0)
+        val q = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
           .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("qv"))
         val c = emb.select(col("vec_id").as("c_id"),
           dvec(col("embedding")).as("cv"), col("label").as("c_label"))
@@ -273,7 +278,7 @@ object Vectors {
              * sqrt(list_reduce(list_transform(c.e, x -> x * x), (a, b) -> a + b)))
               AS cos
           FROM v q JOIN v c ON q.vec_id <> c.vec_id
-          WHERE q.vec_id % 25 = 0),
+          WHERE q.vec_id % 25 = 0 AND q.vec_id < 500),
         knn AS (
           SELECT q_id, c_label FROM (
             SELECT q_id, c_label,
