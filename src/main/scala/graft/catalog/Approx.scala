@@ -773,46 +773,36 @@ object Approx {
       FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
   }
 
-  /** the full codebook as one literal column: [M][K][PqSub] doubles */
-  private def pqCodebookLit: Column =
-    array((0 until PqM).map(m => array((0 until PqK).map(k =>
-      array(pqCodeword(m, k).map(lit): _*)): _*)): _*)
-
-  /** ||dv_sub(m) − cb[m][k]||² with the canonical sequential fold —
-    * m and k are lambda-bound columns, so the whole M×K distance grid
-    * is ONE nested-HOF tree instead of M·K column-level trees (16×
-    * smaller plan, bit-identical values; analysis time was most of the
-    * e6/e7 bench cost) */
-  private def pqDist(vec: Column, m: Column, k: Column): Column =
-    aggregate(
-      zip_with(
-        slice(vec, m * lit(PqSub) + lit(1), lit(PqSub)),
-        element_at(element_at(pqCodebookLit, m + lit(1)), k + lit(1)),
-        (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)
+  /** the codebook flattened [m*K*Sub + k*Sub + j] for the compiled
+    * kernels (a reference object in the generated class, not a literal
+    * in the plan) */
+  private[graft] lazy val pqFlatCodebook: Array[Double] =
+    (0 until PqM).flatMap(m => (0 until PqK)
+      .flatMap(k => pqCodeword(m, k))).toArray
 
   /** shared PQ corpus encode: vec_id, dv, code1..codeM, sse — e6 emits
-    * it, e7 serves from it. Deliberately NOT memoized across calls:
-    * the .cache() below is a semantic BARRIER against CollapseProject
-    * inlining the dv cast into all 256 codeword lambdas, and a memoized
-    * DataFrame keeps its dead plan after spark.catalog.clearCache()
-    * (bench clears between queries) — the barrier silently vanishes and
-    * the encode goes ~2x slower. Rebuilding per call re-registers the
-    * cache entry; Spark's cache manager dedups identical plans, so
-    * within one run e6+e7 still share storage. */
+    * it, e7 serves from it. Round 7: the M×K×Sub distance grid runs in
+    * the compiled PqEncode kernel (one codegen'd loop pass per vector)
+    * instead of nested interpreted HOF lambdas — identical fold order,
+    * so the oracle stays bit-exact (measured 1.36→~0.4 s at sf0.1).
+    * Deliberately NOT memoized across calls: the .cache() below is a
+    * semantic BARRIER against CollapseProject re-inlining the kernel
+    * into all 17 GetStructField consumers (one kernel eval per row,
+    * not 17), and a memoized DataFrame keeps its dead plan after
+    * spark.catalog.clearCache() (bench clears between queries).
+    * Rebuilding per call re-registers the cache entry; Spark's cache
+    * manager dedups identical plans, so within one run e6+e7 still
+    * share storage. */
   private def pqEncode(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
-      .select("vec_id", "dv").cache() // barrier: dv feeds the HOF lambdas
-    val ds = transform(sequence(lit(0), lit(PqM - 1)), m =>
-      transform(sequence(lit(0), lit(PqK - 1)), k =>
-        pqDist(col("dv"), m, k)))
-    def dsm(m: Int) = element_at(col("ds"), m)
-    emb.withColumn("ds", ds)
+      .select("vec_id", "dv")
+    emb.withColumn("es", graft.functions.PqKernels.pq_encode(
+        col("dv"), pqFlatCodebook, PqM, PqK, PqSub))
+      .cache() // barrier: one kernel eval feeds 17 struct-field reads
       .select(Seq(col("vec_id"), col("dv")) ++
-        (1 to PqM).map(m =>
-          array_position(dsm(m), array_min(dsm(m))).as(s"code$m")) :+
-        (1 to PqM).map(m => array_min(dsm(m))).reduce(_ + _).as("sse"): _*)
+        (1 to PqM).map(m => element_at(col("es.codes"), m).as(s"code$m")) :+
+        col("es.sse").as("sse"): _*)
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -856,20 +846,12 @@ object Approx {
         val enc = pqEncode(s, dir)
         val q = enc.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("dv").as("qv"))
-        // Σ_m ||q_sub(m) − cb[m][code_m]||² — one nested-HOF tree over
-        // the codes array; init-0.0 folds match the oracle's bare `+`
-        // chains bit-for-bit (all terms ≥ 0, and 0.0 + x == x)
+        // Σ_m ||q_sub(m) − cb[m][code_m]||² in the compiled PqAdc
+        // kernel — fold order identical to the oracle's bare `+` chains
+        // (init-0.0 folds are exact: all terms ≥ 0, and 0.0 + x == x)
         val codesArr = array((1 to PqM).map(m => col(s"code$m")): _*)
-        val adc = aggregate(
-          transform(sequence(lit(0), lit(PqM - 1)), m =>
-            aggregate(
-              zip_with(
-                slice(col("qv"), m * lit(PqSub) + lit(1), lit(PqSub)),
-                element_at(element_at(pqCodebookLit, m + lit(1)),
-                  element_at(codesArr, m + lit(1)).cast("int")),
-                (x, c) => (x - c) * (x - c)),
-              lit(0.0), (acc, v) => acc + v)),
-          lit(0.0), (acc, v) => acc + v)
+        val adc = graft.functions.PqKernels.pq_adc(
+          col("qv"), codesArr, pqFlatCodebook, PqM, PqK, PqSub)
         val exactL2 = aggregate(
           zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v)

@@ -178,6 +178,99 @@ class ExtensionsSpec extends SparkSuite {
       s"kernels must run inside WholeStageCodegen:\n$p")
   }
 
+  test("PqKernels: encode/ADC match a from-definitions reference, " +
+      "interpreted == codegen, and sit inside WholeStageCodegen") {
+    val s2 = spark; import s2.implicits._
+    val M = 4; val K = 3; val sub = 2
+    val cb: Array[Double] =
+      (0 until M * K * sub).map(i => math.sin(i + 1.0)).toArray
+    // reference written from the definitions: sequential j-fold per
+    // (m, k) from 0.0, FIRST index of the minimum, sse in m order
+    def encRef(dv: Seq[Double]): (Seq[Long], Double) = {
+      var sse = 0.0
+      val codes = (0 until M).map { m =>
+        val dists = (0 until K).map { k =>
+          var acc = 0.0
+          (0 until sub).foreach { j =>
+            val d = dv(m * sub + j) - cb(m * K * sub + k * sub + j)
+            acc += d * d
+          }
+          acc
+        }
+        val mn = dists.min
+        sse += mn
+        (dists.indexWhere(_ == mn) + 1).toLong
+      }
+      (codes, sse)
+    }
+    def adcRef(qv: Seq[Double], codes: Seq[Long]): Double = {
+      var adc = 0.0
+      (0 until M).foreach { m =>
+        val k = codes(m).toInt - 1
+        var acc = 0.0
+        (0 until sub).foreach { j =>
+          val d = qv(m * sub + j) - cb(m * K * sub + k * sub + j)
+          acc += d * d
+        }
+        adc += acc
+      }
+      adc
+    }
+    val cases: Seq[Seq[Double]] =
+      (0 until 24).map(i => (0 until M * sub).map(j => math.cos(i * 31.0 + j)))
+    val q = cases.head
+    val df = cases.map(Tuple1(_)).toDF("dv")
+    val enc = graft.functions.PqKernels.pq_encode(col("dv"), cb, M, K, sub)
+    val got = df.select(enc.as("es"))
+      .select(col("es.codes").as("c"), col("es.sse").as("s"),
+        graft.functions.PqKernels.pq_adc(
+          typedlit(q), col("es.codes"), cb, M, K, sub).as("adc"))
+      .collect()
+      .map(r => (r.getAs[scala.collection.Seq[Long]]("c").toSeq,
+        r.getAs[Double]("s"), r.getAs[Double]("adc")))
+    cases.zip(got).foreach { case (dv, (codes, sse, adc)) =>
+      val (rc, rs) = encRef(dv)
+      assert(codes == rc && sse == rs, s"encode diverged on $dv")
+      assert(adc == adcRef(q, rc), s"adc diverged on $dv")
+    }
+    // interpreted eval must agree with the codegen path above
+    locally {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+      def litD(xs: Seq[Double]) = Literal(
+        ArrayData.toArrayData(xs.toArray), ArrayType(DoubleType))
+      val interp = cases.map { dv =>
+        val row = graft.functions.PqEncode(litD(dv), cb, M, K, sub)
+          .eval(null).asInstanceOf[InternalRow]
+        val codes = row.getArray(0).toLongArray().toSeq
+        val adc = graft.functions.PqAdc(litD(q),
+          Literal(ArrayData.toArrayData(codes.toArray),
+            ArrayType(LongType)), cb, M, K, sub).eval(null)
+          .asInstanceOf[Double]
+        (codes, row.getDouble(1), adc)
+      }
+      assert(interp == got.toSeq, s"interpreted != codegen")
+    }
+    // codegen placement on a non-literal input
+    val arrs = spark.range(8).select(
+      transform(sequence(lit(1L), lit(M * sub.toLong)),
+        x => x.cast("double") + col("id")).as("dv"))
+    // dv referenced twice so CollapseProject keeps the kernel Project
+    // separate from the (codegen-fallback) HOF input Project — same
+    // two-reference shape the Md5Sketch placement pin uses
+    val p = arrs.select(
+        graft.functions.PqKernels.pq_encode(col("dv"), cb, M, K, sub).as("e"),
+        graft.functions.PqKernels.pq_adc(col("dv"),
+          typedlit((1 to M).map(_.toLong)), cb, M, K, sub).as("a"))
+      .queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("pq_encode"))
+      .getOrElse(fail(s"pq_encode not found in plan:\n$p"))
+    assert(projLine.trim.startsWith("*"),
+      s"pq_encode must run inside WholeStageCodegen:\n$p")
+  }
+
   test("DotProductRewrite: HOF dot-product idiom becomes the compiled " +
       "expression with identical results") {
     val s2 = spark; import s2.implicits._
