@@ -354,4 +354,45 @@ class EdgeSpec extends SparkSuite {
     assert(speciesLine == "0.10\t30\t30\t300\t1.50\t0.50\t10\tspecies\tEcoli",
       s"species row not verbatim: $speciesLine")
   }
+
+  test("RankSelect.valueAtRanks == sort-based reference on random data " +
+      "with duplicates, skewed groups, and boundary ranks") {
+    val s2 = spark; import s2.implicits._
+    // deterministic pseudo-random corpus: 3 groups of very different
+    // sizes (the q78 shape), heavy value duplication so rank intervals
+    // genuinely span multiple ranks
+    def mix(i: Long): Long = { // splitmix-ish, deterministic
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & Long.MaxValue
+    }
+    val rows = (0L until 3000L).map { i =>
+      val g = if (i % 10 < 7) "a" else if (i % 10 < 9) "b" else "c"
+      (g, (mix(i) % 40L) + 1L) // values 1..40 → many duplicates
+    }
+    val df = rows.toDF("grp", "v")
+    val byG = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).sorted.toVector
+    }
+    // targets: first, last, middle, and a duplicated-value rank per group
+    val targets = byG.toSeq.flatMap { case (g, vs) =>
+      Seq(1L, vs.size.toLong, (vs.size / 2).toLong.max(1L), 7L)
+        .distinct.map(k => (g, k))
+    }.toDF("grp", "k")
+    val got = graft.operators.RankSelect
+      .valueAtRanks(df, "grp", "v", targets, parts = 8)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("k"))
+        -> r.getAs[Long]("v"))
+      .toMap
+    val expect = byG.toSeq.flatMap { case (g, vs) =>
+      Seq(1L, vs.size.toLong, (vs.size / 2).toLong.max(1L), 7L)
+        .distinct.map(k => (g, k) -> vs((k - 1).toInt))
+    }.toMap
+    assert(got == expect,
+      s"rank picks diverged: only-got=${got.toSet -- expect.toSet} " +
+        s"only-ref=${expect.toSet -- got.toSet}")
+    // exactly one row per requested (grp, k) — the duplicate-value
+    // interval filter must not emit the value twice
+    assert(got.size == expect.size)
+  }
 }
