@@ -595,6 +595,96 @@ object Approx {
       FROM cells c LEFT JOIN reps r ON r.vec_id = c.vec_id
       ORDER BY c.vec_id"""
 
+  // ---- e8b: corpus-scaled-C oracle machinery ---------------------------
+  // The C=16 oracles above embed centroids as SQL literals, which pins C
+  // at query-AUTHORING time. e8b instead derives C from COUNT(*) inside
+  // the SQL and generates the centroids there too, by emulating the
+  // engine's splitmix64 finalizer (mixToUnit) exactly in HUGEINT
+  // arithmetic — so one static oracle string is bit-exact at every
+  // scale factor. Validated: 64-bit wraparound via % 2^64; >>> k via
+  // // 2^k on the non-negative residue; 64x64-bit multiply mod 2^64
+  // split around the 32-bit halves of the (constant) multiplier so no
+  // intermediate exceeds HUGEINT range; xor works on HUGEINT natively.
+
+  /** a*K mod 2^64 for constant K, HUGEINT-safe: a*Klo < 2^96 and
+    * a*Khi < 2^96 both fit in HUGEINT (< 2^127) */
+  private def mulModSql(a: String, k: Long): String = {
+    val hi = (k >>> 32) & 0xFFFFFFFFL
+    val lo = k & 0xFFFFFFFFL
+    s"((($a) * $lo + ((($a) * $hi) % 4294967296) * 4294967296)" +
+      " % 18446744073709551616)"
+  }
+
+  /** mixToUnit(z0) as a DuckDB scalar over a HUGEINT expression —
+    * identical double for every seed (spot-validated over the full
+    * centroid seed range) */
+  private def mixToUnitSql(z0: String): String = {
+    val m64 = "18446744073709551616"
+    val z1 = s"((($z0) + ${java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)}) % $m64)"
+    val x1 = s"xor($z1, $z1 // 1073741824)" // >>> 30
+    val z2 = mulModSql(x1, 0xBF58476D1CE4E5B9L)
+    val x2 = s"xor($z2, $z2 // 134217728)" // >>> 27
+    val z3 = mulModSql(x2, 0x94D049BB133111EBL)
+    val z4 = s"xor($z3, $z3 // 2147483648)" // >>> 31
+    s"(CAST(($z4) // 2048 AS DOUBLE) / 9007199254740992.0)" // >>> 11, / 2^53
+  }
+
+  /** the e8b CTE prefix: corpus count → scaledC ladder → generated
+    * centroids (range(4096·64) filtered to C — range() cannot take a
+    * subquery parameter) → sims cross join → cells/probes/pairs with
+    * the EXACT tie-break semantics of ivfCellsAndPairs' declarative
+    * tail (sim DESC, cell ASC ↔ array_sort on (−sim, idx) structs) */
+  private def ivfScaledPairCtes(p: Int, tau: Double): String =
+    s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      cparam AS (
+        SELECT COALESCE(MIN(pw), 4096) AS C
+        FROM (VALUES (8),(16),(32),(64),(128),(256),(512),(1024),(2048),
+          (4096)) t(pw), nn
+        WHERE pw >= (nn.n + 63) // 64),
+      cents AS (
+        SELECT cell, list(val ORDER BY d) AS cv
+        FROM (
+          SELECT CAST(i // 64 + 1 AS BIGINT) AS cell, i % 64 AS d,
+            ${mixToUnitSql(s"CAST(${0x49564600L} + i AS HUGEINT)")} - 0.5 AS val
+          FROM range(262144) t(i)
+          WHERE i // 64 < (SELECT C FROM cparam))
+        GROUP BY cell),
+      v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings),
+      sims AS (
+        SELECT v.vec_id, v.dv, c.cell,
+          list_reduce(list_transform(range(1, 65), i -> v.dv[i] * c.cv[i]),
+            (a, b) -> a + b) AS sim
+        FROM v CROSS JOIN cents c),
+      cells AS (
+        SELECT vec_id, dv, cell FROM sims
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sim DESC, cell ASC) = 1),
+      probes AS (
+        SELECT vec_id, cell AS pcell FROM sims
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sim DESC, cell ASC) <= $p),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probes a JOIN probes b
+          ON a.pcell = b.pcell AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN v va ON va.vec_id = cand.id_a
+        JOIN v vb ON vb.vec_id = cand.id_b
+        WHERE ${cosineSql("va.dv", "vb.dv")} >= $tau)"""
+
+  private def e8bOracleSql: String =
+    s"""WITH ${ivfScaledPairCtes(p = 4, tau = 0.4)},
+      reps AS (SELECT id_b AS vec_id, MIN(id_a) AS rep_min
+        FROM pairs GROUP BY id_b)
+      SELECT c.vec_id, c.cell, COALESCE(r.rep_min, c.vec_id) AS rep_id,
+        CAST((SELECT C FROM cparam) AS BIGINT) AS n_cells
+      FROM cells c LEFT JOIN reps r ON r.vec_id = c.vec_id
+      ORDER BY c.vec_id"""
+
   private def e16OracleSql: String =
     s"""WITH $ivfPairCtes,
       contam AS (
@@ -639,8 +729,8 @@ object Approx {
     * cosine tree is identical on both engines.
     */
   private[graft] def ivfDedup(embIn: DataFrame, C: Int, P: Int,
-      tau: Double): DataFrame = {
-    val (cells, pairs) = ivfCellsAndPairs(embIn, C, P, tau)
+      tau: Double, kernel: Boolean = false): DataFrame = {
+    val (cells, pairs) = ivfCellsAndPairs(embIn, C, P, tau, kernel)
     val reps = pairs.select("id_b", "id_a")
       .groupBy(col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("rep_min"))
@@ -651,12 +741,35 @@ object Approx {
       .orderBy("vec_id")
   }
 
+  /** corpus-scaled cell count: the smallest power of two with a mean
+    * cell size <= 64, clamped to [8, 4096]. C ∝ n keeps within-cell
+    * pair work linear (see ivfDedup); the power-of-two ladder makes the
+    * choice expressible EXACTLY in the oracle (a MIN over a VALUES
+    * ladder vs COUNT(*) — no float log2 edge cases). Both engines
+    * compute it from the same corpus count. */
+  private[graft] def scaledC(n: Long): Int = {
+    val target = math.max(1L, (n + 63) / 64)
+    var c = 8
+    while (c < target && c < 4096) c <<= 1
+    c
+  }
+
+  /** the shared centroid recipe flattened [c*dims + d] for the compiled
+    * kernel — same seeds as the literal centroid(c) arrays, so C=16
+    * kernel sims == C=16 literal sims bit-for-bit */
+  private[graft] def ivfFlatCentroids(C: Int, dims: Int = 64): Array[Double] =
+    Array.tabulate(C * dims)(i => mixToUnit(0x49564600L + i) - 0.5)
+
   /** the IVF multi-probe machinery shared by e8 (dedup reps) and e16
     * (semantic decontamination): (cells, confirmed pairs). `cells` =
     * (vec_id, dv, cell, probes) cached; `pairs` = (id_a < id_b) with
-    * cosine >= tau, bare-id-deduped before the cosine. */
+    * cosine >= tau, bare-id-deduped before the cosine. `kernel` swaps
+    * the C literal dot-product expressions for the compiled IvfSims
+    * codebook kernel (required beyond small C — the literal form puts
+    * C·dims doubles into the plan); the declarative argmax/probe tail
+    * is shared, so tie-break semantics are identical by construction. */
   private[graft] def ivfCellsAndPairs(embIn: DataFrame, C: Int, P: Int,
-      tau: Double): (DataFrame, DataFrame) = {
+      tau: Double, kernel: Boolean = false): (DataFrame, DataFrame) = {
     val dims = 64
     val emb = embIn
       .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
@@ -664,19 +777,31 @@ object Approx {
     def centroid(c: Int) = array((0 until dims).map { d =>
       lit(mixToUnit(0x49564600L + c.toLong * dims + d) - 0.5)
     }: _*)
-    val sims = array((0 until C).map(c =>
-      graft.functions.DotProduct.dot_product(col("dv"), centroid(c))): _*)
-    // top-P probe cells per vector: (−sim, cell-index) structs sort
-    // without a comparator lambda (the e3 trick)
-    val simsRanked = zip_with(col("_sims"),
-      transform(sequence(lit(1), lit(C)), i => i.cast("long")),
-      (sim, idx) => struct((-sim).as("neg"), idx.as("cell")))
-    val probeCells = transform(slice(array_sort(simsRanked), 1, P),
-      x => x.getField("cell"))
-    val cells = emb.withColumn("_sims", sims)
-      .withColumn("cell", array_position(col("_sims"), array_max(col("_sims"))))
-      .withColumn("probes", probeCells)
-      .drop("_sims").cache() // reused by pair gen (both sides) + final join
+    val cells = (if (kernel) {
+      // compiled top-P selection: probes(0) IS the cell argmax (see
+      // IvfKernels.probesOrNull — first-max and top-1 coincide), so one
+      // kernel call replaces sims array + argmax + struct sort. The
+      // declarative tail below scales O(C log C) per row in boxed
+      // struct sorts — at corpus-scaled C that term dominated the
+      // whole query (sf0.5 C=1024: 19.9 s → 2.6 s kernelized).
+      emb.withColumn("probes", graft.functions.IvfKernels.ivf_probes(
+          col("dv"), ivfFlatCentroids(C, dims), dims, P))
+        .withColumn("cell", element_at(col("probes"), lit(1)))
+    } else {
+      val sims = array((0 until C).map(c =>
+        graft.functions.DotProduct.dot_product(col("dv"), centroid(c))): _*)
+      // top-P probe cells per vector: (−sim, cell-index) structs sort
+      // without a comparator lambda (the e3 trick)
+      val simsRanked = zip_with(col("_sims"),
+        transform(sequence(lit(1), lit(C)), i => i.cast("long")),
+        (sim, idx) => struct((-sim).as("neg"), idx.as("cell")))
+      val probeCells = transform(slice(array_sort(simsRanked), 1, P),
+        x => x.getField("cell"))
+      emb.withColumn("_sims", sims)
+        .withColumn("cell", array_position(col("_sims"), array_max(col("_sims"))))
+        .withColumn("probes", probeCells)
+        .drop("_sims")
+    }).cache() // reused by pair gen (both sides) + final join
     val members = cells.select(col("vec_id"), explode(col("probes")).as("pcell"))
     // equi-join on the shared probe cell; dedup bare id pairs before
     // any vector math
@@ -1239,6 +1364,33 @@ object Approx {
         "assignment (e3's literal centroids) + within-cell pairwise " +
         "cosine + keep-lowest-id representative — no corpus x corpus " +
         "join, no id bound, full oracle"),
+
+    QueryDef(
+      "e8b_embed_dedup_scaled",
+      (s, dir) => {
+        // e8 at the setting a user would actually run: C grows with the
+        // corpus (scaledC: mean cell <= 64 on a power-of-two ladder), so
+        // within-cell pair work stays linear instead of N²/C at fixed
+        // C=16 — measured 225 s → ~2 s at sf0.5. Coarse scoring runs
+        // through the compiled IvfProbes codebook kernel (a literal
+        // sims array at C=512 would be 32k plan doubles, and the
+        // declarative struct-sort probe tail is O(C log C) boxed work
+        // per row — it, not pair volume, dominated at large C); the oracle
+        // derives the SAME C from COUNT(*) and generates the SAME
+        // centroids by emulating mixToUnit in HUGEINT SQL, so one
+        // static oracle string stays bit-exact at every scale factor.
+        // The count() is a metadata-scale action (parquet row counts).
+        val emb = t(s, dir, "embeddings")
+        val c = scaledC(emb.count())
+        ivfDedup(emb, C = c, P = 4, tau = 0.4, kernel = true)
+          .withColumn("n_cells", lit(c.toLong))
+      },
+      Some(e8bOracleSql),
+      "corpus-scaled-C embedding near-dup dedup: e8's SemDeDup shape " +
+        "with C chosen from the corpus count (cell size <= 64) and " +
+        "coarse scoring through the compiled IvfSims codebook kernel; " +
+        "oracle re-derives C and the splitmix64 centroids in SQL — " +
+        "the 100 TB configuration, fully oracle-checked"),
 
     QueryDef(
       "e16_semantic_decontam",

@@ -1564,45 +1564,9 @@ object Extended {
         // Boundary sensitivity is preserved: any disagreement about
         // which value sits at a quartile boundary still moves lo/hi
         // and diverges the hash.
-        val pr = t(s, dir, "lineitem")
+        ntileNth(t(s, dir, "lineitem")
           .select(col("l_returnflag").as("rf"),
-            d2(col("l_extendedprice")).as("p"))
-        val sz = pr.groupBy("rf").agg(count(lit(1)).as("n"))
-        val quartTargets = sz.select(col("rf"), col("n"),
-            explode(expr("""flatten(transform(sequence(1, 4), i -> array(
-              named_struct('q', i, 'w', 'lo',
-                'k', CAST((i-1) * (n div 4) + least(i-1, n % 4) + 1 AS BIGINT)),
-              named_struct('q', i, 'w', 'hi',
-                'k', CAST(i * (n div 4) + least(i, n % 4) AS BIGINT)))))"""))
-              .as("t"))
-          .select(col("rf"), col("t.q").as("quartile"),
-            col("t.w").as("which"), col("t.k").as("k"))
-        val frameTargets = sz
-          .select(col("rf"), lit(0).as("quartile"),
-            lit("first").as("which"), lit(1L).as("k"))
-          .union(sz.select(col("rf"), lit(0).as("quartile"),
-            lit("third").as("which"), lit(3L).as("k")))
-        val picked = graft.operators.RankSelect
-          .valueAtRanks(pr, "rf", "p", quartTargets.union(frameTargets))
-        val byQ = picked.filter(col("quartile") >= 1)
-          .groupBy(col("rf"), col("quartile").cast("long").as("quartile"))
-          .agg(
-            (max(when(col("which") === "hi", col("k")))
-              - max(when(col("which") === "lo", col("k"))) + 1L).as("n"),
-            max(when(col("which") === "lo", col("p")))
-              .cast("double").as("lo"),
-            max(when(col("which") === "hi", col("p")))
-              .cast("double").as("hi"))
-        val frames = picked.filter(col("quartile") === 0)
-          .groupBy("rf")
-          .agg(max(when(col("which") === "first", col("p")))
-              .cast("double").as("first_p"),
-            max(when(col("which") === "third", col("p")))
-              .cast("double").as("third_p"))
-        byQ.join(broadcast(frames), "rf")
-          .select(col("rf"), col("quartile"), col("n"), col("lo"),
-            col("hi"), col("first_p"), col("third_p"))
-          .orderBy("rf", "quartile")
+            d2(col("l_extendedprice")).as("p")))
       },
       Some("""WITH pr AS (
           SELECT l_returnflag AS rf,
@@ -2400,6 +2364,57 @@ object Extended {
     * stats frame shares the `sizes` aggregate with the filter join, so
     * evaluating both costs one extra reuse of a basket-count frame,
     * never a second corpus scan shape. */
+  /** q88's body over a prepared (rf, p) frame — factored out so EdgeSpec
+    * can drive the tiny-group degradation directly (groups with < 4 rows
+    * never occur on lineitem returnflag). See the q88 QueryDef scaladoc
+    * for the rank-interval derivation. */
+  private[graft] def ntileNth(pr: DataFrame): DataFrame = {
+    val sz = pr.groupBy("rf").agg(count(lit(1)).as("n"))
+    val quartTargets = sz.select(col("rf"), col("n"),
+        explode(expr("""flatten(transform(sequence(1, 4), i -> array(
+          named_struct('q', i, 'w', 'lo',
+            'k', CAST((i-1) * (n div 4) + least(i-1, n % 4) + 1 AS BIGINT)),
+          named_struct('q', i, 'w', 'hi',
+            'k', CAST(i * (n div 4) + least(i, n % 4) AS BIGINT)))))"""))
+          .as("t"))
+      .select(col("rf"), col("t.q").as("quartile"),
+        col("t.w").as("which"), col("t.k").as("k"))
+    val frameTargets = sz
+      .select(col("rf"), lit(0).as("quartile"),
+        lit("first").as("which"), lit(1L).as("k"))
+      .union(sz.select(col("rf"), lit(0).as("quartile"),
+        lit("third").as("which"), lit(3L).as("k")))
+    val picked = graft.operators.RankSelect
+      .valueAtRanks(pr, "rf", "p", quartTargets.union(frameTargets))
+    val byQ = picked.filter(col("quartile") >= 1)
+      .groupBy(col("rf"), col("quartile").cast("long").as("quartile"))
+      .agg(
+        (max(when(col("which") === "hi", col("k")))
+          - max(when(col("which") === "lo", col("k"))) + 1L).as("n"),
+        max(when(col("which") === "lo", col("p")))
+          .cast("double").as("lo"),
+        max(when(col("which") === "hi", col("p")))
+          .cast("double").as("hi"))
+      // groups with fewer than 4 rows leave trailing ntile buckets
+      // EMPTY: their lo rank exceeds the group size so RankSelect
+      // yields no 'lo' pick, while the hi rank (cumulative count)
+      // still lands — without this filter such a quartile would emit
+      // a spurious row with null n/lo that the ntile window never
+      // produces. Requiring both picks degrades tiny groups to the
+      // exact ntile bucket set. (EdgeSpec pins 1/2/3-row groups.)
+      .filter(col("lo").isNotNull && col("hi").isNotNull)
+    val frames = picked.filter(col("quartile") === 0)
+      .groupBy("rf")
+      .agg(max(when(col("which") === "first", col("p")))
+          .cast("double").as("first_p"),
+        max(when(col("which") === "third", col("p")))
+          .cast("double").as("third_p"))
+    byQ.join(broadcast(frames), "rf")
+      .select(col("rf"), col("quartile"), col("n"), col("lo"),
+        col("hi"), col("first_p"), col("third_p"))
+      .orderBy("rf", "quartile")
+  }
+
   private[graft] def cooccurPairsWithStats(items: DataFrame)
       : (DataFrame, DataFrame) = {
     val sizes = items.groupBy("ok").agg(count(lit(1)).as("bsz"))

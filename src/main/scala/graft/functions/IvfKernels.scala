@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Compiled IVF coarse-assignment kernel (the PqKernels discipline
+  * applied to centroid scoring): the C=16 catalog entries score each
+  * vector against every centroid as C separate literal-array dot-product
+  * expressions — fine at 16, but a corpus-scaled C (hundreds to
+  * thousands of cells, the knob that keeps within-cell pair work linear;
+  * see Approx.ivfDedup) would put C·dims literal doubles into the plan
+  * and blow both the analyzer and the 64 KB codegen method limit. This
+  * kernel runs the IDENTICAL arithmetic as one tight loop over a
+  * flattened centroid codebook that rides as a reference object in the
+  * generated class — O(C·dims) per row, plan size O(1).
+  *
+  * Bit-exactness contract (what keeps the e8b oracle green): each
+  * per-centroid dot product accumulates sequentially from 0.0 in
+  * ascending dim order — exactly the fold order of both the literal
+  * dot_product expressions (DotProduct) and the oracle's
+  * list_reduce(list_transform(...)). The kernel returns the raw sims
+  * array; cell argmax and top-P probe selection stay in the shared
+  * declarative tail (array_position / array_sort), so tie-break
+  * semantics are inherited, not re-implemented. ExtensionsSpec pins
+  * interpreted == codegen and kernel == the literal formulation.
+  */
+object IvfKernels {
+
+  /** sims(c) = Σ_d dv(d) · cb(c·dims + d), folded in d order; null on
+    * ragged or null-holed input (mirrors PqKernels.encodeOrNull) */
+  def simsOrNull(dv: ArrayData, cb: Array[Double], dims: Int): ArrayData = {
+    if (dv.numElements() != dims) return null
+    val c = cb.length / dims
+    val out = new Array[Double](c)
+    var i = 0
+    while (i < c) {
+      var acc = 0.0
+      var d = 0
+      while (d < dims) {
+        if (dv.isNullAt(d)) return null
+        acc += dv.getDouble(d) * cb(i * dims + d)
+        d += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def ivf_sims(dv: Column, cb: Array[Double], dims: Int): Column =
+    GraftBridge.column(IvfSims(GraftBridge.expression(dv), cb, dims))
+
+  /** top-P probe cells (1-based) by (sim DESC, cell ASC) in one pass:
+    * O(C·dims) multiplies + O(C·P) insertion, vs the declarative
+    * zip_with→array_sort tail's O(C log C) boxed struct sort per row —
+    * the term that made coarse assignment scale with C instead of the
+    * data (measured at sf0.5: C=1024 19.9 s → 2.6 s). probes(0) IS the
+    * cell argmax (first index attaining the max — array_position on
+    * array_max and top-1 by (sim DESC, idx ASC) coincide), so callers
+    * take `cell = probes[0]` rather than re-scoring.
+    *
+    * Ordering contract: java.lang.Double.compare — NaN greatest,
+    * -0.0 < 0.0 — matching both Spark's double ordering in array_sort
+    * and DuckDB's ORDER BY sim DESC; equal sims keep the earlier cell
+    * (strict-beat insertion over an ascending scan). */
+  def probesOrNull(dv: ArrayData, cb: Array[Double], dims: Int,
+      p: Int): ArrayData = {
+    if (dv.numElements() != dims) return null
+    var d = 0
+    while (d < dims) { if (dv.isNullAt(d)) return null; d += 1 }
+    val v = dv.toDoubleArray()
+    val c = cb.length / dims
+    val pp = math.min(p, c)
+    val topS = new Array[Double](pp)
+    val topI = new Array[Long](pp)
+    var filled = 0
+    var i = 0
+    while (i < c) {
+      var acc = 0.0
+      d = 0
+      while (d < dims) { acc += v(d) * cb(i * dims + d); d += 1 }
+      if (filled < pp || java.lang.Double.compare(acc, topS(pp - 1)) > 0) {
+        var pos = if (filled < pp) filled else pp - 1
+        while (pos > 0 && java.lang.Double.compare(acc, topS(pos - 1)) > 0) {
+          topS(pos) = topS(pos - 1); topI(pos) = topI(pos - 1); pos -= 1
+        }
+        topS(pos) = acc
+        topI(pos) = i + 1L
+        if (filled < pp) filled += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topI, filled))
+  }
+
+  def ivf_probes(dv: Column, cb: Array[Double], dims: Int, p: Int): Column =
+    GraftBridge.column(IvfProbes(GraftBridge.expression(dv), cb, dims, p))
+}
+
+case class IvfSims(child: Expression, cb: Array[Double], dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_sims"
+
+  override def nullSafeEval(a: Any): Any =
+    IvfKernels.simsOrNull(a.asInstanceOf[ArrayData], cb, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("ivfCodebook", cb, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("ivfSims")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+          graft.functions.IvfKernels.simsOrNull($a, $cbRef, $dims);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfSims =
+    copy(child = newChild)
+}
+
+case class IvfProbes(child: Expression, cb: Array[Double], dims: Int, p: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_probes"
+
+  override def nullSafeEval(a: Any): Any =
+    IvfKernels.probesOrNull(a.asInstanceOf[ArrayData], cb, dims, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("ivfCodebook", cb, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("ivfProbes")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+          graft.functions.IvfKernels.probesOrNull($a, $cbRef, $dims, $p);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbes =
+    copy(child = newChild)
+}

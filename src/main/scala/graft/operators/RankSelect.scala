@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -37,18 +38,65 @@ import org.apache.spark.sql.types._
   * HISTOGRAM (already far smaller than the raw rows under duplicate-heavy
   * domains like 2-decimal prices).
   *
-  * `targets` carries (grp, k) plus any caller passthrough columns (probe
-  * labels etc.); it is broadcast — callers request a handful of ranks per
-  * group. Ties: with duplicates the k-th smallest VALUE is identical
-  * under any tie-breaking total order, so callers whose nominal order
-  * adds unique-key tie-breaks (q88's (p, ok, ln)) select the same value.
+  * SIZE GATE: steps 2–4 cost ~1 s of fixed overhead (checkpoint +
+  * subtotal collect + second shuffle) that dwarfs the work when the
+  * input is small. When the input's file-backed relations total under
+  * `minDistributedBytes` (or the frame is not file-backed at all — unit
+  * tests, in-memory fixtures), the SAME rank-interval math runs over the
+  * histogram with a single per-group running-count window instead: the
+  * histogram is already duplicate-collapsed, so the per-group sort is
+  * bounded by the value-domain size, acceptable precisely when the gate
+  * passes. Both paths are property-pinned equal (EdgeSpec) and produce
+  * identical output by the same interval arithmetic; only the plan
+  * shape differs. Callers that need a specific path force it with
+  * `minDistributedBytes = 0` (always distributed) or `Long.MaxValue`
+  * (always windowed).
+  *
+  * TARGETS CONTRACT: `targets` must carry the group column `grp` and a
+  * LongType rank column NAMED EXACTLY `k` (1-based), plus any caller
+  * passthrough columns (probe labels etc.); it is broadcast — callers
+  * request a handful of ranks per group. A target whose k is out of
+  * range (k < 1 or k > group size) matches no histogram interval and
+  * silently produces NO output row — by design (the caller owns rank
+  * validity; q78/q88 derive k from the group sizes so the case cannot
+  * arise). Pass `validateTargets = true` to fail fast instead: one
+  * extra metadata-sized job joins the targets against the per-group
+  * totals and raises on any uncovered rank. Ties: with duplicates the
+  * k-th smallest VALUE is identical under any tie-breaking total order,
+  * so callers whose nominal order adds unique-key tie-breaks (q88's
+  * (p, ok, ln)) select the same value.
   */
 object RankSelect {
 
+  /** total bytes of the file-backed relations feeding `df` — 0 for pure
+    * in-memory frames, which therefore take the windowed small path */
+  private def inputBytes(df: DataFrame): Long =
+    df.queryExecution.analyzed.collect {
+      case r: LogicalRelation => r.relation.sizeInBytes
+    }.sum
+
   def valueAtRanks(df: DataFrame, grp: String, v: String,
-      targets: DataFrame, parts: Int = 32): DataFrame = {
+      targets: DataFrame, parts: Int = 32,
+      minDistributedBytes: Long = 32L << 20,
+      validateTargets: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val hist = df.groupBy(col(grp), col(v)).agg(count(lit(1)).as("_c"))
+    if (inputBytes(df) < minDistributedBytes) {
+      // small path: same interval math, one running-count window over
+      // the duplicate-collapsed histogram
+      if (validateTargets) {
+        val totals = hist.groupBy(col(grp)).agg(sum(col("_c")).as("_tot"))
+        failOnUncovered(targets, totals, grp)
+      }
+      val w = Window.partitionBy(col(grp)).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return hist
+        .withColumn("_end", sum(col("_c")).over(w))
+        .withColumn("_start", col("_end") - col("_c") + 1)
+        .join(broadcast(targets), Seq(grp))
+        .filter(col("k").between(col("_start"), col("_end")))
+        .drop("_c", "_start", "_end")
+    }
     val parted = hist.repartitionByRange(parts, col(grp), col(v))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
@@ -56,6 +104,17 @@ object RankSelect {
     val subtotals = parted.groupBy(col("_pid"), col(grp))
       .agg(sum(col("_c")).as("_pc"))
       .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    if (validateTargets) {
+      // group totals are already on the driver — reuse them
+      val totals = subtotals.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      val totSchema = StructType(Seq(
+        parted.schema(grp).copy(name = grp),
+        StructField("_tot", LongType, nullable = false)))
+      val totDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          totals.toSeq.map { case (g, t) => Row(g, t) }, 1), totSchema)
+      failOnUncovered(targets, totDf, grp)
+    }
     val offsets = subtotals.groupBy(_._2).iterator.flatMap {
       case (g, rows) =>
         var acc = 0L
@@ -79,5 +138,20 @@ object RankSelect {
       .join(broadcast(targets), Seq(grp))
       .filter(col("k").between(col("_start"), col("_end")))
       .drop("_pid", "_c", "_off", "_start", "_end")
+  }
+
+  /** raise on any target rank outside [1, group size] (or naming a group
+    * absent from the data) — one metadata-sized job over the broadcast
+    * targets, opt-in via `validateTargets` */
+  private def failOnUncovered(targets: DataFrame, totals: DataFrame,
+      grp: String): Unit = {
+    val bad = targets.join(totals, Seq(grp), "left")
+      .filter(col("_tot").isNull || col("k") < 1L || col("k") > col("_tot"))
+      .select(col(grp), col("k"), col("_tot"))
+      .limit(5).collect()
+    require(bad.isEmpty,
+      s"RankSelect: target rank(s) outside [1, group size]: " +
+        bad.map(r => s"(${r.get(0)}, k=${r.get(1)}, n=${r.get(2)})")
+          .mkString(", "))
   }
 }

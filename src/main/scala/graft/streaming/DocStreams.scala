@@ -203,23 +203,24 @@ object DocStreams {
           .otherwise(lit("ingest")).as("verdict"))
   }
 
-  /** d41's novelty signal at INGEST time — score each incoming doc
-    * BEFORE paying to store/train on it: novelty = fraction of its
+  /** d41's novelty signal over ONE BOUNDED FRAME — score each incoming
+    * doc BEFORE paying to store/train on it: novelty = fraction of its
     * distinct 3-shingles absent from the durable historical shingle
     * table. Stream-static left join on the shingle key + one per-doc
     * aggregate. Unlike batch d41 (global first-occurrence attribution),
     * the incremental form is causal: a doc is judged only against what
-    * the pipeline had ALREADY accepted. The HISTORY lives in a table
-    * (the incrementalDedup discipline), but — unlike incrementalDedup /
-    * incrementalNearDedup — the final per-doc groupBy here IS a
-    * stateful streaming aggregation (update/complete mode): the state
-    * store accumulates one entry per doc_id with no watermark (the
-    * corpus has no event-time column to bound it), so a long-running
-    * deployment must either run this inside foreachBatch (each doc's
-    * shingle rows arrive in one micro-batch, so a per-batch aggregate
-    * is exact) or accept the documented unbounded keyed-state growth.
-    * DocStreamSpec runs the identical code on batch frames for exact
-    * parity and pins both verdict extremes. */
+    * the pipeline had ALREADY accepted.
+    *
+    * The per-doc groupBy makes this a BATCH transform: called on a
+    * streaming frame directly it would plan a stateful streaming
+    * aggregation whose state store accumulates one entry per doc_id
+    * with no watermark to bound it (the corpus has no event-time
+    * column). The streaming deployment is [[noveltyGate]], which runs
+    * this inside foreachBatch — each doc's shingle rows live entirely
+    * within its micro-batch, so the per-batch aggregate is EXACT and no
+    * query-level state exists. DocStreamSpec pins foreachBatch ==
+    * batch twin and asserts the running query holds zero state
+    * operators. */
   def incrementalNovelty(incoming: DataFrame, history: DataFrame): DataFrame =
     incoming
       .select(col("doc_id"), toks(col("text")).as("tok"))
@@ -233,4 +234,26 @@ object DocStreams {
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         (col("n_novel").cast("double") / col("n_shingles").cast("double"))
           .as("novelty"))
+
+  /** the STREAMING novelty deployment — stateless by construction: the
+    * stream carries raw docs (no aggregation in the streaming plan, so
+    * no state store; restart resumes from source offsets + the
+    * checkpoint's batch ledger), and each micro-batch runs the exact
+    * [[incrementalNovelty]] batch aggregate via foreachBatch. Output
+    * lands under `outPath/batch=<id>` with per-batch OVERWRITE, making
+    * replay after a crash idempotent (the replayed batch rewrites its
+    * own directory byte-for-byte; Spark's foreachBatch contract replays
+    * at most the last uncommitted id). Readers glob `outPath` — the
+    * batch=N partition column rides along as provenance. */
+  def noveltyGate(incoming: DataFrame, history: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          incrementalNovelty(batch, history)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -55,8 +55,24 @@ object VecStreams {
     * through as "ingest" (never swallows the stream). The eval split
     * itself passes through unjudged (it is not training data; e16
     * excludes it from the audit the same way). */
+  /** hard ceiling on the eval side: beyond this the single collect_list
+    * row would hit the row-size / broadcast limits with an opaque
+    * executor OOM — fail fast at plan time instead. ~100k 64-dim double
+    * vectors ≈ 60 MB, comfortably inside the 1 GB row and 8 GB
+    * broadcast ceilings; a genuinely larger eval set should go through
+    * the batch e16 IVF path, not this brute-force gate. */
+  val MaxEvalVectors = 100000L
+
   def decontaminateIngest(incoming: DataFrame, evalVecs: DataFrame,
       tau: Double = 0.4): DataFrame = {
+    // the smallness assumption is load-bearing, so enforce it: one
+    // cheap batch-side count before the stream starts
+    val evalN = evalVecs.count()
+    require(evalN <= MaxEvalVectors,
+      s"decontaminateIngest: eval set has $evalN vectors, above the " +
+        s"$MaxEvalVectors ceiling for the single-row broadcast design " +
+        "— route a corpus-scale reference set through the batch e16 " +
+        "IVF decontamination instead")
     val evalRow = evalVecs
       .agg(collect_list(struct(col("eval_id"), col("edv"))).as("evs"))
       .withColumn("_k", lit(1))

@@ -108,12 +108,24 @@ class DocStreamSpec extends SparkSuite {
         graft.catalog.Approx.shinglesOfTokens(col("tok"))).as("s"))
       .distinct()
       .cache()
-    val stream = DocStreams.incrementalNovelty(
-      DocStreams.readStream(spark, sf), history)
-    val got = EventStreams.runToMemory(spark, stream, "doc_novel",
-      OutputMode.Complete)
-      .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // the deployment path: foreachBatch gate — the streaming plan
+    // carries raw docs only, the exact per-doc aggregate runs batch-side
+    // inside each micro-batch
+    val outDir = java.nio.file.Files
+      .createTempDirectory("novelty_gate").toString
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("novelty_ck").toString
+    val q = DocStreams.noveltyGate(
+      DocStreams.readStream(spark, sf), history, outDir, ckDir)
+    try q.processAllAvailable() finally q.stop()
+    // stateless by construction: zero state operators in the query
+    val lp = q.lastProgress
+    assert(lp != null && lp.stateOperators.isEmpty,
+      s"novelty gate must hold NO streaming state, got: $lp")
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
     val batch = DocStreams.incrementalNovelty(batchDocs, history)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap

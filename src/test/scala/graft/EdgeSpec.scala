@@ -379,20 +379,77 @@ class EdgeSpec extends SparkSuite {
       Seq(1L, vs.size.toLong, (vs.size / 2).toLong.max(1L), 7L)
         .distinct.map(k => (g, k))
     }.toDF("grp", "k")
-    val got = graft.operators.RankSelect
-      .valueAtRanks(df, "grp", "v", targets, parts = 8)
-      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("k"))
-        -> r.getAs[Long]("v"))
-      .toMap
     val expect = byG.toSeq.flatMap { case (g, vs) =>
       Seq(1L, vs.size.toLong, (vs.size / 2).toLong.max(1L), 7L)
         .distinct.map(k => (g, k) -> vs((k - 1).toInt))
     }.toMap
+    // BOTH gate paths against the same reference: an in-memory frame has
+    // inputBytes 0, so the default takes the windowed small path and
+    // minDistributedBytes = 0 forces the distributed prefix-offset path
+    for (minBytes <- Seq(Long.MaxValue, 0L)) {
+      val got = graft.operators.RankSelect
+        .valueAtRanks(df, "grp", "v", targets, parts = 8,
+          minDistributedBytes = minBytes)
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("k"))
+          -> r.getAs[Long]("v"))
+        .toMap
+      assert(got == expect,
+        s"rank picks diverged (minBytes=$minBytes): " +
+          s"only-got=${got.toSet -- expect.toSet} " +
+          s"only-ref=${expect.toSet -- got.toSet}")
+      // exactly one row per requested (grp, k) — the duplicate-value
+      // interval filter must not emit the value twice
+      assert(got.size == expect.size)
+    }
+    // validateTargets: an out-of-range rank fails fast on both paths
+    // (silently-no-row remains the documented default)
+    val badTargets = Seq(("a", 999999L), ("zz", 1L)).toDF("grp", "k")
+    for (minBytes <- Seq(Long.MaxValue, 0L)) {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.RankSelect.valueAtRanks(df, "grp", "v",
+          badTargets, parts = 8, minDistributedBytes = minBytes,
+          validateTargets = true).collect()
+      }
+      assert(e.getMessage.contains("outside [1, group size]"))
+      // and valid targets pass the validation un-dropped
+      val ok = graft.operators.RankSelect.valueAtRanks(df, "grp", "v",
+        targets, parts = 8, minDistributedBytes = minBytes,
+        validateTargets = true).count()
+      assert(ok == expect.size)
+    }
+  }
+
+  test("q88's ntileNth degrades tiny groups (< 4 rows) to the exact " +
+      "ntile bucket set — no spurious partial rows for empty trailing " +
+      "quartiles, NTH_VALUE(3) null when the frame has < 3 rows") {
+    val s2 = spark; import s2.implicits._
+    val pr = Seq(
+      ("a", 5.0),
+      ("b", 1.0), ("b", 2.0),
+      ("c", 1.0), ("c", 2.0), ("c", 3.0),
+      ("d", 1.0), ("d", 2.0), ("d", 3.0), ("d", 4.0), ("d", 5.0),
+      ("d", 6.0), ("d", 7.0)).toDF("rf", "p")
+    val got = graft.catalog.Extended.ntileNth(pr)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+      .toMap
+    // reference: SQL NTILE(4) bucket intervals per group size —
+    // n=1 → one bucket; n=2 → two; n=3 → three; n=7 → [1,2][3,4][5,6][7]
+    val expect = Map(
+      ("a", 1L) -> ((1L, 5.0, 5.0, 5.0, None)),
+      ("b", 1L) -> ((1L, 1.0, 1.0, 1.0, None)),
+      ("b", 2L) -> ((1L, 2.0, 2.0, 1.0, None)),
+      ("c", 1L) -> ((1L, 1.0, 1.0, 1.0, Some(3.0))),
+      ("c", 2L) -> ((1L, 2.0, 2.0, 1.0, Some(3.0))),
+      ("c", 3L) -> ((1L, 3.0, 3.0, 1.0, Some(3.0))),
+      ("d", 1L) -> ((2L, 1.0, 2.0, 1.0, Some(3.0))),
+      ("d", 2L) -> ((2L, 3.0, 4.0, 1.0, Some(3.0))),
+      ("d", 3L) -> ((2L, 5.0, 6.0, 1.0, Some(3.0))),
+      ("d", 4L) -> ((1L, 7.0, 7.0, 1.0, Some(3.0))))
     assert(got == expect,
-      s"rank picks diverged: only-got=${got.toSet -- expect.toSet} " +
+      s"only-got=${got.toSet -- expect.toSet} " +
         s"only-ref=${expect.toSet -- got.toSet}")
-    // exactly one row per requested (grp, k) — the duplicate-value
-    // interval filter must not emit the value twice
-    assert(got.size == expect.size)
   }
 }

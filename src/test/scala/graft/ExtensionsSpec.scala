@@ -339,6 +339,106 @@ class ExtensionsSpec extends SparkSuite {
     assert(edges.forall(_.isNullAt(0)))
   }
 
+  test("IvfSims kernel: bit-identical to the literal dot_product sims " +
+      "array on real vectors; interpreted == codegen incl. null edges; " +
+      "scaledC ladder; e8-shape parity kernel vs literal") {
+    import graft.catalog.Approx
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val C = 16; val dims = 64
+    val cb = Approx.ivfFlatCentroids(C, dims)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+    // 1) kernel sims == C separate literal dot_product expressions,
+    //    bit-for-bit (same fold order by construction)
+    def centroidLit(c: Int) = array((0 until dims).map(d =>
+      lit(cb(c * dims + d))): _*)
+    val litSims = array((0 until C).map(c =>
+      graft.functions.DotProduct.dot_product(col("dv"), centroidLit(c))): _*)
+    val both = emb.select(col("vec_id"),
+        graft.functions.IvfKernels.ivf_sims(col("dv"), cb, dims).as("k"),
+        litSims.as("l"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val k = r.getAs[scala.collection.Seq[Double]]("k")
+      val l = r.getAs[scala.collection.Seq[Double]]("l")
+      assert(k.length == C && l.length == C)
+      k.zip(l).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a) ==
+          java.lang.Double.doubleToRawLongBits(b),
+          s"vec ${r.getLong(0)}: kernel=$a literal=$b")
+      }
+    }
+    // 2) interpreted eval == codegen, and the null edges both yield null
+    //    (ragged length, null element — mirrors the PqEncode contract)
+    def litArr(xs: Seq[java.lang.Double]) = Literal(
+      ArrayData.toArrayData(xs.map(x =>
+        if (x == null) null else x.doubleValue()).toArray[Any]),
+      ArrayType(DoubleType))
+    val goodDv = (0 until dims).map(d => java.lang.Double.valueOf(d * 0.01))
+    val interp = graft.functions.IvfSims(litArr(goodDv), cb, dims).eval(null)
+      .asInstanceOf[ArrayData].toDoubleArray().toSeq
+    val viaDf = emb.limit(1)
+      .select(graft.functions.IvfKernels.ivf_sims(
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => i.cast("double") * lit(0.01)), cb, dims))
+      .collect().head.getAs[scala.collection.Seq[Double]](0).toSeq
+    assert(interp == viaDf, "interpreted != codegen")
+    assert(graft.functions.IvfSims(
+      litArr(goodDv.take(dims - 1)), cb, dims).eval(null) == null)
+    assert(graft.functions.IvfSims(
+      litArr(goodDv.updated(3, null: java.lang.Double)), cb, dims)
+      .eval(null) == null)
+    // 2b) IvfProbes == the declarative zip_with→array_sort probe tail
+    //     (and its element 1 == the array_position cell argmax) on real
+    //     vectors, plus the same null edges
+    val litSimsRanked = zip_with(litSims,
+      transform(sequence(lit(1), lit(C)), i => i.cast("long")),
+      (sim, idx) => struct((-sim).as("neg"), idx.as("cell")))
+    val probePairs = emb.select(col("vec_id"),
+        graft.functions.IvfKernels.ivf_probes(col("dv"), cb, dims, 4).as("k"),
+        transform(slice(array_sort(litSimsRanked), 1, 4),
+          x => x.getField("cell")).as("l"),
+        array_position(litSims, array_max(litSims)).as("cellRef"))
+      .collect()
+    probePairs.foreach { r =>
+      val k = r.getAs[scala.collection.Seq[Long]]("k").toSeq
+      assert(k == r.getAs[scala.collection.Seq[Long]]("l").toSeq,
+        s"vec ${r.getLong(0)} probes")
+      assert(k.head == r.getLong(3), s"vec ${r.getLong(0)} cell argmax")
+    }
+    val interpProbes = graft.functions.IvfProbes(litArr(goodDv), cb, dims, 4)
+      .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    val codegenProbes = emb.limit(1)
+      .select(graft.functions.IvfKernels.ivf_probes(
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => i.cast("double") * lit(0.01)), cb, dims, 4))
+      .collect().head.getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(interpProbes == codegenProbes, "probes interpreted != codegen")
+    assert(graft.functions.IvfProbes(
+      litArr(goodDv.take(dims - 1)), cb, dims, 4).eval(null) == null)
+    assert(graft.functions.IvfProbes(
+      litArr(goodDv.updated(3, null: java.lang.Double)), cb, dims, 4)
+      .eval(null) == null)
+    // 3) the power-of-two ladder both engines derive C from
+    assert(Approx.scaledC(1L) == 8)
+    assert(Approx.scaledC(500L) == 8)
+    assert(Approx.scaledC(512L) == 8)
+    assert(Approx.scaledC(513L) == 16)
+    assert(Approx.scaledC(2000L) == 32)
+    assert(Approx.scaledC(25000L) == 512)
+    assert(Approx.scaledC(10000000L) == 4096) // clamp
+    // 4) e8-shape end-to-end parity: the kernel path and the literal
+    //    path produce identical dedup output at shared C
+    val viaKernel = Approx.ivfDedup(emb.drop("dv"), C, 4, 0.4, kernel = true)
+      .collect().map(_.toSeq).toSeq
+    val viaLit = Approx.ivfDedup(emb.drop("dv"), C, 4, 0.4)
+      .collect().map(_.toSeq).toSeq
+    assert(viaKernel == viaLit && viaKernel.nonEmpty)
+  }
+
   test("WindowTopKRewrite: the row_number-filter idiom plans as the " +
       "native TopKPerKeyExec and returns the identical rows") {
     import org.apache.spark.sql.expressions.Window

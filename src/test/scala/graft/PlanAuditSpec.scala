@@ -84,4 +84,133 @@ class PlanAuditSpec extends SparkSuite {
     val b = bad.result()
     assert(b.isEmpty, s"catalog plan audit violations:\n  ${b.mkString("\n  ")}")
   }
+
+  /** windows allowed a measured-low-cardinality partition key, each with
+    * the bound (or the named scale path) that keeps the funnel harmless:
+    * either the frame under the window is bounded BY CONSTRUCTION
+    * (shortlist / aggregate / dimension-sized, never fact-corpus rows),
+    * the key cardinality GROWS with the corpus and is only small on the
+    * fixture, or the entry is a semantics pin whose corpus-scale twin is
+    * named. (spark_partition_id()-keyed windows are exempted
+    * structurally in the rule itself — that key scales with the cluster
+    * by construction; it IS the q54/d27/RankSelect discipline.) */
+  private val lowCardWindowAllowed: Map[String, String] = Map(
+    "bb_e2e_tophits" -> ("per-sample top-K (reference contract W1): key " +
+      "count = #samples, grows with the corpus (4 on the fixture); " +
+      "per-key frame bounded by the rank-filtered taxa universe"),
+    "bb_tophits" -> ("same W1 shape over the events analog: per-user " +
+      "top-K, user count grows with the corpus, per-key frame bounded " +
+      "by the event-type universe"),
+    "bb_rrpm" -> ("the 1-key window is the exactly-one-CONTROL frame " +
+      "(P5 cardinality assertion bounds it to one sample's rows)"),
+    "bb_zscore" -> ("J3 contract: z within type ACROSS samples, " +
+      "windowed over the per-(sample, type) AGGREGATE — one row per " +
+      "pair, never raw events"),
+    "d12_seq_pack" -> ("shard is the write-parallelism knob, set " +
+      "proportional to the deployment (fixture pins 8); per-shard " +
+      "frame = that shard's packed-sequence slice"),
+    "d30_e2e_pipeline" -> "same shard knob as d12 (shared stage)",
+    "d13_source_quota" -> ("per-source quota selection; source is the " +
+      "curation dimension (~20). A source outgrowing one task moves to " +
+      "stratified sampleBy (q98's shape) — quota output is fixed-size"),
+    "d25_token_budget" -> ("per-source RUNNING token budget — " +
+      "cumulative-order semantics; the budget cutoff bounds the " +
+      "retained prefix. Corpus-scale form re-keys by (pid, source) " +
+      "with prefix offsets (the d27/q54 discipline)"),
+    "e1_cosine_topk" -> ("constant query batch (8 probes) over " +
+      "candidate shortlists — the e1 discipline"),
+    "e2_ann_lsh" -> "constant query batch; bucket-join candidates",
+    "e3_ann_ivf" -> "constant query batch; probe-cell candidates",
+    "e7_pq_adc" -> "constant query batch; ADC shortlist (<= 50/query)",
+    "e10_knn_classify" -> "constant 20-probe batch; cell candidates",
+    "e12_ivf_trained" -> "constant query batch; trained-cell candidates",
+    "e13_mmr_rerank" -> ("constant query batch; every MMR window runs " +
+      "over the localCheckpointed <= 8-row-per-query shortlist"),
+    "e14_recall_eval" -> "constant probe batch; top-3 relations",
+    "e15_binary_ann" -> "constant query batch; Hamming shortlist",
+    "e17_pq_trained" -> "constant query batch; trained-ADC shortlist",
+    "q40_rank_family" -> ("rank/dense_rank/percent_rank semantics pin " +
+      "over the customer DIMENSION per nation (25 keys, dimension-" +
+      "sized frames); corpus-scale rank selection is RankSelect " +
+      "(q78/q88)"),
+    "q51_sql_window_subquery" -> ("SQL window-in-subquery syntax pin " +
+      "over lineitem; the scalable form of this computation is " +
+      "q78/q88's RankSelect"),
+    "q78_winsorize" -> ("the size-GATED small path: window over the " +
+      "duplicate-collapsed value HISTOGRAM, taken only when file-backed " +
+      "input < 32 MB; larger inputs take the distributed RankSelect " +
+      "path (PlanSpec pins its (_pid, grp) windows)"),
+    "q88_ntile_nth" -> "same gate as q78 (shared RankSelect)",
+    "q91_mad_outliers" -> ("per-type exact median-of-|deviations| — " +
+      "discrete rank picks within type; the corpus-scale pick is the " +
+      "RankSelect discipline, pinned here at reference semantics"),
+    "q103_reservoir" -> ("per-type fixed-k reservoir: output <= " +
+      "k x |types|; corpus-scale form merges per-partition reservoirs " +
+      "(q94's mergeable-summary discipline)"),
+    "q104_burst_alert" -> ("per-type window over the per-(type, " +
+      "minute-bucket) AGGREGATE — time-bucketed counts, never raw " +
+      "events"))
+
+  test("catalog-wide window-key cardinality audit: a Window partitioned " +
+      "SOLELY by keys whose measured cardinality is below the at-scale " +
+      "task width funnels its whole child through that many tasks — " +
+      "pre-rewrite q78 (PARTITION BY a 3-value flag over the corpus) " +
+      "passed every other audit; this rule catches the next one. Flagged " +
+      "windows must either re-key (the RankSelect discipline) or carry a " +
+      "documented bound in the allowlist") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, SparkPartitionID}
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Window => LWindow}
+    // the at-scale shuffle width the bench pins (local[32]); a window
+    // whose key cardinality is below it cannot use the cluster
+    val threshold = 32L
+    val bad = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val lp = fn(spark, sf).queryExecution.optimizedPlan
+      lp.collect { case w: LWindow => w }.foreach { w =>
+        // STRUCTURAL exemption: a partition key derived from
+        // spark_partition_id() has cardinality = the shuffle width by
+        // construction — it IS the q54/d27/q81/RankSelect prefix-offset
+        // discipline this rule exists to steer windows toward. Resolve
+        // key attributes through the child's aliases to find it.
+        val aliases = w.child.collect { case p => p.expressions }.flatten
+          .flatMap(_.collect { case a: Alias => a.exprId -> a.child })
+          .toMap
+        def resolve(e: Expression, depth: Int = 0): Expression =
+          if (depth > 20) e
+          else e.transformUp {
+            case ar: AttributeReference if aliases.contains(ar.exprId) =>
+              resolve(aliases(ar.exprId), depth + 1)
+          }
+        // a localCheckpoint/RDD barrier truncates the logical plan, so
+        // a pid computed before it resolves to an opaque attribute —
+        // fall back on the repo-wide naming convention for partition-id
+        // keys ("pid"/"_pid", always spark_partition_id-derived; q54/
+        // d27/q81/q86/q93/RankSelect). A future query must not reuse
+        // these names for a genuinely low-cardinality key.
+        val pidKeyed = w.partitionSpec.exists { e =>
+          resolve(e).exists(_.isInstanceOf[SparkPartitionID]) ||
+            e.collect { case ar: AttributeReference => ar.name }
+              .exists(n => n == "pid" || n == "_pid")
+        }
+        if (w.partitionSpec.nonEmpty && !pidKeyed) {
+          val proj = Project(w.partitionSpec.zipWithIndex.map {
+            case (e, i) => Alias(e, s"_p$i")()
+          }, w.child)
+          // bounded probe: stop counting past the threshold
+          val card = GraftBridge.ofRows(spark, proj)
+            .distinct().limit(threshold.toInt + 1).count()
+          if (card < threshold && !lowCardWindowAllowed.contains(name))
+            bad += s"$name: Window partitioned by " +
+              s"[${w.partitionSpec.map(_.sql).mkString(", ")}] has " +
+              s"measured key cardinality $card < $threshold"
+        }
+      }
+      spark.catalog.clearCache()
+    }
+    val b = bad.result()
+    assert(b.isEmpty,
+      s"low-cardinality window-key violations (re-key or allowlist with " +
+        s"a bound):\n  ${b.mkString("\n  ")}")
+  }
 }

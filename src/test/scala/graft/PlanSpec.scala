@@ -555,26 +555,46 @@ class PlanSpec extends SparkSuite {
       s"3-row cuts must broadcast, not shuffle, onto the corpus:\n$p")
   }
 
-  test("q78/q88: rank picks are distributed (RankSelect) — every Window " +
-      "sorts within a (range-chunk, group) slice, never a whole " +
-      "3-value group through one task") {
+  test("q78/q88: rank picks go through RankSelect's size gate — at the " +
+      "test scale the windowed small path runs over the duplicate-" +
+      "collapsed HISTOGRAM (no SinglePartition), and the distributed " +
+      "path (forced) keeps every Window on a (range-chunk, group) slice") {
+    // small-gated path: the catalog plans at sf0.01 (1 MB input < the
+    // 32 MB gate). The group-keyed window here is ALLOWLISTED BY THE
+    // GATE: it sorts the value histogram, not the corpus, and only when
+    // the file-backed input is under minDistributedBytes.
     for (q <- Seq("q78_winsorize", "q88_ntile_nth")) {
       val p = plan(q)
       assert(!p.contains("SinglePartition"),
         s"$q must not funnel any stage through one task:\n$p")
-      // every Window node must key its partition spec on the range-chunk
-      // pid, not on the group column alone — a [rf]-only partitionSpec
-      // is the 3-task full-group sort this rewrite removed
-      val windows = p.linesIterator
-        .filter(_.contains("windowspecdefinition")).toSeq
-      assert(windows.nonEmpty, s"$q: expected a Window node in:\n$p")
-      windows.foreach { l =>
-        assert(l.contains("_pid"),
-          s"$q: window must partition by (_pid, grp), got: $l")
-      }
       assert(p.contains("BroadcastHashJoin"),
-        s"$q: offsets/targets must attach by broadcast:\n$p")
+        s"$q: cuts/targets must attach by broadcast:\n$p")
     }
+    // distributed path, forced (minDistributedBytes = 0): every Window
+    // node must key its partition spec on the range-chunk pid, not the
+    // group column alone — a [rf]-only partitionSpec is the 3-task
+    // full-group sort the rewrite removed. This is the ONLY path a
+    // large input can take, so the pin covers the at-scale shape.
+    val pr = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("rf"),
+        col("l_extendedprice").cast("decimal(12,2)").as("p"))
+    val targets = pr.groupBy("rf").agg(count(lit(1)).as("n"))
+      .select(col("rf"), expr("(n + 9) div 10").as("k"))
+    val dist = graft.operators.RankSelect.valueAtRanks(
+      pr, "rf", "p", targets, minDistributedBytes = 0L)
+    val p = dist.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("SinglePartition"),
+      s"distributed RankSelect must not funnel through one task:\n$p")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"expected a Window node in:\n$p")
+    windows.foreach { l =>
+      assert(l.contains("_pid"),
+        s"window must partition by (_pid, grp), got: $l")
+    }
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets/targets must attach by broadcast:\n$p")
   }
 
   test("e11: the 512-row centroid table joins by broadcast each " +
