@@ -685,6 +685,27 @@ object Approx {
       FROM cells c LEFT JOIN reps r ON r.vec_id = c.vec_id
       ORDER BY c.vec_id"""
 
+  /** e16's decontamination tail over the corpus-scaled CTE prefix —
+    * identical flag/witness/keep logic, C from the data */
+  private def e16bOracleSql: String =
+    s"""WITH ${ivfScaledPairCtes(p = 4, tau = 0.4)},
+      contam AS (
+        SELECT id_b AS vec_id, id_a AS eval_id FROM pairs
+        WHERE id_a % 50 = 0 AND id_b % 50 <> 0
+        UNION ALL
+        SELECT id_a AS vec_id, id_b AS eval_id FROM pairs
+        WHERE id_b % 50 = 0 AND id_a % 50 <> 0),
+      flags AS (SELECT vec_id, COUNT(*) AS n_near_eval,
+          MIN(eval_id) AS witness_eval
+        FROM contam GROUP BY vec_id)
+      SELECT c.vec_id, c.cell,
+        CAST(COALESCE(f.n_near_eval, 0) AS BIGINT) AS n_near_eval,
+        CAST(COALESCE(f.witness_eval, -1) AS BIGINT) AS witness_eval,
+        CAST(CASE WHEN f.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM cells c LEFT JOIN flags f ON f.vec_id = c.vec_id
+      WHERE c.vec_id % 50 <> 0
+      ORDER BY c.vec_id"""
+
   private def e16OracleSql: String =
     s"""WITH $ivfPairCtes,
       contam AS (
@@ -1388,9 +1409,46 @@ object Approx {
       Some(e8bOracleSql),
       "corpus-scaled-C embedding near-dup dedup: e8's SemDeDup shape " +
         "with C chosen from the corpus count (cell size <= 64) and " +
-        "coarse scoring through the compiled IvfSims codebook kernel; " +
+        "coarse scoring through the compiled IvfProbes codebook kernel; " +
         "oracle re-derives C and the splitmix64 centroids in SQL — " +
         "the 100 TB configuration, fully oracle-checked"),
+
+    QueryDef(
+      "e16b_decontam_scaled",
+      (s, dir) => {
+        // e16's semantic decontamination at the e8b setting: same
+        // corpus-scaled C, same compiled coarse-assignment kernel, same
+        // flag/witness/keep semantics — so BOTH ingest-quality surfaces
+        // (dedup and decontamination) carry a deployment-shaped entry,
+        // not just the didactic C=16 twins. Oracle = the shared scaled
+        // CTE prefix + e16's tail, exact at every scale factor.
+        val emb = t(s, dir, "embeddings")
+        val c = scaledC(emb.count())
+        val (cells, pairs) = ivfCellsAndPairs(emb, C = c, P = 4,
+          tau = 0.4, kernel = true)
+        val contam = pairs
+          .filter(col("id_a") % 50 === 0 && col("id_b") % 50 =!= 0)
+          .select(col("id_b").as("vec_id"), col("id_a").as("eval_id"))
+          .unionByName(pairs
+            .filter(col("id_b") % 50 === 0 && col("id_a") % 50 =!= 0)
+            .select(col("id_a").as("vec_id"), col("id_b").as("eval_id")))
+        val flags = contam.groupBy("vec_id")
+          .agg(count(lit(1)).as("n_near_eval"),
+            min(col("eval_id")).as("witness_eval"))
+        cells.filter(col("vec_id") % 50 =!= 0)
+          .select("vec_id", "cell")
+          .join(flags, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("n_near_eval"), lit(0L)).as("n_near_eval"),
+            coalesce(col("witness_eval"), lit(-1L)).as("witness_eval"),
+            when(col("n_near_eval").isNull, 1L).otherwise(0L).as("keep"))
+          .orderBy("vec_id")
+      },
+      Some(e16bOracleSql),
+      "corpus-scaled-C semantic decontamination: e16's flag/witness/" +
+        "keep gate through e8b's scaled IVF machinery (shared kernel, " +
+        "shared oracle CTE prefix) — the decontamination a 100 TB " +
+        "ingest would actually run, fully oracle-checked"),
 
     QueryDef(
       "e16_semantic_decontam",
