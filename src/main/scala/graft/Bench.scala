@@ -79,6 +79,15 @@ object Bench {
         // per-query cache entries (barrier caches in the approx family)
         // would otherwise accumulate across the whole run
         spark.catalog.clearCache()
+        // localCheckpoint blocks are NOT catalog-cached: a dead frame's
+        // checkpointed RDD stays persisted until driver GC + async
+        // ContextCleaner get to it, so 200 queries of residue shade the
+        // tail of the run (measured at sf1: e16 33.9 s in-bench vs
+        // 0.52 s isolated, reproducibly). No frame outlives its query
+        // here, so dropping every persistent RDD between queries is
+        // safe and makes each measurement start from a clean JVM.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     // record the machine's load state around the timed passes: the

@@ -9,6 +9,11 @@ object Verify {
     // restrict the dump to the named queries.
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    // local-dev mirror of Bench's skip knob (the driver never sets it):
+    // lets the 100x sweep exclude the documented didactic C=16 entry
+    // whose alpha~2 cost is established rather than informative
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SparkEnv resolves the SPARK_GRAFT_MASTER/_JARS overrides for the
     // cross-executor gate (CORRECTNESS_CLUSTER.md)
@@ -23,7 +28,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) =>
+        (only.isEmpty || only(name)) && !skip(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1280,14 +1280,20 @@ object Extended {
         val pr = t(s, dir, "lineitem")
           .select(col("l_returnflag").as("rf"),
             d2(col("l_extendedprice")).as("p"))
-        val sz = pr.groupBy("rf").agg(count(lit(1)).as("n"))
+        // ONE corpus pass: the checkpointed value histogram feeds both
+        // the group sizes (percentile indices) and the rank selection —
+        // everything after this line is histogram-sized.
+        val hist = graft.operators.RankSelect.histogram(pr, "rf", "p")
+          .localCheckpoint()
+        val sz = hist.groupBy("rf").agg(sum(col("_c")).as("n"))
         val targets = sz
           .select(col("rf"), expr("(n + 9) div 10").as("k"),
             lit("lo").as("which"))
           .union(sz.select(col("rf"), expr("(9 * n + 9) div 10").as("k"),
             lit("hi").as("which")))
         val cuts = graft.operators.RankSelect
-          .valueAtRanks(pr, "rf", "p", targets)
+          .valueAtRanksFromHist(hist,
+            graft.operators.RankSelect.inputBytes(pr), "rf", "p", targets)
           .groupBy("rf")
           .agg(
             max(when(col("which") === "lo", col("p"))).as("lo"),
@@ -2369,7 +2375,12 @@ object Extended {
     * never occur on lineitem returnflag). See the q88 QueryDef scaladoc
     * for the rank-interval derivation. */
   private[graft] def ntileNth(pr: DataFrame): DataFrame = {
-    val sz = pr.groupBy("rf").agg(count(lit(1)).as("n"))
+    // ONE corpus pass (the q78 discipline): group sizes for the ntile
+    // boundary arithmetic AND the rank selection both come from the
+    // checkpointed value histogram.
+    val hist = graft.operators.RankSelect.histogram(pr, "rf", "p")
+      .localCheckpoint()
+    val sz = hist.groupBy("rf").agg(sum(col("_c")).as("n"))
     val quartTargets = sz.select(col("rf"), col("n"),
         explode(expr("""flatten(transform(sequence(1, 4), i -> array(
           named_struct('q', i, 'w', 'lo',
@@ -2385,7 +2396,9 @@ object Extended {
       .union(sz.select(col("rf"), lit(0).as("quartile"),
         lit("third").as("which"), lit(3L).as("k")))
     val picked = graft.operators.RankSelect
-      .valueAtRanks(pr, "rf", "p", quartTargets.union(frameTargets))
+      .valueAtRanksFromHist(hist,
+        graft.operators.RankSelect.inputBytes(pr), "rf", "p",
+        quartTargets.union(frameTargets))
     val byQ = picked.filter(col("quartile") >= 1)
       .groupBy(col("rf"), col("quartile").cast("long").as("quartile"))
       .agg(

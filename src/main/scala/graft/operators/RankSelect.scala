@@ -70,18 +70,38 @@ object RankSelect {
 
   /** total bytes of the file-backed relations feeding `df` — 0 for pure
     * in-memory frames, which therefore take the windowed small path */
-  private def inputBytes(df: DataFrame): Long =
+  private[graft] def inputBytes(df: DataFrame): Long =
     df.queryExecution.analyzed.collect {
       case r: LogicalRelation => r.relation.sizeInBytes
     }.sum
 
+  /** the duplicate-collapsed (grp, v, `_c`) value histogram of `df` —
+    * the input contract of `valueAtRanksFromHist`. Callers that ALSO
+    * derive their targets from group sizes (q78's percentile indices,
+    * q88's ntile boundaries) should build this once, `localCheckpoint`
+    * it, and compute sizes as `hist.groupBy(grp).agg(sum("_c"))`:
+    * targets AND rank selection then both run histogram-sized, and the
+    * corpus is read EXACTLY ONCE — at 100 TB that is the difference
+    * between one full scan and two. */
+  def histogram(df: DataFrame, grp: String, v: String): DataFrame =
+    df.groupBy(col(grp), col(v)).agg(count(lit(1)).as("_c"))
+
   def valueAtRanks(df: DataFrame, grp: String, v: String,
       targets: DataFrame, parts: Int = 32,
       minDistributedBytes: Long = 32L << 20,
+      validateTargets: Boolean = false): DataFrame =
+    valueAtRanksFromHist(histogram(df, grp, v), inputBytes(df), grp, v,
+      targets, parts, minDistributedBytes, validateTargets)
+
+  /** rank selection over a pre-built histogram (see `histogram` for the
+    * column contract). `sourceBytes` feeds the size gate — pass
+    * `inputBytes(sourceDf)` (or 0 / Long.MaxValue to force a path). */
+  def valueAtRanksFromHist(hist: DataFrame, sourceBytes: Long,
+      grp: String, v: String, targets: DataFrame, parts: Int = 32,
+      minDistributedBytes: Long = 32L << 20,
       validateTargets: Boolean = false): DataFrame = {
-    val spark = df.sparkSession
-    val hist = df.groupBy(col(grp), col(v)).agg(count(lit(1)).as("_c"))
-    if (inputBytes(df) < minDistributedBytes) {
+    val spark = hist.sparkSession
+    if (sourceBytes < minDistributedBytes) {
       // small path: same interval math, one running-count window over
       // the duplicate-collapsed histogram
       if (validateTargets) {
