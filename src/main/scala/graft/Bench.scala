@@ -83,11 +83,14 @@ object Bench {
         // checkpointed RDD stays persisted until driver GC + async
         // ContextCleaner get to it, so 200 queries of residue shade the
         // tail of the run (measured at sf1: e16 33.9 s in-bench vs
-        // 0.52 s isolated, reproducibly). No frame outlives its query
-        // here, so dropping every persistent RDD between queries is
-        // safe and makes each measurement start from a clean JVM.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // 0.52 s isolated, reproducibly). Drop every persistent RDD
+        // between queries EXCEPT the session-lifetime memo checkpoints
+        // (shared train/pair frames, which cannot be recomputed once
+        // their blocks are gone — see PinnedCheckpoints).
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) =>
+            !graft.catalog.PinnedCheckpoints.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
         name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     // record the machine's load state around the timed passes: the

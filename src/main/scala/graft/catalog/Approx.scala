@@ -339,7 +339,12 @@ object Approx {
       m
     }
     perDir.synchronized {
-      perDir.getOrElseUpdate(dir, lloydTrainUncached(s, dir))
+      perDir.getOrElseUpdate(dir, {
+        val (corpus, cent, assign) = lloydTrainUncached(s, dir)
+        (PinnedCheckpoints.register(corpus),
+          PinnedCheckpoints.register(cent),
+          PinnedCheckpoints.register(assign))
+      })
     }
   }
 
@@ -425,7 +430,12 @@ object Approx {
       m
     }
     perDir.synchronized {
-      perDir.getOrElseUpdate(dir, pqLloydTrainUncached(s, dir))
+      perDir.getOrElseUpdate(dir, {
+        val (q0, cent, codes) = pqLloydTrainUncached(s, dir)
+        (PinnedCheckpoints.register(q0),
+          PinnedCheckpoints.register(cent),
+          PinnedCheckpoints.register(codes))
+      })
     }
   }
 

@@ -164,7 +164,8 @@ object TextDocs {
       m
     }
     perDir.synchronized {
-      perDir.getOrElseUpdate(dir, setsimPairsUncached(s, dir).localCheckpoint())
+      perDir.getOrElseUpdate(dir, PinnedCheckpoints.register(
+        setsimPairsUncached(s, dir).localCheckpoint()))
     }
   }
 
