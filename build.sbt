@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 1 GB per local[32] task slot (the box has 128 GiB). The old 8g
+  // default gave 32 concurrent tasks a ~4.6 GB unified pool (256 MB
+  // per core — far under Spark's 2-4 GB/core guidance): across a
+  // 200-query bench run, accumulated broadcast blocks (cleaned only on
+  // driver GC) squeezed execution memory until late checkpoint-heavy
+  // queries ran up to 65x slower in-bench than isolated, and e16 died
+  // with UNABLE_TO_ACQUIRE_MEMORY at sf1. Executor sizing is part of
+  // the deployment contract, not a tuning nicety.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

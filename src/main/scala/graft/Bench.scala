@@ -128,8 +128,13 @@ object Bench {
     val skippedJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val env = {
       val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      // heap matters as much as load: an undersized pool inflates the
+      // run's tail (broadcast debt starves execution memory), so the
+      // artifact must record it or cross-run deltas are unreadable
       s"""{"cpus":${os.getAvailableProcessors},"load_before":$loadBefore,""" +
-        s""""load_after":$loadAfter,"epoch_ms":${System.currentTimeMillis()}}"""
+        s""""load_after":$loadAfter,""" +
+        s""""heap_max_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},""" +
+        s""""epoch_ms":${System.currentTimeMillis()}}"""
     }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir","env":$env}"""
