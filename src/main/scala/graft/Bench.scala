@@ -13,6 +13,13 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // fail fast on unknown names: a typo'd skip entry would otherwise be
+    // recorded verbatim in the artifact's `skipped` array while the
+    // intended query actually ran — the skip record would misstate what
+    // the artifact measured
+    require(skip.subsetOf(SparkEntry.queries.keySet),
+      s"SPARK_GRAFT_SKIP names unknown queries: " +
+        (skip -- SparkEntry.queries.keySet).toSeq.sorted.mkString(", "))
     val spark = SparkEnv.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -125,7 +132,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val skippedJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // derive the record from the names the passes ACTUALLY excluded
+    // (catalog keys ∩ skip), not the raw env set — with the startup
+    // require these coincide, but the artifact should state what ran
+    val skippedJson = SparkEntry.queries.keys.filter(skip).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val env = {
       val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       // heap matters as much as load: an undersized pool inflates the

@@ -11,9 +11,16 @@ object Verify {
     val only = args.drop(2).toSet
     // local-dev mirror of Bench's skip knob (the driver never sets it):
     // lets the 100x sweep exclude the documented didactic C=16 entry
-    // whose alpha~2 cost is established rather than informative
+    // whose alpha~2 cost is established rather than informative.
+    // Same trimmed/filtered parse as Bench ("a, b" skips both, a stray
+    // comma adds nothing) and the same fail-fast on unknown names — a
+    // typo'd entry must not silently leave the intended query running.
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
-      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    require(skip.subsetOf(SparkEntry.queries.keySet),
+      s"SPARK_GRAFT_SKIP names unknown queries: " +
+        (skip -- SparkEntry.queries.keySet).toSeq.sorted.mkString(", "))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SparkEnv resolves the SPARK_GRAFT_MASTER/_JARS overrides for the
     // cross-executor gate (CORRECTNESS_CLUSTER.md)
@@ -27,10 +34,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val dumped = SparkEntry.queries
       .filter { case (name, _) =>
         (only.isEmpty || only(name)) && !skip(name) }
-      .foreach { case (name, fn) =>
+    // a partial dump must be DISTINGUISHABLE from a full verification
+    // run: record every excluded name (skip knob or `only` restriction)
+    // as a marker file in the output directory, so a correctness
+    // artifact produced with either set can never masquerade as the
+    // full 203-query sweep (Bench's `skipped` array, applied here)
+    val excluded = (SparkEntry.queries.keySet -- dumped.keySet).toSeq.sorted
+    if (excluded.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/_skipped.json"),
+        excluded.map("\"" + _ + "\"").mkString("[", ",", "]") + "\n")
+    dumped.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

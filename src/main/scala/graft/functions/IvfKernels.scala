@@ -31,7 +31,14 @@ import org.apache.spark.sql.types._
 object IvfKernels {
 
   /** sims(c) = Σ_d dv(d) · cb(c·dims + d), folded in d order; null on
-    * ragged or null-holed input (mirrors PqKernels.encodeOrNull) */
+    * ragged or null-holed input (mirrors PqKernels.encodeOrNull) and on
+    * any NaN sim — a NaN dot product has no consistent rank (the
+    * declarative `-sim` ascending tail sorts NaN LAST because -NaN is
+    * still NaN, while Double.compare ranks it FIRST), so rather than
+    * silently diverging from the zip_with→array_sort formulation the
+    * kernels declare NaN-producing embeddings out of contract and null
+    * the row, exactly like the null-hole guard. ±Inf sims are kept:
+    * both orderings agree on them (+Inf first, -Inf last). */
   def simsOrNull(dv: ArrayData, cb: Array[Double], dims: Int): ArrayData = {
     if (dv.numElements() != dims) return null
     val c = cb.length / dims
@@ -45,6 +52,7 @@ object IvfKernels {
         acc += dv.getDouble(d) * cb(i * dims + d)
         d += 1
       }
+      if (acc != acc) return null // NaN sim: no consistent rank
       out(i) = acc
       i += 1
     }
@@ -63,10 +71,12 @@ object IvfKernels {
     * array_max and top-1 by (sim DESC, idx ASC) coincide), so callers
     * take `cell = probes[0]` rather than re-scoring.
     *
-    * Ordering contract: java.lang.Double.compare — NaN greatest,
+    * Ordering contract: java.lang.Double.compare on finite/±Inf sims —
     * -0.0 < 0.0 — matching both Spark's double ordering in array_sort
     * and DuckDB's ORDER BY sim DESC; equal sims keep the earlier cell
-    * (strict-beat insertion over an ascending scan). */
+    * (strict-beat insertion over an ascending scan). A NaN sim nulls
+    * the row (see simsOrNull: the two formulations rank NaN at opposite
+    * ends, so it is out of the parity contract by construction). */
   def probesOrNull(dv: ArrayData, cb: Array[Double], dims: Int,
       p: Int): ArrayData = {
     if (dv.numElements() != dims) return null
@@ -83,6 +93,7 @@ object IvfKernels {
       var acc = 0.0
       d = 0
       while (d < dims) { acc += v(d) * cb(i * dims + d); d += 1 }
+      if (acc != acc) return null // NaN sim: no consistent rank
       if (filled < pp || java.lang.Double.compare(acc, topS(pp - 1)) > 0) {
         var pos = if (filled < pp) filled else pp - 1
         while (pos > 0 && java.lang.Double.compare(acc, topS(pos - 1)) > 0) {

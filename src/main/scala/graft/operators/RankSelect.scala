@@ -68,12 +68,24 @@ import org.apache.spark.sql.types._
   */
 object RankSelect {
 
-  /** total bytes of the file-backed relations feeding `df` — 0 for pure
-    * in-memory frames, which therefore take the windowed small path */
-  private[graft] def inputBytes(df: DataFrame): Long =
-    df.queryExecution.analyzed.collect {
-      case r: LogicalRelation => r.relation.sizeInBytes
-    }.sum
+  /** size estimate feeding the gate: when every leaf of the analyzed
+    * plan is a file-backed relation, the exact sum of their on-disk
+    * sizes; otherwise (cached / localCheckpointed / RDD-backed leaves,
+    * whose LogicalRelation byte count would read 0 and silently funnel
+    * an arbitrarily large frame through the one-task windowed path) the
+    * optimizer's `stats.sizeInBytes` — tiny for LocalRelation test
+    * fixtures (still the small path), the accurate in-memory size for
+    * cached frames, and `defaultSizeInBytes` (= huge → distributed
+    * path, the safe direction) for opaque RDD scans */
+  private[graft] def inputBytes(df: DataFrame): Long = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val fileBacked = leaves.collect { case r: LogicalRelation => r }
+    if (fileBacked.size == leaves.size)
+      fileBacked.map(_.relation.sizeInBytes).sum
+    else
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+  }
 
   /** the duplicate-collapsed (grp, v, `_c`) value histogram of `df` —
     * the input contract of `valueAtRanksFromHist`. Callers that ALSO

@@ -383,9 +383,10 @@ class EdgeSpec extends SparkSuite {
       Seq(1L, vs.size.toLong, (vs.size / 2).toLong.max(1L), 7L)
         .distinct.map(k => (g, k) -> vs((k - 1).toInt))
     }.toMap
-    // BOTH gate paths against the same reference: an in-memory frame has
-    // inputBytes 0, so the default takes the windowed small path and
-    // minDistributedBytes = 0 forces the distributed prefix-offset path
+    // BOTH gate paths against the same reference: a LocalRelation frame
+    // sizes via stats (tiny), so the default takes the windowed small
+    // path and minDistributedBytes = 0 forces the distributed
+    // prefix-offset path
     for (minBytes <- Seq(Long.MaxValue, 0L)) {
       val got = graft.operators.RankSelect
         .valueAtRanks(df, "grp", "v", targets, parts = 8,

@@ -153,7 +153,14 @@ object StreamBench2 {
     def drive(name: String,
         start: () => org.apache.spark.sql.streaming.StreamingQuery,
         verify: () => Boolean): Unit = {
-      val batches = ArrayBuffer[(Long, Long)]() // (rows, durationMs)
+      // keyed by batchId: a batch that completed but had not committed
+      // its checkpoint when the phase-1 stop lands is REPLAYED by phase
+      // 2 under the SAME batchId (checkpoint resume continues the batch
+      // numbering) — appending every progress event would count its
+      // rows and duration twice in the sustained rows/s and percentile
+      // stats. Replay overwrites its phase-1 entry instead.
+      val batches = // batchId -> (rows, durationMs)
+        scala.collection.mutable.LinkedHashMap[Long, (Long, Long)]()
       @volatile var firstProgressNs = 0L
       val listener = new StreamingQueryListener {
         override def onQueryStarted(
@@ -165,7 +172,8 @@ object StreamBench2 {
           if (e.progress.numInputRows > 0) {
             if (firstProgressNs == 0L) firstProgressNs = System.nanoTime()
             batches.synchronized {
-              batches += ((e.progress.numInputRows, e.progress.batchDuration))
+              batches(e.progress.batchId) =
+                (e.progress.numInputRows, e.progress.batchDuration)
             }
           }
       }
@@ -189,7 +197,7 @@ object StreamBench2 {
         else (firstProgressNs - tRestart) / 1000000L
       val wallS = (System.nanoTime() - t0) / 1e9
       spark.streams.removeListener(listener)
-      val snap = batches.synchronized(batches.toVector)
+      val snap = batches.synchronized(batches.values.toVector)
       val rows = snap.map(_._1).sum
       val durs = snap.map(_._2).sorted
       def pct(p: Double) =
