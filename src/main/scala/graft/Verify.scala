@@ -21,6 +21,12 @@ object Verify {
     require(skip.subsetOf(SparkEntry.queries.keySet),
       s"SPARK_GRAFT_SKIP names unknown queries: " +
         (skip -- SparkEntry.queries.keySet).toSeq.sorted.mkString(", "))
+    // the positional `only` restriction gets the same fail-fast: a
+    // typo'd name would otherwise silently dump nothing for it and the
+    // gap only surfaces downstream as a check.py FAIL
+    require(only.subsetOf(SparkEntry.queries.keySet),
+      s"unknown query names: " +
+        (only -- SparkEntry.queries.keySet).toSeq.sorted.mkString(", "))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SparkEnv resolves the SPARK_GRAFT_MASTER/_JARS overrides for the
     // cross-executor gate (CORRECTNESS_CLUSTER.md)
@@ -46,6 +52,9 @@ object Verify {
     if (excluded.nonEmpty)
       Files.writeString(Paths.get(s"$outDir/_skipped.json"),
         excluded.map("\"" + _ + "\"").mkString("[", ",", "]") + "\n")
+    else // a stale marker from a prior partial run into the same outDir
+         // must not mislabel this full dump as partial
+      Files.deleteIfExists(Paths.get(s"$outDir/_skipped.json"))
     dumped.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

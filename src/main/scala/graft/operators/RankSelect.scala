@@ -76,7 +76,11 @@ object RankSelect {
     * optimizer's `stats.sizeInBytes` — tiny for LocalRelation test
     * fixtures (still the small path), the accurate in-memory size for
     * cached frames, and `defaultSizeInBytes` (= huge → distributed
-    * path, the safe direction) for opaque RDD scans */
+    * path, the safe direction) for opaque RDD scans. Clamped to
+    * `Long.MaxValue - 1`, NOT MaxValue: the documented
+    * `minDistributedBytes = Long.MaxValue` force-windowed sentinel
+    * must still win (`MaxValue < MaxValue` is false) even over a
+    * defaultSizeInBytes leaf. */
   private[graft] def inputBytes(df: DataFrame): Long = {
     val leaves = df.queryExecution.analyzed.collectLeaves()
     val fileBacked = leaves.collect { case r: LogicalRelation => r }
@@ -84,7 +88,7 @@ object RankSelect {
       fileBacked.map(_.relation.sizeInBytes).sum
     else
       df.queryExecution.optimizedPlan.stats.sizeInBytes
-        .min(BigInt(Long.MaxValue)).toLong
+        .min(BigInt(Long.MaxValue - 1)).toLong
   }
 
   /** the duplicate-collapsed (grp, v, `_c`) value histogram of `df` —

@@ -418,6 +418,39 @@ class EdgeSpec extends SparkSuite {
         validateTargets = true).count()
       assert(ok == expect.size)
     }
+    // size-gate fallback for non-file-backed leaves (the r9 fix): a
+    // localCheckpointed frame's LogicalRDD leaf is not a
+    // LogicalRelation, so the file-size sum would read 0 and silently
+    // funnel it through the one-task windowed path; the stats fallback
+    // must report a real positive size so the distributed path can
+    // engage at a realistic threshold
+    val ckpt = df.localCheckpoint()
+    val ckptBytes = graft.operators.RankSelect.inputBytes(ckpt)
+    assert(ckptBytes > 0L,
+      s"stats fallback read $ckptBytes for a localCheckpointed frame")
+    val gotCkpt = graft.operators.RankSelect
+      .valueAtRanks(ckpt, "grp", "v", targets, parts = 8,
+        minDistributedBytes = ckptBytes) // <= bytes → distributed path
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("k"))
+        -> r.getAs[Long]("v")).toMap
+    assert(gotCkpt == expect, "distributed path on checkpointed frame")
+    // an opaque RDD scan has no stats at all → defaultSizeInBytes,
+    // clamped to MaxValue - 1 so the documented
+    // minDistributedBytes = Long.MaxValue force-windowed sentinel
+    // STILL wins over it (MaxValue - 1 < MaxValue)
+    val rddDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (g, v) => org.apache.spark.sql.Row(g, v) }, 4),
+      df.schema)
+    val rddBytes = graft.operators.RankSelect.inputBytes(rddDf)
+    assert(rddBytes == Long.MaxValue - 1,
+      s"opaque RDD leaf sized $rddBytes, expected defaultSizeInBytes clamp")
+    val gotForced = graft.operators.RankSelect
+      .valueAtRanks(rddDf, "grp", "v", targets, parts = 8,
+        minDistributedBytes = Long.MaxValue) // sentinel: windowed even here
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("k"))
+        -> r.getAs[Long]("v")).toMap
+    assert(gotForced == expect, "forced windowed path on RDD-backed frame")
   }
 
   test("q88's ntileNth degrades tiny groups (< 4 rows) to the exact " +

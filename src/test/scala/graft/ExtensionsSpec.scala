@@ -422,6 +422,24 @@ class ExtensionsSpec extends SparkSuite {
     assert(graft.functions.IvfProbes(
       litArr(goodDv.updated(3, null: java.lang.Double)), cb, dims, 4)
       .eval(null) == null)
+    // 2c) NaN-sim guard: a NaN element makes every dot product NaN —
+    //     the two formulations rank NaN at opposite ends (array_sort
+    //     puts -NaN last, Double.compare first), so BOTH kernels
+    //     declare the row out of contract and return null, in the
+    //     interpreted AND codegen paths alike
+    val nanDv = goodDv.updated(3, java.lang.Double.valueOf(Double.NaN))
+    assert(graft.functions.IvfSims(litArr(nanDv), cb, dims)
+      .eval(null) == null, "interpreted IvfSims on NaN dv")
+    assert(graft.functions.IvfProbes(litArr(nanDv), cb, dims, 4)
+      .eval(null) == null, "interpreted IvfProbes on NaN dv")
+    val nanDvCol = transform(sequence(lit(0), lit(dims - 1)),
+      i => when(i === 3, lit(Double.NaN)).otherwise(i.cast("double") * lit(0.01)))
+    val codegenNaN = emb.limit(1).select(
+        graft.functions.IvfKernels.ivf_sims(nanDvCol, cb, dims).as("s"),
+        graft.functions.IvfKernels.ivf_probes(nanDvCol, cb, dims, 4).as("p"))
+      .collect().head
+    assert(codegenNaN.isNullAt(0), "codegen IvfSims on NaN dv")
+    assert(codegenNaN.isNullAt(1), "codegen IvfProbes on NaN dv")
     // 3) the power-of-two ladder both engines derive C from
     assert(Approx.scaledC(1L) == 8)
     assert(Approx.scaledC(500L) == 8)
