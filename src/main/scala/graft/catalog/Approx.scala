@@ -695,6 +695,67 @@ object Approx {
       FROM cells c LEFT JOIN reps r ON r.vec_id = c.vec_id
       ORDER BY c.vec_id"""
 
+  /** e2b's oracle: P from COUNT(*) (the scaledPlanes ladder as a MIN
+    * over VALUES), the 8·P hyperplanes regenerated via the HUGEINT
+    * splitmix64 emulation, per-table sign-bit buckets, Hamming-1
+    * multiprobe on the query side (UNNEST over a constant range
+    * filtered to j <= P — range() cannot take a subquery parameter),
+    * then e2's exact-cosine re-rank tail. One static string, bit-exact
+    * at every scale factor. */
+  private def e2bOracleSql: String =
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      pparam AS (
+        SELECT COALESCE(MIN(p), 16) AS P
+        FROM (VALUES (6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16))
+          t(p), nn
+        WHERE (CAST(1 AS BIGINT) << p) >= (nn.n + 63) // 64),
+      planes AS (
+        SELECT pid, list(val ORDER BY d) AS pv
+        FROM (
+          SELECT i // 64 AS pid, i % 64 AS d,
+            ${mixToUnitSql(s"CAST($LshSeedBase + i AS HUGEINT)")} - 0.5 AS val
+          FROM range(8192) t(i)
+          WHERE i // 64 < 8 * (SELECT P FROM pparam))
+        GROUP BY pid),
+      v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings),
+      proj AS (
+        SELECT v.vec_id, pl.pid,
+          list_reduce(list_transform(range(1, 65), i -> v.dv[i] * pl.pv[i]),
+            (a, b) -> a + b) AS s
+        FROM v CROSS JOIN planes pl),
+      b AS (
+        SELECT vec_id, pid // P AS tbl,
+          CAST(SUM(CASE WHEN s > 0.0
+            THEN (CAST(1 AS BIGINT) << CAST(pid % P AS INTEGER))
+            ELSE 0 END) AS BIGINT) AS bkt
+        FROM proj, pparam
+        GROUP BY vec_id, pid // P),
+      qp AS (
+        SELECT vec_id AS q_id, tbl,
+          xor(bkt, CASE WHEN j = 0 THEN 0
+            ELSE (CAST(1 AS BIGINT) << CAST(j - 1 AS INTEGER)) END) AS bkt
+        FROM b, pparam, UNNEST(range(0, 17)) t(j)
+        WHERE vec_id < 8 AND j <= P),
+      cand AS (
+        SELECT DISTINCT q.q_id, c.vec_id AS c_id
+        FROM qp q JOIN b c ON q.tbl = c.tbl AND q.bkt = c.bkt
+          AND q.q_id <> c.vec_id),
+      rer AS (
+        SELECT cand.q_id, cand.c_id, ${cosineSql("qv.dv", "cv.dv")} AS cos
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.q_id
+        JOIN v cv ON cv.vec_id = cand.c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, c_id ASC) AS rk
+        FROM rer)
+      SELECT q_id, c_id, rk, cos,
+        CAST((SELECT P FROM pparam) AS BIGINT) AS n_planes
+      FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""
+
   /** e16's decontamination tail over the corpus-scaled CTE prefix —
     * identical flag/witness/keep logic, C from the data */
   private def e16bOracleSql: String =
@@ -784,6 +845,28 @@ object Approx {
     while (c < target && c < 4096) c <<= 1
     c
   }
+
+  /** corpus-scaled LSH depth for e2b: the smallest plane count P with a
+    * mean bucket size <= 64 (2^P >= n/64), clamped to [6, 16]. With
+    * fixed P (e2's 6) bucket occupancy grows linearly with the corpus,
+    * so per-query probe cost does too; growing P with n keeps buckets
+    * near-constant and recall is bought back with Hamming-1 multiprobe
+    * (P+1 probes per table) instead of deeper scans. Same
+    * oracle-expressibility discipline as scaledC: an integer ladder
+    * derivable from COUNT(*) with no float log2. */
+  private[graft] def scaledPlanes(n: Long): Int = {
+    val target = math.max(1L, (n + 63) / 64)
+    var p = 6
+    while ((1L << p) < target && p < 16) p += 1
+    p
+  }
+
+  /** e2b's hyperplane components flattened [plane*dims + d] for the
+    * compiled IvfSims kernel (plane index = table*P + bit). Distinct
+    * seed base from e2's planes and the IVF centroids. */
+  private[graft] val LshSeedBase = 0x4C534800L
+  private[graft] def lshFlatPlanes(nPlanes: Int, dims: Int = 64): Array[Double] =
+    Array.tabulate(nPlanes * dims)(i => mixToUnit(LshSeedBase + i) - 0.5)
 
   /** the shared centroid recipe flattened [c*dims + d] for the compiled
     * kernel — same seeds as the literal centroid(c) arrays, so C=16
