@@ -1,5 +1,6 @@
 package graft.catalog
 
+import graft.Ckpt.StableCheckpoint
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -361,10 +362,10 @@ object Approx {
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("dim"),
         floor(col("col").cast("double") * 1000000L).as("q"))
-      .localCheckpoint() // read twice per iteration x 3 iterations
+      .stableCheckpoint() // read twice per iteration x 3 iterations
     var cent = qflat.filter(col("vec_id") < KCells)
       .select(col("vec_id").as("cell"), col("dim"), col("q").as("c"))
-      .localCheckpoint()
+      .stableCheckpoint()
     var assign: DataFrame = null
     for (_ <- 1 to iters) {
       val dists = qflat.join(broadcast(cent), "dim")
@@ -379,7 +380,7 @@ object Approx {
       cent = cent.join(upd, Seq("cell", "dim"), "left")
         .select(col("cell"), col("dim"),
           coalesce(col("cn"), col("c")).as("c"))
-        .localCheckpoint()
+        .stableCheckpoint()
     }
     (qflat, cent, assign)
   }
@@ -450,12 +451,12 @@ object Approx {
         expr("CAST(pos div 8 AS BIGINT)").as("m"),
         expr("CAST(pos % 8 + 1 AS BIGINT)").as("j"),
         floor(col("col").cast("double") * 1000000L).as("q"))
-      .localCheckpoint() // read twice per iteration + at serving
+      .stableCheckpoint() // read twice per iteration + at serving
     // init: codeword k of every subspace = vector k's subvector (the c0
     // seeding rule e11 uses, applied per subspace)
     var cent = q0.filter(col("vec_id") < K)
       .select(col("m"), col("vec_id").as("cell"), col("j"), col("q").as("c"))
-      .localCheckpoint()
+      .stableCheckpoint()
     var codes: DataFrame = null
     for (_ <- 1 to iters) {
       val dists = q0.join(broadcast(cent), Seq("m", "j"))
@@ -470,9 +471,9 @@ object Approx {
       cent = cent.join(upd, Seq("m", "cell", "j"), "left")
         .select(col("m"), col("cell"), col("j"),
           coalesce(col("cn"), col("c")).as("c"))
-        .localCheckpoint()
+        .stableCheckpoint()
     }
-    (q0, cent, codes.localCheckpoint())
+    (q0, cent, codes.stableCheckpoint())
   }
 
   /** e17's oracle: the per-subspace training recurrence unrolled (the
@@ -867,6 +868,69 @@ object Approx {
   private[graft] val LshSeedBase = 0x4C534800L
   private[graft] def lshFlatPlanes(nPlanes: Int, dims: Int = 64): Array[Double] =
     Array.tabulate(nPlanes * dims)(i => mixToUnit(LshSeedBase + i) - 0.5)
+
+  /** e2b's pipeline: 8-table sign-bit LSH at corpus-scaled depth
+    * P = scaledPlanes(n), Hamming-1 multiprobe on the query side (the
+    * exact bucket plus each one-bit flip — P+1 probes per table), then
+    * e2's exact-cosine re-rank tail. All 8·P projections run through
+    * the compiled IvfSims codebook kernel — a literal plane array at
+    * P=16 would put 8·16·64 doubles into the plan. Sign convention is
+    * STRICTLY positive (`s > 0.0`), matching the oracle's CASE.
+    *
+    * Scale shape: buckets stay mean <= 64 at every corpus size (that is
+    * what scaledPlanes buys), the query batch is constant and
+    * broadcast, so candidate volume per query is O(tables·(P+1)·64)
+    * regardless of n — never a corpus scan. The count() is a
+    * metadata-scale action (parquet row counts). */
+  private[graft] def lshScaledTop3(embRaw: DataFrame): DataFrame = {
+    val NTables = 8
+    val dims = 64
+    val p = scaledPlanes(embRaw.count())
+    val emb = embRaw
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+      .select("vec_id", "dv")
+    // cache barrier AFTER the kernel column: the 8·P per-table bucket
+    // folds below each read _s — without the barrier CollapseProject
+    // would inline the kernel into every element_at reference
+    val withS = emb.withColumn("_s", graft.functions.IvfKernels
+        .ivf_sims(col("dv"), lshFlatPlanes(NTables * p, dims), dims))
+      .cache()
+    val tableBuckets = (0 until NTables).map { tb =>
+      val bkt = (0 until p).map { b =>
+        when(element_at(col("_s"), tb * p + b + 1) > 0.0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, x) => a.bitwiseOR(x))
+      struct(lit(tb.toLong).as("tbl"), bkt.as("bkt"))
+    }
+    val bucketed = withS
+      .withColumn("tb", explode(array(tableBuckets: _*)))
+      .select(col("vec_id"), col("dv"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    // Hamming-1 multiprobe masks: the exact bucket (0) + each
+    // single-bit flip — applied on the QUERY side only
+    val masks = array((0L +: (0 until p).map(b => 1L << b)).map(lit): _*)
+    val q = bucketed.filter(col("vec_id") < 8)
+      .withColumn("m", explode(masks))
+      .select(col("vec_id").as("q_id"), col("dv").as("qv"),
+        col("tbl").as("q_tbl"),
+        col("bkt").bitwiseXOR(col("m")).as("q_bkt"))
+    val c = bucketed.select(col("vec_id").as("c_id"), col("dv").as("cv"),
+      col("tbl"), col("bkt"))
+    val cand = broadcast(q)
+      .join(c, col("q_tbl") === col("tbl") && col("q_bkt") === col("bkt")
+        && col("q_id") =!= col("c_id"))
+      .select("q_id", "qv", "c_id", "cv")
+      .dropDuplicates("q_id", "c_id") // union over tables+probes, each pair once
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    cand
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("c_id"), col("rk"), col("cos"),
+        lit(p.toLong).as("n_planes"))
+      .orderBy("q_id", "rk")
+  }
 
   /** the shared centroid recipe flattened [c*dims + d] for the compiled
     * kernel — same seeds as the literal centroid(c) arrays, so C=16
@@ -1352,6 +1416,33 @@ object Approx {
       "ANN via multi-table hyperplane LSH (8 tables x 6 sign bits): " +
         "bucket-join candidates + exact cosine re-rank; full oracle (the " +
         "splitmix64 planes embed as SQL literals) + recall floor vs e1"),
+
+    QueryDef(
+      "e2b_ann_lsh_scaled",
+      (s, dir) => {
+        // e2 at the setting a user would actually run: P grows with the
+        // corpus (scaledPlanes: mean bucket <= 64 on a power-of-two
+        // ladder), so per-query probe cost stays O(L·(P+1)·64) instead
+        // of O(L·n/2^6) at e2's fixed depth — at 100k vectors a fixed-P
+        // bucket holds ~1.5k vectors and every query rescans 12% of the
+        // corpus. Recall lost to deeper buckets is bought back with
+        // Hamming-1 multiprobe: each query probes its exact bucket plus
+        // the P one-bit-flip neighbors in every table. All 8·P
+        // projections run through the compiled IvfSims codebook kernel
+        // (a literal plane array at P=16 would put 8·16·64 doubles into
+        // the plan); the oracle re-derives the SAME P from COUNT(*) and
+        // regenerates the SAME planes by emulating mixToUnit in HUGEINT
+        // SQL, so one static oracle string is bit-exact at every scale
+        // factor. The count() is a metadata-scale action (parquet row
+        // counts).
+        lshScaledTop3(t(s, dir, "embeddings"))
+      },
+      Some(e2bOracleSql),
+      "corpus-scaled LSH ANN: e2's 8 tables with plane depth P chosen " +
+        "from the corpus count (bucket size <= 64), Hamming-1 multiprobe " +
+        "to buy recall back, projections through the compiled IvfSims " +
+        "kernel; oracle re-derives P and the splitmix64 planes in SQL — " +
+        "the 100 TB configuration, fully oracle-checked"),
 
     QueryDef(
       "e3_ann_ivf",
@@ -2233,7 +2324,7 @@ object Approx {
         val d4 = qflat.join(broadcast(cent), "dim")
           .groupBy(col("vec_id"), col("cell"))
           .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
-          .localCheckpoint() // feeds BOTH the assignment and the probes
+          .stableCheckpoint() // feeds BOTH the assignment and the probes
         val a4 = d4.groupBy("vec_id")
           .agg(min(struct(col("dist"), col("cell"))).as("best"))
           .select(col("vec_id").as("c_id"), col("best").getField("cell").as("pcell"))

@@ -1,5 +1,6 @@
 package graft.catalog
 
+import graft.Ckpt.StableCheckpoint
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -479,7 +480,7 @@ object Events {
         val parted = bounds
           .repartitionByRange(col("t"), col("delta").desc, col("event_id"))
           .withColumn("pid", spark_partition_id())
-          .localCheckpoint() // pin pid assignment across the two jobs
+          .stableCheckpoint() // pin pid assignment across the two jobs
         val sums = parted.groupBy("pid").agg(sum(col("delta")).as("ps"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
         var acc = 0L
@@ -800,7 +801,7 @@ object Events {
             sum(lit(1L) - col("is1")).as("c2"))
         val parted = byVal.repartitionByRange(col("c"))
           .withColumn("pid", spark_partition_id())
-          .localCheckpoint() // pin pid assignment across the two jobs
+          .stableCheckpoint() // pin pid assignment across the two jobs
         val sums = parted.groupBy("pid")
           .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
           .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

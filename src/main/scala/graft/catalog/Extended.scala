@@ -1,5 +1,6 @@
 package graft.catalog
 
+import graft.Ckpt.StableCheckpoint
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -637,7 +638,7 @@ object Extended {
           .select(col("doc_id"), col("source"))
           .repartitionByRange(col("doc_id"))
           .withColumn("pid", spark_partition_id())
-          .localCheckpoint()
+          .stableCheckpoint()
         val counts = parted.groupBy("pid").agg(count(lit(1)).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
         var acc = 0L
@@ -1284,7 +1285,7 @@ object Extended {
         // the group sizes (percentile indices) and the rank selection —
         // everything after this line is histogram-sized.
         val hist = graft.operators.RankSelect.histogram(pr, "rf", "p")
-          .localCheckpoint()
+          .stableCheckpoint()
         val sz = hist.groupBy("rf").agg(sum(col("_c")).as("n"))
         val targets = sz
           .select(col("rf"), expr("(n + 9) div 10").as("k"),
@@ -1467,7 +1468,7 @@ object Extended {
         val gx = pts.groupBy(col("price")).agg(max(col("yd")).as("gyd"))
         val parted = gx.repartitionByRange(col("price").desc)
           .withColumn("pid", spark_partition_id())
-          .localCheckpoint() // pin pid assignment across the two jobs
+          .stableCheckpoint() // pin pid assignment across the two jobs
         val pmax = parted.groupBy("pid").agg(max(col("gyd")).as("pm"))
           .collect().map(r => r.getInt(0) -> r.getInt(1)).sortBy(_._1)
         var run: Option[Int] = None
@@ -2379,7 +2380,7 @@ object Extended {
     // boundary arithmetic AND the rank selection both come from the
     // checkpointed value histogram.
     val hist = graft.operators.RankSelect.histogram(pr, "rf", "p")
-      .localCheckpoint()
+      .stableCheckpoint()
     val sz = hist.groupBy("rf").agg(sum(col("_c")).as("n"))
     val quartTargets = sz.select(col("rf"), col("n"),
         explode(expr("""flatten(transform(sequence(1, 4), i -> array(

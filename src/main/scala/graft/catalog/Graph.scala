@@ -1,5 +1,6 @@
 package graft.catalog
 
+import graft.Ckpt.StableCheckpoint
 import org.apache.spark.sql.functions._
 
 /** Graph tier: link-analysis operators over a deterministic synthetic
@@ -123,7 +124,7 @@ object Graph {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
-          .localCheckpoint() // derived once, read by all three join legs
+          .stableCheckpoint() // derived once, read by all three join legs
         val wedges = und
           .join(und.select(col("a").as("b2"), col("b").as("c")),
             col("b") === col("b2"))
@@ -194,11 +195,11 @@ object Graph {
           .filter(col("src") =!= col("dst"))
           .distinct()
           .repartition(col("src"))
-          .localCheckpoint()
+          .stableCheckpoint()
         var dist = docs
           .select(col("doc_id").as("node"),
             when(col("doc_id") === 0, 0L).otherwise(Unreached).as("dist"))
-          .localCheckpoint()
+          .stableCheckpoint()
         for (_ <- 1 to BfsIters) {
           val relaxed = edges
             .join(dist, edges("src") === dist("node"))
@@ -209,7 +210,7 @@ object Graph {
             .select(dist("node"),
               least(col("dist"), coalesce(col("mind"), lit(Unreached)))
                 .as("dist"))
-            .localCheckpoint()
+            .stableCheckpoint()
         }
         dist.orderBy("node")
       },
@@ -272,10 +273,10 @@ object Graph {
         val adj = und.select(col("a").as("node"), col("b").as("nbr"))
           .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
           .repartition(col("nbr"))
-          .localCheckpoint() // derived once, read every round
+          .stableCheckpoint() // derived once, read every round
         var lab = docs
           .select(col("doc_id").as("node"), col("doc_id").as("lab"))
-          .localCheckpoint()
+          .stableCheckpoint()
         for (_ <- 1 to LpIters) {
           val cnt = adj
             .join(lab.select(col("node").as("nbr"), col("lab")), "nbr")
@@ -287,7 +288,7 @@ object Graph {
           lab = lab.join(pick, Seq("node"), "left")
             .select(col("node"),
               coalesce(col("newlab"), col("lab")).as("lab"))
-            .localCheckpoint()
+            .stableCheckpoint()
         }
         lab.orderBy("node")
       },
@@ -350,12 +351,12 @@ object Graph {
           .distinct()
           .withColumn("w", (col("src") * 3 + col("dst") * 5) % 9 + 1)
           .repartition(col("src"))
-          .localCheckpoint()
+          .stableCheckpoint()
         var dist = docs
           .select(col("doc_id").as("node"),
             when(col("doc_id") === 0, 0L).otherwise(SsspUnreached)
               .as("dist"))
-          .localCheckpoint()
+          .stableCheckpoint()
         for (_ <- 1 to SsspIters) {
           val relaxed = edges
             .join(dist, edges("src") === dist("node"))
@@ -367,7 +368,7 @@ object Graph {
             .select(dist("node"),
               least(col("dist"), coalesce(col("mind"), lit(SsspUnreached)))
                 .as("dist"))
-            .localCheckpoint()
+            .stableCheckpoint()
         }
         dist.orderBy("node")
       },
@@ -440,17 +441,17 @@ object Graph {
           .distinct()
         val adj = und.select(col("a").as("node"), col("b").as("nbr"))
           .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
-          .localCheckpoint()
+          .stableCheckpoint()
         def restrictedDeg(alive: org.apache.spark.sql.DataFrame) = adj
           .join(alive.select(col("node").as("xn")), col("node") === col("xn"))
           .join(alive.select(col("node").as("yn")), col("nbr") === col("yn"))
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        var alive = docs.select(col("doc_id").as("node")).localCheckpoint()
+        var alive = docs.select(col("doc_id").as("node")).stableCheckpoint()
         for (_ <- 1 to KCoreRounds) {
           alive = restrictedDeg(alive)
             .filter(col("deg") >= KCoreK)
             .select(col("node"))
-            .localCheckpoint()
+            .stableCheckpoint()
         }
         val fd = restrictedDeg(alive)
         docs

@@ -1,5 +1,6 @@
 package graft.catalog
 
+import graft.Ckpt.StableCheckpoint
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -165,7 +166,7 @@ object TextDocs {
     }
     perDir.synchronized {
       perDir.getOrElseUpdate(dir, PinnedCheckpoints.register(
-        setsimPairsUncached(s, dir).localCheckpoint()))
+        setsimPairsUncached(s, dir).stableCheckpoint()))
     }
   }
 
@@ -1036,7 +1037,7 @@ object TextDocs {
               md5(concat(lit(s"$e:"), col("doc_id").cast("string"))).as("k"))
             .repartitionByRange(col("k"))
             .withColumn("pid", spark_partition_id())
-            .localCheckpoint()
+            .stableCheckpoint()
           val counts = keyed.groupBy("pid").agg(count(lit(1)).as("n"))
             .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
           var acc = 0L
@@ -1095,7 +1096,7 @@ object TextDocs {
         val per = t(s, dir, "documents")
           .groupBy("source").agg(sum(col("n_chars")).as("tokens"))
           .withColumn("w", sqrt(col("tokens").cast("double")))
-          .localCheckpoint()
+          .stableCheckpoint()
         val tot = per.agg(
           aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
             lit(0.0), (acc, x) => acc + x.getField("w")).as("total"))
@@ -1963,7 +1964,7 @@ object TextDocs {
           .groupBy("w").agg(count(lit(1)).as("f"))
           .withColumn("ws", trim(regexp_replace(col("w"), "(.)", "$1 ")))
           .select("ws", "f")
-          .localCheckpoint() // ONE corpus pass; iterations run on the dict
+          .stableCheckpoint() // ONE corpus pass; iterations run on the dict
         var dict = wf
         val merges = scala.collection.mutable.ArrayBuffer
           .empty[(Long, String, String, Long)]
@@ -1986,7 +1987,7 @@ object TextDocs {
             .withColumn("ws", expr(
               s"trim(replace(replace(concat(' ', replace(ws, ' ', '  '), ' '), " +
                 s"' $pairD ', ' $merged '), '  ', ' '))"))
-            .localCheckpoint() // constant plan depth across iterations
+            .stableCheckpoint() // constant plan depth across iterations
         }
         import s.implicits._
         merges.toSeq.toDF("step", "pair", "merged", "cnt").orderBy("step")

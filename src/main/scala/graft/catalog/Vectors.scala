@@ -1,5 +1,6 @@
 package graft.catalog
 
+import graft.Ckpt.StableCheckpoint
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -338,14 +339,14 @@ object Vectors {
           // thousands of queries the coalesce target grows, the shape
           // doesn't
           .coalesce(1)
-          .localCheckpoint() // shortlist computed once; greedy never re-scans
+          .stableCheckpoint() // shortlist computed once; greedy never re-scans
         val pr = sl.select(col("q_id"), col("c_id").as("a_id"), col("cv").as("av"))
           .join(sl.select(col("q_id"), col("c_id").as("b_id"), col("cv").as("bv")),
             Seq("q_id"))
           .filter(col("a_id") =!= col("b_id"))
           .select(col("q_id"), col("a_id"), col("b_id"),
             cosine(col("av"), col("bv")).as("sim"))
-          .localCheckpoint() // pairwise sims: probed by all 3 greedy steps
+          .stableCheckpoint() // pairwise sims: probed by all 3 greedy steps
         val slim = sl.select("q_id", "c_id", "rel")
         var selected = slim
           .withColumn("rn", row_number().over(wrel))

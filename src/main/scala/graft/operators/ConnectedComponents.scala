@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.StableCheckpoint
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -37,7 +38,7 @@ object ConnectedComponents {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint()
+      .stableCheckpoint()
     // iterate ONLY over edge-endpoint nodes: a node with no edges is its
     // own cluster and needs no propagation, so the singleton majority of
     // a corpus (at 100 TB the pair graph is a vanishing fraction of the
@@ -47,7 +48,7 @@ object ConnectedComponents {
     var labels = sym.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("_nbr"))
       .select(col("node"), least(col("node"), col("_nbr")).as("cluster"))
-      .localCheckpoint()
+      .stableCheckpoint()
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -61,7 +62,7 @@ object ConnectedComponents {
         .select(labels("node"), col("cluster").as("_old"),
           least(col("cluster"), coalesce(col("_nbr_min"), col("cluster")))
             .as("cluster"))
-        .localCheckpoint()
+        .stableCheckpoint()
       // pointer doubling: also take the label OF the current label, so the
       // distance to the component minimum halves each round — convergence
       // in O(log diameter) instead of O(diameter), which is what keeps a
@@ -76,7 +77,7 @@ object ConnectedComponents {
         .select(stepped("node"), col("_old"),
           least(stepped("cluster"), coalesce(col("_m_cluster"), stepped("cluster")))
             .as("cluster"))
-        .localCheckpoint()
+        .stableCheckpoint()
       val changed = next.filter(col("cluster") =!= col("_old")).count()
       labels = next.drop("_old")
       done = changed == 0L
@@ -112,7 +113,7 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().stableCheckpoint()
     var it = 0
     var done = e.isEmpty
     while (!done && it < maxIter) {
@@ -125,7 +126,7 @@ object ConnectedComponents {
       val large = symm.join(minsL, "a")
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint()
+        .distinct().stableCheckpoint()
       // SMALL-STAR on the (u > v)-oriented output: collapse each node's
       // smaller neighborhood (and itself) onto its minimum neighbor
       val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -133,7 +134,7 @@ object ConnectedComponents {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(minsS.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
+        .distinct().stableCheckpoint()
       // fixpoint when the edge SET is unchanged (both sides distinct:
       // equal counts + empty one-way difference ⇔ equality)
       done = next.count() == e.count() && next.except(e).isEmpty

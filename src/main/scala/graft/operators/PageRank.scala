@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.StableCheckpoint
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -47,9 +48,9 @@ object PageRank {
     val edgesDeg = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src"))
-      .localCheckpoint()
+      .stableCheckpoint()
 
-    var ranks = nodes.select(col("node"), lit(Init).as("r")).localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(Init).as("r")).stableCheckpoint()
     for (_ <- 1 to iterations) {
       val inflow = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("node"))
@@ -60,7 +61,7 @@ object PageRank {
         .select(nodes("node"),
           expr(s"$Base + (85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100")
             .as("r"))
-        .localCheckpoint()
+        .stableCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_units"))
   }

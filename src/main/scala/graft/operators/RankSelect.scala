@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.StableCheckpoint
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.expressions.Window
@@ -135,7 +136,7 @@ object RankSelect {
     }
     val parted = hist.repartitionByRange(parts, col(grp), col(v))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .stableCheckpoint()
     // one subtotal per (partition, group): metadata, not rows
     val subtotals = parted.groupBy(col("_pid"), col(grp))
       .agg(sum(col("_c")).as("_pc"))

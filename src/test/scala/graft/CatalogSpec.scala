@@ -90,6 +90,10 @@ class CatalogSpec extends SparkSuite {
     // (correlated planes, broken bucketing) fails loudly
     assert(recallVsExact("e2_ann_lsh", sf) >= 0.30)
     assert(recallVsExact("e2_ann_lsh", "/root/testdata/sf0.01") >= 0.30)
+    // e2b at these corpus sizes keeps P=6 but adds Hamming-1 multiprobe
+    // (7 probes/table vs e2's 1) — recall must not drop below e2's floor
+    assert(recallVsExact("e2b_ann_lsh_scaled", sf) >= 0.30)
+    assert(recallVsExact("e2b_ann_lsh_scaled", "/root/testdata/sf0.01") >= 0.30)
   }
 
   test("e15 binary-quantized ANN recall vs e1 >= pinned floor at two " +

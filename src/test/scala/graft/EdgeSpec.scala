@@ -314,6 +314,69 @@ class EdgeSpec extends SparkSuite {
     assert(wrong <= 50, s"$wrong/5000 vectors missed their cluster minimum")
   }
 
+  test("scaledPlanes: the integer ladder matches the oracle's VALUES " +
+      "ladder at every boundary (2^P >= ceil(n/64), clamped [6, 16])") {
+    import graft.catalog.Approx.scaledPlanes
+    // below-floor and floor: ceil(n/64) <= 64 keeps P at 6
+    assert(scaledPlanes(0L) == 6)
+    assert(scaledPlanes(1L) == 6)
+    assert(scaledPlanes(64L << 6) == 6)       // 4096: ceil = 64 = 2^6
+    assert(scaledPlanes((64L << 6) + 1) == 7) // 4097: ceil = 65 > 2^6
+    assert(scaledPlanes(64L << 7) == 7)
+    assert(scaledPlanes((64L << 7) + 1) == 8)
+    // ceiling division, not floor: 64*2^7 - 63 still needs 2^7 slots
+    assert(scaledPlanes((64L << 7) - 63) == 7)
+    assert(scaledPlanes((64L << 7) - 64) == 7)
+    // cap boundary and clamp
+    assert(scaledPlanes(64L << 16) == 16)
+    assert(scaledPlanes((64L << 16) + 1) == 16)
+    assert(scaledPlanes(Long.MaxValue / 2) == 16)
+  }
+
+  test("lshScaledTop3: the P scale knob — a 5k corpus forces P=7 and " +
+      "planted near-copies of every query stay its exact top-3") {
+    val s2 = spark; import s2.implicits._
+    // queries 0..7; copies of query q at ids 8+3q..10+3q (cosine ~ 1
+    // vs their query — every sign bit agrees up to a <=0.0015
+    // projection nudge, and Hamming-1 multiprobe covers a single
+    // flip); 4968 uniform background vectors (cosine concentrates
+    // near 0 << any copy's). n=5000 > 64*2^6 drives scaledPlanes to 7,
+    // so this exercises a DIFFERENT plane set and probe count than the
+    // sf0.01 oracle gate (P=6).
+    def unit(seed: Long): Double = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def vec(seed: Long) =
+      Array.tabulate(64)(d => (unit(seed * 64 + d) - 0.5).toFloat)
+    val queries = (0 until 8).map(q => (q.toLong, vec(q.toLong)))
+    val copies = (0 until 8).flatMap { q =>
+      (0 until 3).map { r =>
+        val v = vec(q.toLong)
+        v(r) = v(r) + 0.003f * (r + 1)
+        (8L + 3 * q + r, v)
+      }
+    }
+    val bg = (32 until 5000).map(i => (i.toLong, vec(1000L + i)))
+    val emb = (queries ++ copies ++ bg).toDF("vec_id", "embedding")
+      .repartition(8)
+    val rows = graft.catalog.Approx.lshScaledTop3(emb).collect()
+    assert(rows.forall(_.getAs[Long]("n_planes") == 7L),
+      "5k corpus must scale the ladder to P=7")
+    val top = rows.groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    val hits = (0 until 8).map { q =>
+      val want = (0 until 3).map(r => 8L + 3 * q + r).toSet
+      (top.getOrElse(q.toLong, Set.empty) & want).size
+    }.sum
+    // a copy misses only if >= 2 sign bits flip in EVERY one of the 8
+    // tables — allow one stray miss out of 24, not more
+    assert(hits >= 23, s"planted near-copies recalled $hits/24")
+  }
+
   test("readReports: malformed numeric cells null the typed column but " +
       "keep the verbatim raw twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_malformed")
@@ -443,8 +506,13 @@ class EdgeSpec extends SparkSuite {
         rows.map { case (g, v) => org.apache.spark.sql.Row(g, v) }, 4),
       df.schema)
     val rddBytes = graft.operators.RankSelect.inputBytes(rddDf)
-    assert(rddBytes == Long.MaxValue - 1,
-      s"opaque RDD leaf sized $rddBytes, expected defaultSizeInBytes clamp")
+    // assert the PROPERTY, not Spark's defaultSizeInBytes constant: the
+    // sentinel must still win (clamp below MaxValue) and an unknown-size
+    // leaf must default to the distributed path (>= the default gate)
+    assert(rddBytes < Long.MaxValue,
+      s"opaque RDD leaf sized $rddBytes — the MaxValue sentinel must win")
+    assert(rddBytes >= (32L << 20),
+      s"opaque RDD leaf sized $rddBytes — must default to distributed")
     val gotForced = graft.operators.RankSelect
       .valueAtRanks(rddDf, "grp", "v", targets, parts = 8,
         minDistributedBytes = Long.MaxValue) // sentinel: windowed even here

@@ -120,6 +120,8 @@ class PlanAuditSpec extends SparkSuite {
     "e1_cosine_topk" -> ("constant query batch (8 probes) over " +
       "candidate shortlists — the e1 discipline"),
     "e2_ann_lsh" -> "constant query batch; bucket-join candidates",
+    "e2b_ann_lsh_scaled" -> ("constant query batch; bucket-join + " +
+      "Hamming-1 multiprobe candidates, bucket size <= 64 by scaledPlanes"),
     "e3_ann_ivf" -> "constant query batch; probe-cell candidates",
     "e7_pq_adc" -> "constant query batch; ADC shortlist (<= 50/query)",
     "e10_knn_classify" -> "constant 20-probe batch; cell candidates",

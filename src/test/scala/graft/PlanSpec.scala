@@ -75,7 +75,7 @@ class PlanSpec extends SparkSuite {
   }
 
   test("e2/e3: ANN candidate joins are hash joins, never nested loops") {
-    for (q <- Seq("e2_ann_lsh", "e3_ann_ivf")) {
+    for (q <- Seq("e2_ann_lsh", "e2b_ann_lsh_scaled", "e3_ann_ivf")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
         s"$q candidate generation must be an equi join:\n$p")
