@@ -84,6 +84,12 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
+        // capture elapsed BEFORE the between-query hygiene below: the
+        // clearCache/unpersist/GC block is bookkeeping for the NEXT
+        // query, not work done by this one (the r11 gc_between artifact
+        // embedded a >=200 ms sleep + full-GC pause in every per-query
+        // time because elapsed was read after it)
+        val dt = (System.nanoTime() - t0) / 1e9
         // per-query cache entries (barrier caches in the approx family)
         // would otherwise accumulate across the whole run
         spark.catalog.clearCache()
@@ -110,7 +116,7 @@ object Bench {
         // queries, and the DRIVER artifact must stay methodologically
         // comparable across rounds.
         if (gcBetween) { System.gc(); Thread.sleep(200) }
-        name -> ((System.nanoTime() - t0) / 1e9, ok)
+        name -> (dt, ok)
       }
     // record the machine's load state around the timed passes: the
     // r5→r6 artifact comparison showed a uniform ~17% drift on unchanged

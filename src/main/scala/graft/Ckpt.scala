@@ -23,6 +23,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * cluster): executor loss then recovers by re-reading checkpoint
   * files instead of losing the job. Same semantics, same barriers —
   * strictly a durability/IO tradeoff, chosen once per deployment.
+  *
+  * Disk amplification: every call writes a full dataset copy, and the
+  * iterative operators call once per iteration. SparkEnv therefore sets
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` whenever this
+  * mode is active, so checkpoints whose Dataset reference is GC'd are
+  * deleted by the ContextCleaner instead of accumulating for the life of
+  * the job; the final checkpoint of a live frame still persists until
+  * the session stops, so size the checkpoint volume for a few
+  * concurrent copies per operator, not one.
   */
 object Ckpt {
   private[graft] def reliableDir: Option[String] =

@@ -36,12 +36,37 @@ object FaultInject {
 
   private def executorPids(driverPid: Long): Seq[Long] = {
     import scala.sys.process._
-    val out = Seq("bash", "-c",
-      "ps -eo pid,ppid,args | grep CoarseGrainedExecutorBackend | grep -v grep").!!
+    import scala.util.Try
+    // grep exits 1 on zero matches, which makes `.!!` throw — an empty
+    // scan is a legitimate result here (executor already dead, or the
+    // kill raced the job's end), so fold it to Seq.empty instead of
+    // letting a harness failure masquerade as a target-job outcome
+    val out = Try(Seq("bash", "-c",
+      "ps -eo pid,ppid,args | grep CoarseGrainedExecutorBackend | grep -v grep").!!)
+      .getOrElse("")
     // local-cluster executors are grandchildren (driver → Worker →
-    // executor); selecting by class name is sufficient on this box
+    // executor); walk ppid ancestry up to the driver so a concurrent
+    // Spark job's executors on the same box are never kill targets
+    val parentOf: Map[Long, Long] =
+      Try(Seq("bash", "-c", "ps -eo pid,ppid").!!).getOrElse("")
+        .linesIterator.drop(1).flatMap { l =>
+          l.trim.split("\\s+") match {
+            case Array(p, pp) => Try((p.toLong, pp.toLong)).toOption
+            case _ => None
+          }
+        }.toMap
+    def descendsFromDriver(pid: Long): Boolean = {
+      var cur = pid
+      var hops = 0
+      while (cur > 1 && hops < 16) {
+        if (cur == driverPid) return true
+        cur = parentOf.getOrElse(cur, 1L)
+        hops += 1
+      }
+      false
+    }
     out.linesIterator.map(_.trim.split("\\s+")(0).toLong)
-      .filter(_ != driverPid).toSeq.sorted
+      .filter(p => p != driverPid && descendsFromDriver(p)).toSeq.sorted
   }
 
   private def targetFrame(name: String, dir: String,
@@ -99,7 +124,14 @@ object FaultInject {
     val t1 = System.nanoTime()
     val outcome =
       try {
-        if (killAtMs == 0L) killOne() else watchdog.start()
+        if (killAtMs == 0L) {
+          killOne()
+          // a kill-before-start run whose scan found no executor is a
+          // HARNESS failure, not a target outcome — running the target
+          // anyway would record a fault-free run as "inconclusive"
+          require(killedPid > 0,
+            "harness_error: no executor JVM found to kill (pre-start)")
+        } else watchdog.start()
         val rows = targetFrame(name, sfDir, spark)
           .collect().map(_.toString).sorted.toSeq
         val ms = (System.nanoTime() - t1) / 1000000
@@ -114,7 +146,11 @@ object FaultInject {
           val head = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(3).mkString(" / ").take(300)
             .replace("\\", "\\\\").replace("\"", "\\\"")
-          s""""outcome":"job_lost","error":"$head""""
+          val kind =
+            if (head.startsWith("requirement failed: harness_error"))
+              "harness_error"
+            else "job_lost"
+          s""""outcome":"$kind","error":"$head""""
       }
     watchdog.join(1000)
     println(s"""{"fault_inject":"$name","reliable":${Ckpt.reliableDir.isDefined},""" +

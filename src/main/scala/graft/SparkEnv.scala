@@ -12,8 +12,19 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkEnv {
   def builder(defaultMaster: String): SparkSession.Builder = {
-    val b = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", defaultMaster))
+    // Reliable-checkpoint mode writes one full-dataset copy PER
+    // stableCheckpoint() call; iterative operators (PageRank, connected
+    // components, k-means) checkpoint per iteration, so without cleanup
+    // a long job accumulates hundreds of copies and exhausts the
+    // checkpoint filesystem. Spark only deletes Dataset checkpoints when
+    // this flag is on AND the reference is GC'd — set it whenever the
+    // mode is active. Must be set here (ContextCleaner reads it at
+    // SparkContext creation), not at checkpoint time.
+    val b = if (Ckpt.reliableDir.isDefined)
+      b0.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    else b0
     sys.env.get("SPARK_GRAFT_JARS").fold(b)(j => b.config("spark.jars", j))
   }
 }

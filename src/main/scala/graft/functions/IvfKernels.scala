@@ -110,6 +110,109 @@ object IvfKernels {
 
   def ivf_probes(dv: Column, cb: Array[Double], dims: Int, p: Int): Column =
     GraftBridge.column(IvfProbes(GraftBridge.expression(dv), cb, dims, p))
+
+  /** Two-level coarse assignment — the sub-quadratic replacement for the
+    * flat scan at corpus-scaled C (Approx.scaledC grows C ∝ n, so the
+    * flat O(n·C·dims) assignment was O(n²·dims/64) end to end; SCALE.md
+    * round-11 named it the one remaining scale-killer). The hierarchical
+    * form is the standard IVF answer (two-level coarse quantizers /
+    * IMI): rank S = scaledSuperC(C) ≈ √C super-centroids, keep the top
+    * `sProbes`, then score ONLY those supers' child centroids —
+    * O(S + sProbes·maxChild) dots per row ≈ O(√C·dims) instead of
+    * O(C·dims).
+    *
+    * Determinism contract (what keeps the e8b/e16b oracles green):
+    *   - super ranking: (ssim DESC, super ASC), strict-beat insertion
+    *     over an ascending scan — identical to probesOrNull's rule;
+    *   - child ranking: (sim DESC, cell ASC) across the UNION of the
+    *     selected supers' children. Children arrive grouped by super
+    *     (NOT in global cell order), so the insertion compares the cell
+    *     id explicitly on sim ties rather than relying on scan order;
+    *   - `superCb`/`childStart`/`childIds` list only NON-EMPTY supers
+    *     (Approx.ivfChildren drops childless supers before flattening):
+    *     an empty super can never contribute a candidate, so ranking
+    *     only non-empty ones guarantees probes is never empty — the
+    *     caller's `element_at(probes, 1)` argmax is ANSI-safe;
+    *   - per-dot folds accumulate from 0.0 in ascending dim order and a
+    *     NaN sim nulls the row, exactly like simsOrNull/probesOrNull.
+    * The oracle re-derives the same supers (splitmix64 at
+    * Approx.IvfSuperSeedBase), the same parent map (argmax with the
+    * same tie-break), and the same two-stage QUALIFY ranking in SQL.
+    */
+  def probes2OrNull(dv: ArrayData, superCb: Array[Double],
+      cb: Array[Double], childStart: Array[Int], childIds: Array[Int],
+      dims: Int, p: Int, sProbes: Int): ArrayData = {
+    if (dv.numElements() != dims) return null
+    var d = 0
+    while (d < dims) { if (dv.isNullAt(d)) return null; d += 1 }
+    val v = dv.toDoubleArray()
+    val nSup = superCb.length / dims
+    // stage 1: top-sProbes supers by (ssim DESC, super ASC) — ascending
+    // scan + strict-beat insertion keeps the earlier super on ties
+    val sp = math.min(sProbes, nSup)
+    val supS = new Array[Double](sp)
+    val supI = new Array[Int](sp)
+    var supFilled = 0
+    var s = 0
+    while (s < nSup) {
+      var acc = 0.0
+      d = 0
+      while (d < dims) { acc += v(d) * superCb(s * dims + d); d += 1 }
+      if (acc != acc) return null // NaN ssim: no consistent rank
+      if (supFilled < sp || java.lang.Double.compare(acc, supS(sp - 1)) > 0) {
+        var pos = if (supFilled < sp) supFilled else sp - 1
+        while (pos > 0 && java.lang.Double.compare(acc, supS(pos - 1)) > 0) {
+          supS(pos) = supS(pos - 1); supI(pos) = supI(pos - 1); pos -= 1
+        }
+        supS(pos) = acc
+        supI(pos) = s
+        if (supFilled < sp) supFilled += 1
+      }
+      s += 1
+    }
+    // stage 2: top-p children of the selected supers by (sim DESC,
+    // cell ASC). Scan order is super-rank-major, so ties compare the
+    // cell id explicitly instead of relying on arrival order.
+    val topS = new Array[Double](p)
+    val topI = new Array[Long](p)
+    var filled = 0
+    var si = 0
+    while (si < supFilled) {
+      val sup = supI(si)
+      var j = childStart(sup)
+      val end = childStart(sup + 1)
+      while (j < end) {
+        val cell = childIds(j) // 0-based centroid index
+        var acc = 0.0
+        d = 0
+        while (d < dims) { acc += v(d) * cb(cell * dims + d); d += 1 }
+        if (acc != acc) return null // NaN sim: no consistent rank
+        val cellId = cell + 1L // 1-based, the probes convention
+        def beats(sim: Double, id: Long, atS: Double, atI: Long): Boolean = {
+          val c = java.lang.Double.compare(sim, atS)
+          c > 0 || (c == 0 && id < atI)
+        }
+        if (filled < p || beats(acc, cellId, topS(p - 1), topI(p - 1))) {
+          var pos = if (filled < p) filled else p - 1
+          while (pos > 0 && beats(acc, cellId, topS(pos - 1), topI(pos - 1))) {
+            topS(pos) = topS(pos - 1); topI(pos) = topI(pos - 1); pos -= 1
+          }
+          topS(pos) = acc
+          topI(pos) = cellId
+          if (filled < p) filled += 1
+        }
+        j += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topI, filled))
+  }
+
+  def ivf_probes2(dv: Column, superCb: Array[Double], cb: Array[Double],
+      childStart: Array[Int], childIds: Array[Int], dims: Int, p: Int,
+      sProbes: Int): Column =
+    GraftBridge.column(IvfProbes2(GraftBridge.expression(dv), superCb, cb,
+      childStart, childIds, dims, p, sProbes))
 }
 
 case class IvfSims(child: Expression, cb: Array[Double], dims: Int)
