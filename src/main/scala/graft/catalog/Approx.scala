@@ -640,11 +640,17 @@ object Approx {
     s"(CAST(($z4) // 2048 AS DOUBLE) / 9007199254740992.0)" // >>> 11, / 2^53
   }
 
-  /** the e8b CTE prefix: corpus count → scaledC ladder → generated
-    * centroids (range(4096·64) filtered to C — range() cannot take a
-    * subquery parameter) → sims cross join → cells/probes/pairs with
-    * the EXACT tie-break semantics of ivfCellsAndPairs' declarative
-    * tail (sim DESC, cell ASC ↔ array_sort on (−sim, idx) structs) */
+  /** the e8b CTE prefix: corpus count → scaledC ladder → the TWO-LEVEL
+    * coarse quantizer re-derived entirely in SQL — S = scaledSuperC(C)
+    * as an integer-square ladder, splitmix64 supers at IvfSuperSeedBase,
+    * parent(cell) = argmax over supers (sim DESC, sup ASC — the engine's
+    * strict-beat scan), per-vector top-2 NON-EMPTY supers (vtop joins
+    * only supers that appear in `parent`, mirroring ivfChildren's
+    * childless-super drop), then cells/probes ranked ONLY over the
+    * selected supers' children with the original (sim DESC, cell ASC)
+    * tie-break. Centroids via range(4096·64) filtered to C — range()
+    * cannot take a subquery parameter. The candidate-only `sims` CTE
+    * also cuts the oracle's own cost from n·C to n·(S + 2·C/S) dots. */
   private def ivfScaledPairCtes(p: Int, tau: Double): String =
     s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
       cparam AS (
@@ -652,6 +658,10 @@ object Approx {
         FROM (VALUES (8),(16),(32),(64),(128),(256),(512),(1024),(2048),
           (4096)) t(pw), nn
         WHERE pw >= (nn.n + 63) // 64),
+      sparam AS (
+        SELECT COALESCE(MIN(sq), 64) AS S
+        FROM (VALUES (2),(4),(8),(16),(32),(64)) t(sq), cparam
+        WHERE sq * sq >= cparam.C),
       cents AS (
         SELECT cell, list(val ORDER BY d) AS cv
         FROM (
@@ -660,14 +670,40 @@ object Approx {
           FROM range(262144) t(i)
           WHERE i // 64 < (SELECT C FROM cparam))
         GROUP BY cell),
+      supers AS (
+        SELECT sup, list(val ORDER BY d) AS sv
+        FROM (
+          SELECT CAST(i // 64 + 1 AS BIGINT) AS sup, i % 64 AS d,
+            ${mixToUnitSql(s"CAST($IvfSuperSeedBase + i AS HUGEINT)")} - 0.5 AS val
+          FROM range(4096) t(i)
+          WHERE i // 64 < (SELECT S FROM sparam))
+        GROUP BY sup),
+      parent AS (
+        SELECT cell, sup FROM (
+          SELECT c.cell, s.sup,
+            list_reduce(list_transform(range(1, 65), i -> c.cv[i] * s.sv[i]),
+              (a, b) -> a + b) AS sim
+          FROM cents c CROSS JOIN supers s)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY cell
+          ORDER BY sim DESC, sup ASC) = 1),
       v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
         FROM embeddings),
+      vtop AS (
+        SELECT vec_id, dv, sup FROM (
+          SELECT v.vec_id, v.dv, s.sup,
+            list_reduce(list_transform(range(1, 65), i -> v.dv[i] * s.sv[i]),
+              (a, b) -> a + b) AS ssim
+          FROM v CROSS JOIN supers s
+          WHERE s.sup IN (SELECT sup FROM parent))
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ssim DESC, sup ASC) <= 2),
       sims AS (
-        SELECT v.vec_id, v.dv, c.cell,
-          list_reduce(list_transform(range(1, 65), i -> v.dv[i] * c.cv[i]),
+        SELECT vt.vec_id, vt.dv, pr.cell,
+          list_reduce(list_transform(range(1, 65), i -> vt.dv[i] * c.cv[i]),
             (a, b) -> a + b) AS sim
-        FROM v CROSS JOIN cents c),
+        FROM vtop vt JOIN parent pr ON pr.sup = vt.sup
+        JOIN cents c ON c.cell = pr.cell),
       cells AS (
         SELECT vec_id, dv, cell FROM sims
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -950,6 +986,85 @@ object Approx {
   private[graft] def ivfFlatCentroids(C: Int, dims: Int = 64): Array[Double] =
     Array.tabulate(C * dims)(i => mixToUnit(0x49564600L + i) - 0.5)
 
+  // ---- two-level coarse quantizer (e8b/e16b assignment) ----------------
+  // scaledC grows C ∝ n to keep within-cell pair work linear, which made
+  // the FLAT coarse assignment O(n·C·dims) = O(n²·dims/64) — the one
+  // remaining 100 TB scale-killer (SCALE.md round-11). The standard IVF
+  // answer is hierarchical: rank S ≈ √C super-centroids, then score only
+  // the top-2 supers' child centroids — O(n·√C·dims) end to end. Every
+  // piece stays closed-form-deterministic so the DuckDB oracle re-derives
+  // it from COUNT(*) alone: the S ladder is integer arithmetic on C, the
+  // supers are splitmix64 draws at a FIXED seed base, and the parent map
+  // is an argmax both engines compute identically.
+
+  /** super-centroid seed base — distinct from (and non-overlapping with)
+    * the centroid range 0x49564600+[0,262144) and the LSH plane range
+    * 0x4C534800+[0,8192). NEVER change: every e8b/e16b artifact and the
+    * oracle SQL derive from it. */
+  private[graft] val IvfSuperSeedBase = 0x53555000L
+
+  /** super-centroid count for a given C: the smallest power of two s
+    * with s² >= C, so s ≈ √C (C ∈ [8,4096] → s ∈ [4,64]). A power-of-two
+    * ladder over integer squares — exactly expressible in the oracle as
+    * a MIN over VALUES, no float sqrt. */
+  private[graft] def scaledSuperC(C: Int): Int = {
+    var s = 2
+    while (s * s < C && s < 64) s <<= 1
+    s
+  }
+
+  /** super centroids flattened [s*dims + d] — same unit-interval recipe
+    * as the cell centroids, distinct seed base */
+  private[graft] def ivfFlatSupers(S: Int, dims: Int = 64): Array[Double] =
+    Array.tabulate(S * dims)(i => mixToUnit(IvfSuperSeedBase + i) - 0.5)
+
+  /** the two-level index, computed once on the driver (C·S·dims ≤ 16.7M
+    * multiplies — microseconds next to any scan): parent(c) = argmax_s
+    * dot(centroid_c, super_s) with ties to the LOWEST s (strict-beat
+    * ascending scan — the probesOrNull rule, and the oracle's
+    * `ORDER BY sim DESC, sup ASC LIMIT 1`). Returns (superCb, childStart,
+    * childIds) with CHILDLESS SUPERS DROPPED: an empty super can never
+    * contribute a candidate cell, so ranking only non-empty supers both
+    * saves probes and guarantees the kernel's output is never empty
+    * (the caller's element_at(probes, 1) argmax is ANSI-safe). The
+    * remap preserves ascending super order, so (ssim DESC, sup ASC)
+    * ranking over the compacted list equals ranking over the full list
+    * filtered to non-empty — which is exactly the oracle's join against
+    * `SELECT DISTINCT sup FROM parent`. */
+  private[graft] def ivfChildren(C: Int, S: Int, dims: Int = 64)
+      : (Array[Double], Array[Int], Array[Int]) = {
+    val cents = ivfFlatCentroids(C, dims)
+    val sup = ivfFlatSupers(S, dims)
+    val parent = Array.tabulate(C) { c =>
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var s = 0
+      while (s < S) {
+        var acc = 0.0
+        var d = 0
+        while (d < dims) { acc += cents(c * dims + d) * sup(s * dims + d); d += 1 }
+        if (java.lang.Double.compare(acc, bestSim) > 0) { bestSim = acc; best = s }
+        s += 1
+      }
+      best
+    }
+    val bySuper = (0 until C).groupBy(parent).toSeq.sortBy(_._1)
+    val nonEmpty = bySuper.map(_._1)
+    val superCb = new Array[Double](nonEmpty.length * dims)
+    nonEmpty.zipWithIndex.foreach { case (s, i) =>
+      System.arraycopy(sup, s * dims, superCb, i * dims, dims)
+    }
+    val childStart = new Array[Int](nonEmpty.length + 1)
+    val childIds = new Array[Int](C)
+    var off = 0
+    bySuper.zipWithIndex.foreach { case ((_, kids), i) =>
+      childStart(i) = off
+      kids.foreach { c => childIds(off) = c; off += 1 }
+    }
+    childStart(nonEmpty.length) = off
+    (superCb, childStart, childIds)
+  }
+
   /** the IVF multi-probe machinery shared by e8 (dedup reps) and e16
     * (semantic decontamination): (cells, confirmed pairs). `cells` =
     * (vec_id, dv, cell, probes) cached; `pairs` = (id_a < id_b) with
@@ -968,14 +1083,21 @@ object Approx {
       lit(mixToUnit(0x49564600L + c.toLong * dims + d) - 0.5)
     }: _*)
     val cells = (if (kernel) {
-      // compiled top-P selection: probes(0) IS the cell argmax (see
-      // IvfKernels.probesOrNull — first-max and top-1 coincide), so one
-      // kernel call replaces sims array + argmax + struct sort. The
-      // declarative tail below scales O(C log C) per row in boxed
-      // struct sorts — at corpus-scaled C that term dominated the
-      // whole query (sf0.5 C=1024: 19.9 s → 2.6 s kernelized).
-      emb.withColumn("probes", graft.functions.IvfKernels.ivf_probes(
-          col("dv"), ivfFlatCentroids(C, dims), dims, P))
+      // compiled TWO-LEVEL top-P selection: rank S ≈ √C super-centroids,
+      // then score only the top-2 supers' children — O(√C·dims) per row
+      // instead of the flat kernel's O(C·dims), which at corpus-scaled
+      // C (C ∝ n) was O(n²) end to end (SCALE.md round-11's named
+      // scale-killer). probes(0) IS the cell argmax among the probed
+      // children (first index attaining the max), so one kernel call
+      // still replaces sims array + argmax + struct sort, and the row
+      // stays inside whole-stage codegen. The oracle re-derives the
+      // supers, the parent map, and the two-stage ranking in SQL from
+      // COUNT(*) alone (see ivfScaledPairCtes).
+      val S = scaledSuperC(C)
+      val (superCb, childStart, childIds) = ivfChildren(C, S, dims)
+      emb.withColumn("probes", graft.functions.IvfKernels.ivf_probes2(
+          col("dv"), superCb, ivfFlatCentroids(C, dims), childStart,
+          childIds, dims, P, sProbes = 2))
         .withColumn("cell", element_at(col("probes"), lit(1)))
     } else {
       val sims = array((0 until C).map(c =>
@@ -1589,12 +1711,12 @@ object Approx {
         // corpus (scaledC: mean cell <= 64 on a power-of-two ladder), so
         // within-cell pair work stays linear instead of N²/C at fixed
         // C=16 — measured 225 s → ~2 s at sf0.5. Coarse scoring runs
-        // through the compiled IvfProbes codebook kernel (a literal
-        // sims array at C=512 would be 32k plan doubles, and the
-        // declarative struct-sort probe tail is O(C log C) boxed work
-        // per row — it, not pair volume, dominated at large C); the oracle
-        // derives the SAME C from COUNT(*) and generates the SAME
-        // centroids by emulating mixToUnit in HUGEINT SQL, so one
+        // through the compiled TWO-LEVEL IvfProbes2 kernel: S ≈ √C
+        // supers, then only the top-2 supers' children — O(√C·dims) per
+        // row, so assignment is O(n^1.5) at C ∝ n instead of the flat
+        // kernel's O(n²) (round-11's named scale-killer). The oracle
+        // derives the SAME C and S from COUNT(*) and generates the SAME
+        // centroids/supers by emulating mixToUnit in HUGEINT SQL, so one
         // static oracle string stays bit-exact at every scale factor.
         // The count() is a metadata-scale action (parquet row counts).
         val emb = t(s, dir, "embeddings")
@@ -1605,8 +1727,10 @@ object Approx {
       Some(e8bOracleSql),
       "corpus-scaled-C embedding near-dup dedup: e8's SemDeDup shape " +
         "with C chosen from the corpus count (cell size <= 64) and " +
-        "coarse scoring through the compiled IvfProbes codebook kernel; " +
-        "oracle re-derives C and the splitmix64 centroids in SQL — " +
+        "coarse scoring through the compiled two-level IvfProbes2 " +
+        "kernel (top-2 of ~sqrt(C) supers, then their children — " +
+        "O(n^1.5) assignment at C ~ n); oracle re-derives C, S, the " +
+        "splitmix64 centroids/supers, and the parent argmax in SQL — " +
         "the 100 TB configuration, fully oracle-checked"),
 
     QueryDef(

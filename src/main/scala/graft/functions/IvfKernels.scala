@@ -242,6 +242,43 @@ case class IvfSims(child: Expression, cb: Array[Double], dims: Int)
     copy(child = newChild)
 }
 
+/** the two-level probe expression (see IvfKernels.probes2OrNull for the
+  * full determinism contract); the flattened super codebook, child
+  * codebook, and child-index arrays ride as reference objects in the
+  * generated class exactly like IvfProbes' codebook */
+case class IvfProbes2(child: Expression, superCb: Array[Double],
+    cb: Array[Double], childStart: Array[Int], childIds: Array[Int],
+    dims: Int, p: Int, sProbes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_probes2"
+
+  override def nullSafeEval(a: Any): Any =
+    IvfKernels.probes2OrNull(a.asInstanceOf[ArrayData], superCb, cb,
+      childStart, childIds, dims, p, sProbes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val supRef = ctx.addReferenceObj("ivfSuperCodebook", superCb, "double[]")
+    val cbRef = ctx.addReferenceObj("ivfCodebook", cb, "double[]")
+    val csRef = ctx.addReferenceObj("ivfChildStart", childStart, "int[]")
+    val ciRef = ctx.addReferenceObj("ivfChildIds", childIds, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("ivfProbes2")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+          graft.functions.IvfKernels.probes2OrNull($a, $supRef, $cbRef,
+            $csRef, $ciRef, $dims, $p, $sProbes);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbes2 =
+    copy(child = newChild)
+}
+
 case class IvfProbes(child: Expression, cb: Array[Double], dims: Int, p: Int)
     extends UnaryExpression {
 

@@ -12,14 +12,29 @@ object BenchOne {
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
       val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
     })
+    // SPARK_GRAFT_COLD=1 times the FIRST execution of each query (after
+    // a JVM/codegen warmup on an unrelated scan) instead of the
+    // warm-cache second pass — the number that exposes one-off costs
+    // like coarse assignment, which the per-query .cache() barriers hide
+    // from the warm pass. Caches are cleared between names so later
+    // queries stay cold too. Cold and warm are DIFFERENT measurements
+    // (see graft-verify-pitfalls): never compare across the modes.
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     // warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     args(0).split(",").foreach { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warm
+      if (!cold) fn(spark, sfDir).count() // warm
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[benchone] $name%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      val mode = if (cold) "cold" else "warm"
+      println(f"[benchone] $name%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n  ($mode)")
+      if (cold) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !graft.catalog.PinnedCheckpoints.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
     }
     spark.stop()
   }

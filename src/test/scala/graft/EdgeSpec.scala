@@ -312,6 +312,20 @@ class EdgeSpec extends SparkSuite {
     // copies can only miss if none of their probe cells overlap — with a
     // shared base vector the top-4 cells are essentially identical
     assert(wrong <= 50, s"$wrong/5000 vectors missed their cluster minimum")
+    // the SAME corpus through the two-level kernel path (e8b/e16b's
+    // production assignment: top-2 of scaledSuperC(64)=8 supers, then
+    // their children): near-copies still share their probe cells — the
+    // two vectors are nearly identical, so they rank the SAME supers
+    // and the SAME children — and must collapse identically. Recall may
+    // differ from the flat path only for barely-similar CROSS-cluster
+    // pairs, which tau=0.9 excludes anyway.
+    val got2 = graft.catalog.Approx
+      .ivfDedup(emb, C = 64, P = 4, tau = 0.9, kernel = true)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("rep_id"))
+    assert(got2.length == 5000)
+    val wrong2 = got2.count { case (v, rep) => rep != (v / 5) * 5 }
+    assert(wrong2 <= 50,
+      s"$wrong2/5000 vectors missed their cluster minimum (two-level)")
   }
 
   test("scaledPlanes: the integer ladder matches the oracle's VALUES " +

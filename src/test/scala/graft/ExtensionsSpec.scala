@@ -448,13 +448,125 @@ class ExtensionsSpec extends SparkSuite {
     assert(Approx.scaledC(2000L) == 32)
     assert(Approx.scaledC(25000L) == 512)
     assert(Approx.scaledC(10000000L) == 4096) // clamp
-    // 4) e8-shape end-to-end parity: the kernel path and the literal
-    //    path produce identical dedup output at shared C
-    val viaKernel = Approx.ivfDedup(emb.drop("dv"), C, 4, 0.4, kernel = true)
-      .collect().map(_.toSeq).toSeq
-    val viaLit = Approx.ivfDedup(emb.drop("dv"), C, 4, 0.4)
-      .collect().map(_.toSeq).toSeq
-    assert(viaKernel == viaLit && viaKernel.nonEmpty)
+    // 4) the kernel=true ivfDedup path is now TWO-LEVEL (IvfProbes2) —
+    //    its parity pins live in the dedicated IvfProbes2 test below
+    //    (degenerate sProbes=S == this flat kernel bit-for-bit, and the
+    //    production sProbes=2 path == a driver-side reference).
+  }
+
+  test("IvfProbes2 two-level kernel: degenerate sProbes=S equals the " +
+      "flat kernel bit-for-bit; production sProbes=2 matches an " +
+      "independent driver-side reference; interpreted == codegen; " +
+      "null/NaN edges; scaledSuperC ladder; ivfChildren compaction") {
+    import graft.catalog.Approx
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dims = 64
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+    // independent reference: plain Scala, explicit Double.compare
+    // tie-breaks (sim DESC, index ASC) — deliberately a different style
+    // (sort over materialized candidate lists) from the kernel's
+    // insertion scan
+    def dotAt(v: Array[Double], flat: Array[Double], i: Int): Double = {
+      var acc = 0.0; var d = 0
+      while (d < dims) { acc += v(d) * flat(i * dims + d); d += 1 }
+      acc
+    }
+    def rankDesc(xs: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      xs.sortWith { case ((i1, s1), (i2, s2)) =>
+        val c = java.lang.Double.compare(s1, s2)
+        c > 0 || (c == 0 && i1 < i2)
+      }
+    for (c <- Seq(16, 64)) {
+      val s = Approx.scaledSuperC(c)
+      val (superCb, childStart, childIds) = Approx.ivfChildren(c, s, dims)
+      val cb = Approx.ivfFlatCentroids(c, dims)
+      val nSup = childStart.length - 1
+      // compaction invariants: every cell exactly once, offsets closed
+      assert(childIds.sorted.toSeq == (0 until c),
+        s"C=$c: child index must cover every cell exactly once")
+      assert(childStart.head == 0 && childStart.last == c)
+      assert(nSup >= 1 && nSup <= s)
+      // (a) degenerate equivalence: probing ALL (non-empty) supers sees
+      //     every cell, so probes2 == the flat kernel bit-for-bit —
+      //     transitively == the literal dot_product formulation pinned
+      //     in the IvfSims test above
+      val degen = emb.select(col("vec_id"),
+          graft.functions.IvfKernels.ivf_probes2(col("dv"), superCb, cb,
+            childStart, childIds, dims, 4, nSup).as("two"),
+          graft.functions.IvfKernels.ivf_probes(col("dv"), cb, dims, 4)
+            .as("flat"))
+        .collect()
+      assert(degen.nonEmpty)
+      degen.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Long]]("two").toSeq ==
+          r.getAs[scala.collection.Seq[Long]]("flat").toSeq,
+          s"C=$c vec ${r.getLong(0)}: sProbes=nSup must equal flat")
+      }
+      // (b) the production path (sProbes=2) vs the reference
+      val got = emb.select(col("vec_id"),
+          graft.functions.IvfKernels.ivf_probes2(col("dv"), superCb, cb,
+            childStart, childIds, dims, 4, 2).as("p"))
+        .collect().map(r => r.getLong(0) ->
+          r.getAs[scala.collection.Seq[Long]]("p").toSeq).toMap
+      val dvs = emb.select("vec_id", "dv").collect().map(r =>
+        r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("dv").toArray)
+      assert(dvs.nonEmpty)
+      dvs.foreach { case (id, v) =>
+        val ssims = (0 until nSup).map(i => (i.toLong, dotAt(v, superCb, i)))
+        val top2 = rankDesc(ssims).take(2).map(_._1.toInt)
+        val cand = top2.flatMap(si =>
+          (childStart(si) until childStart(si + 1)).map(childIds))
+        val ranked = rankDesc(cand.map(cell =>
+          (cell + 1L, dotAt(v, cb, cell))))
+        val expect = ranked.take(4).map(_._1)
+        assert(got(id) == expect, s"C=$c vec $id: kernel=${got(id)} ref=$expect")
+        assert(got(id).nonEmpty, s"C=$c vec $id: probes must never be empty")
+      }
+    }
+    // interpreted == codegen + null/NaN edges (C=16 config)
+    val c16 = 16
+    val s16 = Approx.scaledSuperC(c16)
+    val (supCb, cs16, ci16) = Approx.ivfChildren(c16, s16, dims)
+    val cb16 = Approx.ivfFlatCentroids(c16, dims)
+    def litArr(xs: Seq[java.lang.Double]) = Literal(
+      ArrayData.toArrayData(xs.map(x =>
+        if (x == null) null else x.doubleValue()).toArray[Any]),
+      ArrayType(DoubleType))
+    val goodDv = (0 until dims).map(d => java.lang.Double.valueOf(d * 0.01))
+    val interp = graft.functions.IvfProbes2(litArr(goodDv), supCb, cb16,
+        cs16, ci16, dims, 4, 2)
+      .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    val viaCodegen = emb.limit(1)
+      .select(graft.functions.IvfKernels.ivf_probes2(
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => i.cast("double") * lit(0.01)), supCb, cb16, cs16, ci16,
+        dims, 4, 2))
+      .collect().head.getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(interp == viaCodegen, "probes2 interpreted != codegen")
+    assert(graft.functions.IvfProbes2(litArr(goodDv.take(dims - 1)),
+      supCb, cb16, cs16, ci16, dims, 4, 2).eval(null) == null)
+    assert(graft.functions.IvfProbes2(
+      litArr(goodDv.updated(3, null: java.lang.Double)),
+      supCb, cb16, cs16, ci16, dims, 4, 2).eval(null) == null)
+    assert(graft.functions.IvfProbes2(
+      litArr(goodDv.updated(3, java.lang.Double.valueOf(Double.NaN))),
+      supCb, cb16, cs16, ci16, dims, 4, 2).eval(null) == null,
+      "NaN dv must null the row (rank-consistency contract)")
+    // the integer-square ladder both engines derive S from: smallest
+    // power of two s with s*s >= C, C ∈ [8, 4096] → s ∈ [4, 64]
+    assert(Approx.scaledSuperC(8) == 4)
+    assert(Approx.scaledSuperC(16) == 4)
+    assert(Approx.scaledSuperC(32) == 8)
+    assert(Approx.scaledSuperC(64) == 8)
+    assert(Approx.scaledSuperC(128) == 16)
+    assert(Approx.scaledSuperC(256) == 16)
+    assert(Approx.scaledSuperC(512) == 32)
+    assert(Approx.scaledSuperC(1024) == 32)
+    assert(Approx.scaledSuperC(2048) == 64)
+    assert(Approx.scaledSuperC(4096) == 64)
   }
 
   test("WindowTopKRewrite: the row_number-filter idiom plans as the " +
