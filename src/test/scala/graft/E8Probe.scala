@@ -7,15 +7,41 @@ object E8Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // "64" = literal-centroid path; "k64" = compiled IvfSims kernel path
+    // "64" = literal-centroid path; "k64" = kernel path (two-level since
+    // r12); "f64"/"t64" = ASSIGNMENT-ONLY timing (probes + cell through a
+    // noop sink) for the flat IvfProbes vs two-level IvfProbes2 kernels —
+    // the isolated before/after of the r12 quantizer fix, since the
+    // downstream pair/rep tail is shared between the two
+    import org.apache.spark.sql.functions._
     for (spec <- args(1).split(",")) {
-      val kernel = spec.startsWith("k")
-      val c = spec.stripPrefix("k").toInt
+      val mode = if (spec.head.isDigit) "d" else spec.take(1)
+      val c = spec.stripPrefix(mode).toInt
+      val dims = 64
       val t0 = System.nanoTime()
-      val n = graft.catalog.Approx.ivfDedup(
-        graft.catalog.Tables.t(spark, dir, "embeddings"),
-        C = c, P = 4, tau = 0.4, kernel = kernel).count()
-      println(f"[e8probe] C=$spec%5s  ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      val n = mode match {
+        case "f" | "t" =>
+          val emb = graft.catalog.Tables.t(spark, dir, "embeddings")
+            .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+            .select("vec_id", "dv")
+          val probed = if (mode == "f")
+            emb.withColumn("probes", graft.functions.IvfKernels.ivf_probes(
+              col("dv"), graft.catalog.Approx.ivfFlatCentroids(c, dims), dims, 4))
+          else {
+            val s = graft.catalog.Approx.scaledSuperC(c)
+            val (supCb, cs, ci) = graft.catalog.Approx.ivfChildren(c, s, dims)
+            emb.withColumn("probes", graft.functions.IvfKernels.ivf_probes2(
+              col("dv"), supCb, graft.catalog.Approx.ivfFlatCentroids(c, dims),
+              cs, ci, dims, 4, 2))
+          }
+          val out = probed.withColumn("cell", element_at(col("probes"), lit(1)))
+          out.write.format("noop").mode("overwrite").save()
+          out.count()
+        case _ =>
+          graft.catalog.Approx.ivfDedup(
+            graft.catalog.Tables.t(spark, dir, "embeddings"),
+            C = c, P = 4, tau = 0.4, kernel = mode == "k").count()
+      }
+      println(f"[e8probe] C=$spec%6s  ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
       spark.catalog.clearCache()
     }
     spark.stop()
