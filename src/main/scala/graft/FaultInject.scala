@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object FaultInject {
   import Ckpt.StableCheckpoint
 
-  private def executorPids(driverPid: Long): Seq[Long] = {
+  private[graft] def executorPids(driverPid: Long): Seq[Long] = {
     import scala.sys.process._
     import scala.util.Try
     // grep exits 1 on zero matches, which makes `.!!` throw — an empty
