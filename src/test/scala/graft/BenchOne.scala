@@ -20,14 +20,25 @@ object BenchOne {
     // queries stay cold too. Cold and warm are DIFFERENT measurements
     // (see graft-verify-pitfalls): never compare across the modes.
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    // SPARK_GRAFT_NOOP=1 materializes through the noop sink exactly like
+    // graft.Bench does, instead of count(). The two actions are NOT
+    // interchangeable measurements: count() lets Catalyst prune
+    // projected expressions and skip final sorts, so column-heavy work
+    // (exact-cosine re-ranks, formatted outputs) can vanish from a
+    // count()-timed run. Use this knob whenever a BenchOne number will
+    // be compared against an in-bench (noop-materialized) number.
+    val noop = sys.env.get("SPARK_GRAFT_NOOP").contains("1")
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      if (noop) { df.write.format("noop").mode("overwrite").save(); -1L }
+      else df.count()
     // warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     args(0).split(",").foreach { name =>
       val fn = SparkEntry.queries(name)
-      if (!cold) fn(spark, sfDir).count() // warm
+      if (!cold) materialize(fn(spark, sfDir)) // warm
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val mode = if (cold) "cold" else "warm"
+      val n = materialize(fn(spark, sfDir))
+      val mode = (if (cold) "cold" else "warm") + (if (noop) "+noop" else "")
       println(f"[benchone] $name%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n  ($mode)")
       if (cold) {
         spark.catalog.clearCache()
