@@ -12,7 +12,7 @@ import sys
 
 def main(log, out, sf):
     qs = {}
-    pat = re.compile(r"\[benchone\]\s+(\S+)\s+([0-9.]+)\s+s\s+rows=(\d+)")
+    pat = re.compile(r"\[benchone\]\s+(\S+)\s+([0-9.]+)\s+s\s+rows=(-?\d+)")
     with open(log) as f:
         for line in f:
             m = pat.search(line)
