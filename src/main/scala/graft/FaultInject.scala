@@ -37,24 +37,27 @@ object FaultInject {
   private[graft] def executorPids(driverPid: Long): Seq[Long] = {
     import scala.sys.process._
     import scala.util.Try
-    // grep exits 1 on zero matches, which makes `.!!` throw — an empty
-    // scan is a legitimate result here (executor already dead, or the
-    // kill raced the job's end), so fold it to Seq.empty instead of
-    // letting a harness failure masquerade as a target-job outcome
-    val out = Try(Seq("bash", "-c",
-      "ps -eo pid,ppid,args | grep CoarseGrainedExecutorBackend | grep -v grep").!!)
-      .getOrElse("")
+    // ONE `ps -eo pid,ppid,args` snapshot feeds BOTH the executor list
+    // and the ancestry map: with two separate snapshots, an executor
+    // relaunched between them appeared in the grep list but not the
+    // pid/ppid map, fell back to parent 1 in the ancestry walk, and was
+    // silently dropped. An empty scan is still a legitimate result
+    // (executor already dead, or the kill raced the job's end), so a
+    // failed ps folds to empty instead of throwing
+    val snap = Try(Seq("bash", "-c", "ps -eo pid,ppid,args").!!).getOrElse("")
+    val rows: Seq[(Long, Long, String)] =
+      snap.linesIterator.drop(1).flatMap { l =>
+        l.trim.split("\\s+", 3) match {
+          case Array(p, pp, args @ _*) =>
+            Try((p.toLong, pp.toLong, args.headOption.getOrElse(""))).toOption
+          case _ => None
+        }
+      }.toSeq
     // local-cluster executors are grandchildren (driver → Worker →
     // executor); walk ppid ancestry up to the driver so a concurrent
     // Spark job's executors on the same box are never kill targets
     val parentOf: Map[Long, Long] =
-      Try(Seq("bash", "-c", "ps -eo pid,ppid").!!).getOrElse("")
-        .linesIterator.drop(1).flatMap { l =>
-          l.trim.split("\\s+") match {
-            case Array(p, pp) => Try((p.toLong, pp.toLong)).toOption
-            case _ => None
-          }
-        }.toMap
+      rows.map { case (p, pp, _) => (p, pp) }.toMap
     def descendsFromDriver(pid: Long): Boolean = {
       var cur = pid
       var hops = 0
@@ -65,8 +68,11 @@ object FaultInject {
       }
       false
     }
-    out.linesIterator.map(_.trim.split("\\s+")(0).toLong)
-      .filter(p => p != driverPid && descendsFromDriver(p)).toSeq.sorted
+    rows.collect {
+      case (p, _, args)
+          if args.contains("CoarseGrainedExecutorBackend") &&
+            p != driverPid && descendsFromDriver(p) => p
+    }.sorted
   }
 
   private def targetFrame(name: String, dir: String,

@@ -918,30 +918,49 @@ object Approx {
     * broadcast, so candidate volume per query is O(tables·(P+1)·64)
     * regardless of n — never a corpus scan. The count() is a
     * metadata-scale action (parquet row counts). */
-  // one-slot memo of the previous invocation's projection cache: the
-  // returned frame is lazy, so the cache cannot be unpersisted inside
-  // this call — instead each NEW call drops the previous call's cache
-  // (a stale frame re-collected later just recomputes). Repeated calls
-  // in one session (tests, BenchOne reruns, recall gates) then hold at
-  // most one cached corpus+projections copy instead of accumulating.
-  private var lshPrevCache: Option[DataFrame] = None
+  // one-slot memo of the projection cache, KEYED on the canonicalized
+  // input plan: a repeated call with the SAME input (tests, BenchOne
+  // reruns, recall gates) reuses the cached corpus+projections frame —
+  // the returned frame is lazy, so an evict-on-every-call memo could
+  // unpersist a frame still backing an in-flight or about-to-be-timed
+  // job from the previous call, silently recomputing that work inside
+  // a warm measurement. A DIFFERENT input still evicts the old slot,
+  // so at most one cached copy is ever held.
+  private var lshPrevCache: Option[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, DataFrame)] = None
 
   private[graft] def lshScaledTop3(embRaw: DataFrame): DataFrame = {
     val NTables = 8
     val dims = 64
-    val p = scaledPlanes(embRaw.count())
-    val emb = embRaw
-      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
-      .select("vec_id", "dv")
-    // cache barrier AFTER the kernel column: the 8·P per-table bucket
-    // folds below each read _s — without the barrier CollapseProject
-    // would inline the kernel into every element_at reference
-    val withS = emb.withColumn("_s", graft.functions.IvfKernels
-        .ivf_sims(col("dv"), lshFlatPlanes(NTables * p, dims), dims))
-      .cache()
-    synchronized {
-      lshPrevCache.foreach(_.unpersist(blocking = false))
-      lshPrevCache = Some(withS)
+    val key = embRaw.queryExecution.analyzed.canonicalized
+    val (p, withS) = synchronized {
+      // reuse requires the cache entry to still be LIVE: bench hygiene
+      // clearCache()s between queries, and an uncached memo frame would
+      // lose the CollapseProject barrier below (the kernel would inline
+      // into every element_at reference) — rebuild and re-cache instead
+      def live(df: DataFrame): Boolean =
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      lshPrevCache match {
+        case Some((k, pMemo, cached)) if k == key && live(cached) =>
+          (pMemo, cached)
+        case prev =>
+          prev.foreach(_._3.unpersist(blocking = false))
+          val pNew = scaledPlanes(embRaw.count())
+          val emb = embRaw
+            .withColumn("dv",
+              transform(col("embedding"), x => x.cast("double")))
+            .select("vec_id", "dv")
+          // cache barrier AFTER the kernel column: the 8·P per-table
+          // bucket folds below each read _s — without the barrier
+          // CollapseProject would inline the kernel into every
+          // element_at reference
+          val fresh = emb.withColumn("_s", graft.functions.IvfKernels
+              .ivf_sims(col("dv"), lshFlatPlanes(NTables * pNew, dims), dims))
+            .cache()
+          lshPrevCache = Some((key, pNew, fresh))
+          (pNew, fresh)
+      }
     }
     val tableBuckets = (0 until NTables).map { tb =>
       val bkt = (0 until p).map { b =>

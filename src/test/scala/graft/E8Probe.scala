@@ -34,8 +34,11 @@ object E8Probe {
               cs, ci, dims, 4, 2))
           }
           val out = probed.withColumn("cell", element_at(col("probes"), lit(1)))
+          // noop sink only — a count() here would add a second full scan
+          // (with probes pruned) to the timed window; rows=-1 marks the
+          // noop convention, same as BenchOne's noop mode
           out.write.format("noop").mode("overwrite").save()
-          out.count()
+          -1L
         case _ =>
           graft.catalog.Approx.ivfDedup(
             graft.catalog.Tables.t(spark, dir, "embeddings"),
