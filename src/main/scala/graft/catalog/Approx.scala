@@ -657,7 +657,7 @@ object Approx {
         SELECT COALESCE(MIN(pw), 4096) AS C
         FROM (VALUES (8),(16),(32),(64),(128),(256),(512),(1024),(2048),
           (4096)) t(pw), nn
-        WHERE pw >= (nn.n + 63) // 64),
+        WHERE pw >= (nn.n + 31) // 32),
       sparam AS (
         SELECT COALESCE(MIN(sq), 64) AS S
         FROM (VALUES (2),(4),(8),(16),(32),(64)) t(sq), cparam
@@ -870,14 +870,66 @@ object Approx {
       .orderBy("vec_id")
   }
 
+  /** e16b's semantic decontamination over the IVF probe machinery,
+    * built as ONE explicit eval-probes × train-probes equi-join on the
+    * shared probe cell instead of a union of two oppositely-filtered
+    * views of the generic all-pairs pipeline. Three reasons, all
+    * scale-shaped: (1) the union form traverses the candidate join +
+    * exact-cosine pipeline TWICE (once per branch) and only stays cheap
+    * if Catalyst pushes each branch's one-sided `% 50` filter below the
+    * join — an optimization this form states directly; (2) the
+    * asymmetric join makes the small side STRUCTURAL (the eval split is
+    * the designed-small side of a decontamination — a fixed benchmark
+    * suite in production), so AQE's runtime broadcast choice lands on
+    * the right frame instead of occasionally broadcasting a branch-join
+    * output (measured 2-4 s of run-to-run variance at 100k vectors);
+    * (3) candidate volume is Σ_cell eval_occ·train_occ ≈ 16n²/(50·C) —
+    * linear at C ∝ n, and computed once. Semantics are IDENTICAL to the
+    * union form (a candidate is an (eval, train) pair sharing a probed
+    * cell; cosine is symmetric and its fold order unchanged, so the
+    * confirmed set is bit-exact) — the oracle (e16bOracleSql) is
+    * untouched and stays green at every scale factor. */
+  private[graft] def ivfDecontam(embIn: DataFrame, C: Int, P: Int,
+      tau: Double, kernel: Boolean = false): DataFrame = {
+    val (cells, _) = ivfCellsAndPairs(embIn, C, P, tau, kernel)
+    val members = cells.select(col("vec_id"), explode(col("probes")).as("pcell"))
+    val ev = members.filter(col("vec_id") % 50 === 0)
+      .select(col("pcell"), col("vec_id").as("eval_id"))
+    val tr = members.filter(col("vec_id") % 50 =!= 0)
+      .select(col("pcell"), col("vec_id").as("train_id"))
+    val cand = ev.join(tr, Seq("pcell"))
+      .select("eval_id", "train_id").distinct()
+    val ve = cells.select(col("vec_id").as("eval_id"), col("dv").as("evv"))
+    val vt = cells.select(col("vec_id").as("train_id"), col("dv").as("tvv"))
+    val contam = cand.join(ve, Seq("eval_id")).join(vt, Seq("train_id"))
+      .filter(Vectors.cosine(col("evv"), col("tvv")) >= tau)
+      .select(col("train_id").as("vec_id"), col("eval_id"))
+    val flags = contam.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_near_eval"),
+        min(col("eval_id")).as("witness_eval"))
+    cells.filter(col("vec_id") % 50 =!= 0)
+      .select("vec_id", "cell")
+      .join(flags, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_near_eval"), lit(0L)).as("n_near_eval"),
+        coalesce(col("witness_eval"), lit(-1L)).as("witness_eval"),
+        when(col("n_near_eval").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** corpus-scaled cell count: the smallest power of two with a mean
-    * cell size <= 64, clamped to [8, 4096]. C ∝ n keeps within-cell
+    * cell size <= 32, clamped to [8, 4096]. C ∝ n keeps within-cell
     * pair work linear (see ivfDedup); the power-of-two ladder makes the
     * choice expressible EXACTLY in the oracle (a MIN over a VALUES
     * ladder vs COUNT(*) — no float log2 edge cases). Both engines
-    * compute it from the same corpus count. */
+    * compute it from the same corpus count. Round 13: the target
+    * dropped 64 → 32 — with the two-level kernel the assignment's
+    * O(√C) cost barely notices the doubled C, while the within-cell
+    * pair work (the dominant term, ~mean-cell/2 exact cosines per
+    * probe row) halves — measured before/after in SCALE.md round-13,
+    * recall gates unchanged. */
   private[graft] def scaledC(n: Long): Int = {
-    val target = math.max(1L, (n + 63) / 64)
+    val target = math.max(1L, (n + 31) / 32)
     var c = 8
     while (c < target && c < 4096) c <<= 1
     c
@@ -1727,7 +1779,7 @@ object Approx {
       "e8b_embed_dedup_scaled",
       (s, dir) => {
         // e8 at the setting a user would actually run: C grows with the
-        // corpus (scaledC: mean cell <= 64 on a power-of-two ladder), so
+        // corpus (scaledC: mean cell <= 32 on a power-of-two ladder), so
         // within-cell pair work stays linear instead of N²/C at fixed
         // C=16 — measured 225 s → ~2 s at sf0.5. Coarse scoring runs
         // through the compiled TWO-LEVEL IvfProbes2 kernel: S ≈ √C
@@ -1745,7 +1797,7 @@ object Approx {
       },
       Some(e8bOracleSql),
       "corpus-scaled-C embedding near-dup dedup: e8's SemDeDup shape " +
-        "with C chosen from the corpus count (cell size <= 64) and " +
+        "with C chosen from the corpus count (cell size <= 32) and " +
         "coarse scoring through the compiled two-level IvfProbes2 " +
         "kernel (top-2 of ~sqrt(C) supers, then their children — " +
         "O(n^1.5) assignment at C ~ n); oracle re-derives C, S, the " +
@@ -1759,29 +1811,15 @@ object Approx {
         // corpus-scaled C, same compiled coarse-assignment kernel, same
         // flag/witness/keep semantics — so BOTH ingest-quality surfaces
         // (dedup and decontamination) carry a deployment-shaped entry,
-        // not just the didactic C=16 twins. Oracle = the shared scaled
-        // CTE prefix + e16's tail, exact at every scale factor.
+        // not just the didactic C=16 twins. Round 13: the body moved to
+        // ivfDecontam — ONE explicit eval-probes × train-probes
+        // equi-join instead of a union of two oppositely-filtered views
+        // of the all-pairs pipeline (see its scaladoc; bit-exact same
+        // result). Oracle = the shared scaled CTE prefix + e16's tail,
+        // exact at every scale factor.
         val emb = t(s, dir, "embeddings")
         val c = scaledC(emb.count())
-        val (cells, pairs) = ivfCellsAndPairs(emb, C = c, P = 4,
-          tau = 0.4, kernel = true)
-        val contam = pairs
-          .filter(col("id_a") % 50 === 0 && col("id_b") % 50 =!= 0)
-          .select(col("id_b").as("vec_id"), col("id_a").as("eval_id"))
-          .unionByName(pairs
-            .filter(col("id_b") % 50 === 0 && col("id_a") % 50 =!= 0)
-            .select(col("id_a").as("vec_id"), col("id_b").as("eval_id")))
-        val flags = contam.groupBy("vec_id")
-          .agg(count(lit(1)).as("n_near_eval"),
-            min(col("eval_id")).as("witness_eval"))
-        cells.filter(col("vec_id") % 50 =!= 0)
-          .select("vec_id", "cell")
-          .join(flags, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cell"),
-            coalesce(col("n_near_eval"), lit(0L)).as("n_near_eval"),
-            coalesce(col("witness_eval"), lit(-1L)).as("witness_eval"),
-            when(col("n_near_eval").isNull, 1L).otherwise(0L).as("keep"))
-          .orderBy("vec_id")
+        ivfDecontam(emb, C = c, P = 4, tau = 0.4, kernel = true)
       },
       Some(e16bOracleSql),
       "corpus-scaled-C semantic decontamination: e16's flag/witness/" +

@@ -11,7 +11,9 @@ object E8Probe {
     // r12); "f64"/"t64" = ASSIGNMENT-ONLY timing (probes + cell through a
     // noop sink) for the flat IvfProbes vs two-level IvfProbes2 kernels —
     // the isolated before/after of the r12 quantizer fix, since the
-    // downstream pair/rep tail is shared between the two
+    // downstream pair/rep tail is shared between the two; "c64" =
+    // candidate-volume diagnostics (probe-cell occupancy skew + distinct
+    // candidate pairs) for the r13 mean-cell ladder experiment
     import org.apache.spark.sql.functions._
     for (spec <- args(1).split(",")) {
       val mode = if (spec.head.isDigit) "d" else spec.take(1)
@@ -19,6 +21,49 @@ object E8Probe {
       val dims = 64
       val t0 = System.nanoTime()
       val n = mode match {
+        case "c" =>
+          val emb = graft.catalog.Tables.t(spark, dir, "embeddings")
+          val (cells, _) = graft.catalog.Approx.ivfCellsAndPairs(
+            emb, C = c, P = 4, tau = 0.4, kernel = true)
+          val members = cells.select(col("vec_id"),
+            explode(col("probes")).as("pcell"))
+          val occ = members.groupBy("pcell").count()
+            .agg(count(lit(1)).as("cells_hit"), max("count").as("max_occ"),
+              expr("percentile(count, 0.99)").as("p99"),
+              avg("count").as("mean"),
+              sum(col("count") * (col("count") - 1) / 2).as("pair_bound"))
+            .collect().head
+          val cand = members.select(col("pcell"), col("vec_id").as("id_a"))
+            .join(members.select(col("pcell"), col("vec_id").as("id_b")),
+              Seq("pcell"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b").distinct().count()
+          println(s"[e8probe-cand] C=$c cells_hit=${occ.getLong(0)} " +
+            s"max_occ=${occ.getLong(1)} p99=${occ.getDouble(2)} " +
+            f"mean=${occ.getDouble(3)}%.1f pair_bound=${occ.getDouble(4)}%.0f " +
+            s"distinct_cand=$cand")
+          cand
+        case "n" =>
+          // full ivfDedup at an EXPLICIT C through the noop sink — the
+          // apples-to-apples harness for ladder experiments (count()
+          // would eliminate the rep left-join and the pair pipeline
+          // with it; see SCALE.md round-12 root cause)
+          graft.catalog.Approx.ivfDedup(
+              graft.catalog.Tables.t(spark, dir, "embeddings"),
+              C = c, P = 4, tau = 0.4, kernel = true)
+            .write.format("noop").mode("overwrite").save()
+          -1L
+        case "m" =>
+          // e16b's decontamination shape at an EXPLICIT C (noop sink) —
+          // the r13 ladder experiment's harness for the asymmetric
+          // eval × train plan (Approx.ivfDecontam)
+          val out16 = graft.catalog.Approx.ivfDecontam(
+            graft.catalog.Tables.t(spark, dir, "embeddings"),
+            C = c, P = 4, tau = 0.4, kernel = true)
+          if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+            out16.explain("formatted")
+          else out16.write.format("noop").mode("overwrite").save()
+          -1L
         case "f" | "t" =>
           val emb = graft.catalog.Tables.t(spark, dir, "embeddings")
             .withColumn("dv", transform(col("embedding"), x => x.cast("double")))

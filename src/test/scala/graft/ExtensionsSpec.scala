@@ -442,11 +442,13 @@ class ExtensionsSpec extends SparkSuite {
     assert(codegenNaN.isNullAt(1), "codegen IvfProbes on NaN dv")
     // 3) the power-of-two ladder both engines derive C from
     assert(Approx.scaledC(1L) == 8)
-    assert(Approx.scaledC(500L) == 8)
-    assert(Approx.scaledC(512L) == 8)
-    assert(Approx.scaledC(513L) == 16)
-    assert(Approx.scaledC(2000L) == 32)
-    assert(Approx.scaledC(25000L) == 512)
+    assert(Approx.scaledC(256L) == 8)   // ceil(256/32) = 8 = floor
+    assert(Approx.scaledC(257L) == 16)  // ceil(257/32) = 9 > 8
+    assert(Approx.scaledC(500L) == 16)
+    assert(Approx.scaledC(512L) == 16)  // ceil(512/32) = 16 exactly
+    assert(Approx.scaledC(513L) == 32)  // ceiling division, not floor
+    assert(Approx.scaledC(2000L) == 64)
+    assert(Approx.scaledC(25000L) == 1024)
     assert(Approx.scaledC(10000000L) == 4096) // clamp
     // 4) the kernel=true ivfDedup path is now TWO-LEVEL (IvfProbes2) —
     //    its parity pins live in the dedicated IvfProbes2 test below
