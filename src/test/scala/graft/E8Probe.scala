@@ -15,7 +15,16 @@ object E8Probe {
     // candidate-volume diagnostics (probe-cell occupancy skew + distinct
     // candidate pairs) for the r13 mean-cell ladder experiment
     import org.apache.spark.sql.functions._
-    for (spec <- args(1).split(",")) {
+    for (specRaw <- args(1).split(",")) {
+      // optional per-spec corpus override ("n4096@/path/sf2") so a
+      // cross-SCALE comparison can run inside ONE JVM — cross-JVM
+      // absolute numbers on this host swing >2x run-to-run, so a
+      // scaling fit is only meaningful when every point shares the
+      // JVM (same JIT state, same session)
+      val (spec, dir) = specRaw.split("@") match {
+        case Array(s, d) => (s, d)
+        case _           => (specRaw, args(0))
+      }
       val mode = if (spec.head.isDigit) "d" else spec.take(1)
       val c = spec.stripPrefix(mode).toInt
       val dims = 64
