@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *   - `recovered` — the stream drained and rows == baseline. For the
   *     STATELESS ingest gates (`near_dedup`, `decontam`) this means
   *     Spark re-ran the dead executor's tasks from lineage; for the
-  *     STATEFUL targets (`dedup_state`, `session_state`) it
-  *     additionally means the relaunched executor reloaded the state
-  *     store from the checkpoint's delta/snapshot files mid-stream.
+  *     STATEFUL targets (`dedup_state`, `session_state`,
+  *     `join_state`) it additionally means the relaunched executor
+  *     reloaded the state store from the checkpoint's delta/snapshot
+  *     files mid-stream.
   *   - `parity_mismatch` — the stream drained but rows differ from the
   *     baseline: an exactly-once violation, the failure this gate
   *     exists to catch.
@@ -43,7 +44,9 @@ import org.apache.spark.sql.functions._
   *     dropDuplicatesWithinWatermark over the events corpus unioned
   *     with itself for real duplicate pressure; `session_state` =
   *     EventStreams.sessionWindows, a watermarked session-window
-  *     aggregation): a CONTROL streaming run — the same query over the
+  *     aggregation; `join_state` = EventStreams.attributionJoin, a
+  *     watermarked stream-stream interval join holding BOTH sides'
+  *     rows in symmetric join state stores): a CONTROL streaming run — the same query over the
   *     same staged files with the same `maxFilesPerTrigger=1` cadence
   *     and its own checkpoint, run to completion WITHOUT a kill. The
   *     batch frame is the wrong baseline here (append mode holds back
@@ -123,16 +126,21 @@ object FaultInjectStream {
           graft.streaming.VecStreams
             .decontaminateIngest(fileSrc(vecs.schema), eval),
           "batch_twin")
-      case "dedup_state" | "session_state" =>
+      case "dedup_state" | "session_state" | "join_state" =>
         val ev = graft.catalog.Tables.t(spark, sfDir, "events")
         // dedup needs real duplicate pressure: union the corpus with
         // itself so every event_id arrives twice, spread across files
         val toStage = if (name == "dedup_state") ev.union(ev) else ev
         toStage.repartition(nFiles).write.mode("overwrite").parquet(staging)
         val schema = spark.read.parquet(staging).schema
-        val mk: DataFrame => DataFrame =
-          if (name == "dedup_state") graft.streaming.EventStreams.dedupe
-          else graft.streaming.EventStreams.sessionWindows
+        val mk: DataFrame => DataFrame = name match {
+          case "dedup_state" => graft.streaming.EventStreams.dedupe
+          // join_state reads ONE staged source into both join sides
+          // (purchase/click splits of the same stream) — the state
+          // under test is the symmetric hash join's per-side stores
+          case "join_state" => graft.streaming.EventStreams.attributionJoin
+          case _            => graft.streaming.EventStreams.sessionWindows
+        }
         (runControl(mk(fileSrc(schema))), mk(fileSrc(schema)),
           "stream_control")
       case other => sys.error(s"unknown streaming fault target: $other")
