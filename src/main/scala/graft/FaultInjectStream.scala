@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *     STATELESS ingest gates (`near_dedup`, `decontam`) this means
   *     Spark re-ran the dead executor's tasks from lineage; for the
   *     STATEFUL targets (`dedup_state`, `session_state`,
-  *     `join_state`) it additionally means the relaunched executor
+  *     `join_state`, `left_join_state`) it additionally means the relaunched executor
   *     reloaded the state store from the checkpoint's delta/snapshot
   *     files mid-stream.
   *   - `parity_mismatch` — the stream drained but rows differ from the
@@ -126,7 +126,8 @@ object FaultInjectStream {
           graft.streaming.VecStreams
             .decontaminateIngest(fileSrc(vecs.schema), eval),
           "batch_twin")
-      case "dedup_state" | "session_state" | "join_state" =>
+      case "dedup_state" | "session_state" | "join_state"
+          | "left_join_state" =>
         val ev = graft.catalog.Tables.t(spark, sfDir, "events")
         // dedup needs real duplicate pressure: union the corpus with
         // itself so every event_id arrives twice, spread across files
@@ -137,8 +138,13 @@ object FaultInjectStream {
           case "dedup_state" => graft.streaming.EventStreams.dedupe
           // join_state reads ONE staged source into both join sides
           // (purchase/click splits of the same stream) — the state
-          // under test is the symmetric hash join's per-side stores
+          // under test is the symmetric hash join's per-side stores;
+          // left_join_state is the outer twin, where null-padded rows
+          // emit only when the watermark PROVES no match can arrive —
+          // a kill must also recover those expiry timers exactly
           case "join_state" => graft.streaming.EventStreams.attributionJoin
+          case "left_join_state" =>
+            graft.streaming.EventStreams.attributionLeftOuter
           case _            => graft.streaming.EventStreams.sessionWindows
         }
         (runControl(mk(fileSrc(schema))), mk(fileSrc(schema)),
