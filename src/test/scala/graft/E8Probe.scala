@@ -52,6 +52,17 @@ object E8Probe {
             f"mean=${occ.getDouble(3)}%.1f pair_bound=${occ.getDouble(4)}%.0f " +
             s"distinct_cand=$cand")
           cand
+        case "l" =>
+          // e2b's corpus-scaled LSH ANN (lshScaledTop3) through the
+          // noop sink — the same-JVM cross-scale harness for the LSH
+          // family (the numeric part of the spec is ignored; P derives
+          // from COUNT(*) inside). Alternating dirs evicts the one-slot
+          // memo each call, so every point pays its full corpus +
+          // projection + bucket-join cost.
+          graft.catalog.Approx.lshScaledTop3(
+              graft.catalog.Tables.t(spark, dir, "embeddings"))
+            .write.format("noop").mode("overwrite").save()
+          -1L
         case "n" =>
           // full ivfDedup at an EXPLICIT C through the noop sink — the
           // apples-to-apples harness for ladder experiments (count()
