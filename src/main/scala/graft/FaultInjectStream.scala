@@ -145,7 +145,12 @@ object FaultInjectStream {
           case "join_state" => graft.streaming.EventStreams.attributionJoin
           case "left_join_state" =>
             graft.streaming.EventStreams.attributionLeftOuter
-          case _            => graft.streaming.EventStreams.sessionWindows
+          case "session_state" => graft.streaming.EventStreams.sessionWindows
+          // mirror the outer match's unknown-target guard: a stateful
+          // target added to the outer case list but forgotten here must
+          // fail loudly, not silently run sessionWindows and record
+          // fault-tolerance evidence for the wrong query
+          case other => sys.error(s"no stream builder for target: $other")
         }
         (runControl(mk(fileSrc(schema))), mk(fileSrc(schema)),
           "stream_control")

@@ -648,26 +648,31 @@ object Approx {
     * only supers that appear in `parent`, mirroring ivfChildren's
     * childless-super drop), then cells/probes ranked ONLY over the
     * selected supers' children with the original (sim DESC, cell ASC)
-    * tie-break. Centroids via range(4096·64) filtered to C — range()
-    * cannot take a subquery parameter. The candidate-only `sims` CTE
-    * also cuts the oracle's own cost from n·C to n·(S + 2·C/S) dots. */
+    * tie-break. Centroids via range(ivfCmax·64) filtered to C — range()
+    * cannot take a subquery parameter; the ladder VALUES lists, the
+    * COALESCE caps, and both range() literals are generated from
+    * ivfCmax/ivfSmax so a raised SPARK_GRAFT_IVF_CMAX moves engine and
+    * oracle together (see ivfCmax's scaladoc). The candidate-only
+    * `sims` CTE also cuts the oracle's own cost from n·C to
+    * n·(S + 2·C/S) dots. */
   private def ivfScaledPairCtes(p: Int, tau: Double): String =
     s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
       cparam AS (
-        SELECT COALESCE(MIN(pw), 4096) AS C
-        FROM (VALUES (8),(16),(32),(64),(128),(256),(512),(1024),(2048),
-          (4096)) t(pw), nn
+        SELECT COALESCE(MIN(pw), $ivfCmax) AS C
+        FROM (VALUES ${Iterator.iterate(8)(_ << 1).takeWhile(_ <= ivfCmax)
+          .map(p => s"($p)").mkString(",")}) t(pw), nn
         WHERE pw >= (nn.n + 31) // 32),
       sparam AS (
-        SELECT COALESCE(MIN(sq), 64) AS S
-        FROM (VALUES (2),(4),(8),(16),(32),(64)) t(sq), cparam
+        SELECT COALESCE(MIN(sq), $ivfSmax) AS S
+        FROM (VALUES ${Iterator.iterate(2)(_ << 1).takeWhile(_ <= ivfSmax)
+          .map(s => s"($s)").mkString(",")}) t(sq), cparam
         WHERE sq * sq >= cparam.C),
       cents AS (
         SELECT cell, list(val ORDER BY d) AS cv
         FROM (
           SELECT CAST(i // 64 + 1 AS BIGINT) AS cell, i % 64 AS d,
             ${mixToUnitSql(s"CAST(${0x49564600L} + i AS HUGEINT)")} - 0.5 AS val
-          FROM range(262144) t(i)
+          FROM range(${ivfCmax * 64L}) t(i)
           WHERE i // 64 < (SELECT C FROM cparam))
         GROUP BY cell),
       supers AS (
@@ -675,7 +680,7 @@ object Approx {
         FROM (
           SELECT CAST(i // 64 + 1 AS BIGINT) AS sup, i % 64 AS d,
             ${mixToUnitSql(s"CAST($IvfSuperSeedBase + i AS HUGEINT)")} - 0.5 AS val
-          FROM range(4096) t(i)
+          FROM range(${ivfSmax * 64L}) t(i)
           WHERE i // 64 < (SELECT S FROM sparam))
         GROUP BY sup),
       parent AS (
@@ -814,6 +819,57 @@ object Approx {
       WHERE c.vec_id % 50 <> 0
       ORDER BY c.vec_id"""
 
+  /** the composed vector-side ingest pipeline (e18): the shared scaled
+    * CTE prefix feeds BOTH quality surfaces at once — stage CTEs follow
+    * the staged semantics exactly (train split → e8b's non-cascading
+    * near-dup drop restricted to training pairs → e16's near-any-eval
+    * decontam → d30's doc-quality gate → d28's temperature-mix tail
+    * verbatim). One static string, bit-exact at every scale factor and
+    * every SPARK_GRAFT_IVF_CMAX (the prefix ladders are generated). */
+  private def e18OracleSql: String =
+    s"""WITH ${ivfScaledPairCtes(p = 4, tau = 0.4)},
+      trainv AS (SELECT vec_id FROM cells WHERE vec_id % 50 <> 0),
+      dup AS (
+        SELECT DISTINCT id_b AS vec_id FROM pairs
+        WHERE id_a % 50 <> 0 AND id_b % 50 <> 0),
+      contamv AS (
+        SELECT DISTINCT CASE WHEN id_a % 50 = 0 THEN id_b ELSE id_a END
+          AS vec_id
+        FROM pairs WHERE (id_a % 50 = 0) <> (id_b % 50 = 0)),
+      clean AS (
+        SELECT vec_id FROM trainv
+        WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+          AND vec_id NOT IN (SELECT vec_id FROM contamv)),
+      gated AS (
+        SELECT d.source, d.n_chars
+        FROM documents d JOIN clean c ON c.vec_id = d.doc_id
+        WHERE d.lang IN ('en', 'de', 'fr', 'es')
+          AND len(string_split_regex(trim(d.text), ' +')) >= 20),
+      per AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens,
+          sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS w
+        FROM gated GROUP BY source),
+      tot AS (
+        SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+          (a, b) -> a + b) AS total
+        FROM per),
+      px AS (
+        SELECT source, tokens, w, w / total AS p,
+          (w / total) * 100000.0 AS raw
+        FROM per, tot),
+      fb AS (
+        SELECT *, CAST(floor(raw) AS BIGINT) AS base,
+          raw - floor(raw) AS rem
+        FROM px),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+          (SELECT SUM(base) FROM fb) AS sum_base
+        FROM fb)
+      SELECT source, tokens, p,
+        CAST(base + CASE WHEN rk <= 100000 - sum_base THEN 1 ELSE 0 END
+          AS BIGINT) AS alloc
+      FROM rk ORDER BY source"""
+
   private def e16OracleSql: String =
     s"""WITH $ivfPairCtes,
       contam AS (
@@ -917,23 +973,59 @@ object Approx {
       .orderBy("vec_id")
   }
 
+  /** deployment cell-count cap for the scaledC ladder — the cluster
+    * escape for the clamp regime (SCALE.md round-14). The single-box
+    * default (4096) bounds the driver-side codebook and the kernel's
+    * literal centroid array; above ~131k vectors the clamp binds, mean
+    * cell size grows ∝ n again, and within-cell pair work drifts back
+    * toward N²/C — measured at sf5 (250k vectors) in SCALE.md. On a
+    * real cluster the cap scales with executor count (each executor
+    * scores/holds its share of cells), so `SPARK_GRAFT_IVF_CMAX` raises
+    * it: a power of two in [8, 65536], read once per JVM. LOCKSTEP
+    * GUARANTEE: the oracle's cparam/sparam VALUES ladders and the
+    * centroid/super range() literals are GENERATED from these same
+    * values in the same JVM (oracleSql is built when Verify dumps it),
+    * so engine and oracle cannot disagree on C or S at any override.
+    * Gated bit-exact above the default clamp (sf5 at CMAX=16384 →
+    * C=8192, check_sf5e artifact). */
+  private[graft] lazy val ivfCmax: Int = {
+    val v = sys.env.get("SPARK_GRAFT_IVF_CMAX").map(_.trim.toInt)
+      .getOrElse(4096)
+    require(v >= 8 && v <= 65536 && Integer.bitCount(v) == 1,
+      s"SPARK_GRAFT_IVF_CMAX must be a power of two in [8, 65536], got $v")
+    v
+  }
+
+  /** super-ladder cap in lockstep with ivfCmax: the smallest power of
+    * two whose square covers it (4096 → 64, the historical constant;
+    * 16384 → 128; 65536 → 256) — so S stays ≈ √C all the way to the
+    * raised cap and two-level assignment cost S + 2·C/S stays O(√C) */
+  private[graft] def smaxFor(cmax: Int): Int = {
+    var s = 2
+    while (s * s < cmax) s <<= 1
+    s
+  }
+  private[graft] lazy val ivfSmax: Int = smaxFor(ivfCmax)
+
   /** corpus-scaled cell count: the smallest power of two with a mean
-    * cell size <= 32, clamped to [8, 4096]. C ∝ n keeps within-cell
-    * pair work linear (see ivfDedup); the power-of-two ladder makes the
-    * choice expressible EXACTLY in the oracle (a MIN over a VALUES
-    * ladder vs COUNT(*) — no float log2 edge cases). Both engines
-    * compute it from the same corpus count. Round 13: the target
-    * dropped 64 → 32 — with the two-level kernel the assignment's
-    * O(√C) cost barely notices the doubled C, while the within-cell
-    * pair work (the dominant term, ~mean-cell/2 exact cosines per
-    * probe row) halves — measured before/after in SCALE.md round-13,
-    * recall gates unchanged. */
-  private[graft] def scaledC(n: Long): Int = {
+    * cell size <= 32, clamped to [8, ivfCmax] (4096 unless the
+    * deployment raises SPARK_GRAFT_IVF_CMAX — see its scaladoc). C ∝ n
+    * keeps within-cell pair work linear (see ivfDedup); the
+    * power-of-two ladder makes the choice expressible EXACTLY in the
+    * oracle (a MIN over a VALUES ladder vs COUNT(*) — no float log2
+    * edge cases). Both engines compute it from the same corpus count.
+    * Round 13: the target dropped 64 → 32 — with the two-level kernel
+    * the assignment's O(√C) cost barely notices the doubled C, while
+    * the within-cell pair work (the dominant term, ~mean-cell/2 exact
+    * cosines per probe row) halves — measured before/after in SCALE.md
+    * round-13, recall gates unchanged. */
+  private[graft] def scaledCAt(n: Long, cmax: Int): Int = {
     val target = math.max(1L, (n + 31) / 32)
     var c = 8
-    while (c < target && c < 4096) c <<= 1
+    while (c < target && c < cmax) c <<= 1
     c
   }
+  private[graft] def scaledC(n: Long): Int = scaledCAt(n, ivfCmax)
 
   /** corpus-scaled LSH depth for e2b: the smallest plane count P with a
     * mean bucket size <= 64 (2^P >= n/64), clamped to [6, 16]. With
@@ -1069,20 +1161,25 @@ object Approx {
   // is an argmax both engines compute identically.
 
   /** super-centroid seed base — distinct from (and non-overlapping with)
-    * the centroid range 0x49564600+[0,262144) and the LSH plane range
-    * 0x4C534800+[0,8192). NEVER change: every e8b/e16b artifact and the
+    * the centroid range 0x49564600+[0,ivfCmax·64) (even at the max
+    * CMAX=65536 the centroid range tops out at +0x400000, well below
+    * the LSH base) and the LSH plane range 0x4C534800+[0,8192).
+    * NEVER change: every e8b/e16b artifact and the
     * oracle SQL derive from it. */
   private[graft] val IvfSuperSeedBase = 0x53555000L
 
   /** super-centroid count for a given C: the smallest power of two s
-    * with s² >= C, so s ≈ √C (C ∈ [8,4096] → s ∈ [4,64]). A power-of-two
-    * ladder over integer squares — exactly expressible in the oracle as
-    * a MIN over VALUES, no float sqrt. */
-  private[graft] def scaledSuperC(C: Int): Int = {
+    * with s² >= C, so s ≈ √C (C ∈ [8,4096] → s ∈ [4,64]; a raised
+    * ivfCmax raises the cap in lockstep via ivfSmax, so s stays ≈ √C
+    * above the default clamp too). A power-of-two ladder over integer
+    * squares — exactly expressible in the oracle as a MIN over VALUES,
+    * no float sqrt. */
+  private[graft] def scaledSuperCAt(C: Int, smax: Int): Int = {
     var s = 2
-    while (s * s < C && s < 64) s <<= 1
+    while (s * s < C && s < smax) s <<= 1
     s
   }
+  private[graft] def scaledSuperC(C: Int): Int = scaledSuperCAt(C, ivfSmax)
 
   /** super centroids flattened [s*dims + d] — same unit-interval recipe
     * as the cell centroids, distinct seed base */
@@ -1826,6 +1923,67 @@ object Approx {
         "keep gate through e8b's scaled IVF machinery (shared kernel, " +
         "shared oracle CTE prefix) — the decontamination a 100 TB " +
         "ingest would actually run, fully oracle-checked"),
+
+    QueryDef(
+      "e18_e2e_vector_pipeline",
+      (s, dir) => {
+        // The vector-side capstone (d30's composition proof for the
+        // embedding tier): the full embedding-ingest chain as ONE
+        // composed query, each stage the semantics of its standalone
+        // sibling, sharing ONE IVF cells+pairs pass:
+        //   1. eval holdout: vec_id % 50 == 0 is the benchmark suite
+        //      (the d18/e16 convention) — never training data;
+        //   2. scaled near-dup dedup (e8b): drop a training vector iff
+        //      a LOWER-ID training vector sits within cosine >= 0.4 of
+        //      it in a shared probe cell. e8b's rep rule is
+        //      non-cascading (keep iff no lower-id neighbor, not "no
+        //      SURVIVING lower-id neighbor"), so restricting the
+        //      full-corpus pairs to train×train endpoints gives the
+        //      exact staged result — IVF assignment is per-vector, so
+        //      dropping vectors never changes anyone else's cells;
+        //   3. semantic decontam (e16/ivfDecontam): drop a survivor
+        //      near ANY eval vector;
+        //   4. doc-quality gate (d30's): the aligned documents row
+        //      (doc_id == vec_id) must be in the 4 target langs with
+        //      >= 20 whitespace tokens;
+        //   5. temperature mix (d28, shared code): per-source token
+        //      mass of the survivors -> sqrt weights ->
+        //      largest-remainder apportionment of the 100k budget.
+        // Scale shape: one ivfCellsAndPairs pass (linear at C ∝ n,
+        // clamp escape via SPARK_GRAFT_IVF_CMAX), two id-set anti-joins
+        // on vec_id, one doc equi-join on the id, then a #sources-row
+        // tail — the composition is exactly as linear as its worst
+        // stage, and the final mix depends on every upstream stage.
+        val emb = t(s, dir, "embeddings")
+        val c = scaledC(emb.count())
+        val (cells, pairs) =
+          ivfCellsAndPairs(emb, C = c, P = 4, tau = 0.4, kernel = true)
+        val evalA = col("id_a") % 50 === 0
+        val evalB = col("id_b") % 50 === 0
+        val dupIds = pairs.filter(!evalA && !evalB)
+          .select(col("id_b").as("vec_id")).distinct()
+        val contamIds = pairs.filter(evalA =!= evalB)
+          .select(when(evalA, col("id_b")).otherwise(col("id_a"))
+            .as("vec_id")).distinct()
+        val clean = cells.select("vec_id")
+          .filter(col("vec_id") % 50 =!= 0)
+          .join(dupIds, Seq("vec_id"), "left_anti")
+          .join(contamIds, Seq("vec_id"), "left_anti")
+        val gated = t(s, dir, "documents")
+          .join(clean, col("doc_id") === col("vec_id"))
+          .filter(col("lang").isin("en", "de", "fr", "es") &&
+            size(split(trim(col("text")), " +")).cast("long") >= 20)
+        TextDocs.temperatureMix(
+          gated.groupBy("source").agg(sum(col("n_chars")).as("tokens")),
+          100000L)
+      },
+      Some(e18OracleSql),
+      "composed vector-side ingest pipeline: eval holdout -> scaled " +
+        "IVF near-dup dedup (e8b) -> semantic decontam (e16) -> doc " +
+        "quality gate (d30) -> temperature mix (d28) as ONE query " +
+        "over embeddings+documents, sharing a single cells+pairs pass " +
+        "— the user-shaped proof that the vector-tier operators " +
+        "compose, fully oracle-checked at every scale factor"),
 
     QueryDef(
       "e16_semantic_decontam",

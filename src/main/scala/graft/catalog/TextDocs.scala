@@ -16,6 +16,40 @@ object TextDocs {
   /** whitespace tokens of trimmed text (trailing-empty-safe on both engines) */
   private def toks(c: Column): Column = split(trim(c), " +")
 
+  /** d28's temperature-mix tail, shared with the composed vector-side
+    * pipeline (e18 in Approx): per-source sampling weight tokens^0.5
+    * (sqrt is IEEE-correctly-rounded on both engines), then
+    * largest-remainder apportionment of `budget` so integer allocations
+    * sum EXACTLY to it. `per0` must carry (source, tokens:BIGINT); the
+    * input is one row per source, so everything here — the ordered
+    * normalizer fold, the global rank window, the two broadcast scalars
+    * — is post-aggregation metadata, not data. stableCheckpoint pins it
+    * so its two consumers (normalizer + allocator) cost ONE upstream
+    * pass, not two. */
+  private[catalog] def temperatureMix(per0: DataFrame, budget: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = per0
+      .withColumn("w", sqrt(col("tokens").cast("double")))
+      .stableCheckpoint()
+    val tot = per.agg(
+      aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("total"))
+    val based = per.crossJoin(broadcast(tot))
+      .withColumn("p", col("w") / col("total"))
+      .withColumn("raw", col("p") * lit(budget).cast("double"))
+      .withColumn("base", floor(col("raw")))
+      .withColumn("rem", col("raw") - col("base"))
+    val sumBase = based.agg(sum(col("base")).as("sum_base"))
+    val rk = Window.orderBy(col("rem").desc, col("source"))
+    based.crossJoin(broadcast(sumBase))
+      .withColumn("rk", row_number().over(rk))
+      .select(col("source"), col("tokens"), col("p"),
+        (col("base") + when(col("rk") <= lit(budget) - col("sum_base"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
   /** Nano-nat log table for d29: lnano(t) = round(ln(t)*1e9) for t in
@@ -1091,28 +1125,8 @@ object TextDocs {
         // fold trick) so the double sum is bit-identical to DuckDB's.
         // localCheckpoint pins the aggregated frame so its two consumers
         // (normalizer + allocator) cost ONE corpus scan, not two.
-        import org.apache.spark.sql.expressions.Window
-        val B = 100000L
-        val per = t(s, dir, "documents")
-          .groupBy("source").agg(sum(col("n_chars")).as("tokens"))
-          .withColumn("w", sqrt(col("tokens").cast("double")))
-          .stableCheckpoint()
-        val tot = per.agg(
-          aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
-            lit(0.0), (acc, x) => acc + x.getField("w")).as("total"))
-        val based = per.crossJoin(broadcast(tot))
-          .withColumn("p", col("w") / col("total"))
-          .withColumn("raw", col("p") * lit(B).cast("double"))
-          .withColumn("base", floor(col("raw")))
-          .withColumn("rem", col("raw") - col("base"))
-        val sumBase = based.agg(sum(col("base")).as("sum_base"))
-        val rk = Window.orderBy(col("rem").desc, col("source"))
-        based.crossJoin(broadcast(sumBase))
-          .withColumn("rk", row_number().over(rk))
-          .select(col("source"), col("tokens"), col("p"),
-            (col("base") + when(col("rk") <= lit(B) - col("sum_base"), 1L)
-              .otherwise(0L)).as("alloc"))
-          .orderBy("source")
+        temperatureMix(t(s, dir, "documents")
+          .groupBy("source").agg(sum(col("n_chars")).as("tokens")), 100000L)
       },
       Some("""WITH per AS (
           SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens,

@@ -21,9 +21,15 @@ object E8Probe {
       // absolute numbers on this host swing >2x run-to-run, so a
       // scaling fit is only meaningful when every point shares the
       // JVM (same JIT state, same session)
-      val (spec, dir) = specRaw.split("@") match {
-        case Array(s, d) => (s, d)
-        case _           => (specRaw, args(0))
+      // split("@", 2): a path containing '@' stays intact in the dir
+      // part; an empty dir part ("n64@") fails here with a clear
+      // message instead of later as a NumberFormatException in the
+      // spec-prefix parse below
+      val (spec, dir) = specRaw.split("@", 2) match {
+        case Array(s, d) =>
+          require(d.nonEmpty, s"malformed spec '$specRaw': empty dir after @")
+          (s, d)
+        case _ => (specRaw, args(0))
       }
       val mode = if (spec.head.isDigit) "d" else spec.take(1)
       val c = spec.stripPrefix(mode).toInt

@@ -450,6 +450,20 @@ class ExtensionsSpec extends SparkSuite {
     assert(Approx.scaledC(2000L) == 64)
     assert(Approx.scaledC(25000L) == 1024)
     assert(Approx.scaledC(10000000L) == 4096) // clamp
+    // 3b) the cluster-escape ladders (SPARK_GRAFT_IVF_CMAX lockstep
+    //     helpers): identical at the default cap; a raised cap keeps
+    //     the C ladder climbing and S tracks sqrt(C) via smaxFor
+    assert(Approx.scaledCAt(250000L, 4096) == 4096)   // default clamp binds at sf5
+    assert(Approx.scaledCAt(250000L, 16384) == 8192)  // escape: ceil(250k/32)=7813
+    assert(Approx.scaledCAt(10000000L, 16384) == 16384) // raised clamp still binds
+    assert(Approx.smaxFor(4096) == 64)   // the historical constant
+    assert(Approx.smaxFor(8192) == 128)
+    assert(Approx.smaxFor(16384) == 128)
+    assert(Approx.smaxFor(65536) == 256)
+    assert(Approx.scaledSuperCAt(8192, 128) == 128) // s*s >= C reachable again
+    assert(Approx.scaledSuperCAt(8192, 64) == 64)   // old cap would have pinned it
+    assert(Approx.ivfCmax == 4096, "suite must run at the default cap")
+    assert(Approx.ivfSmax == 64)
     // 4) the kernel=true ivfDedup path is now TWO-LEVEL (IvfProbes2) —
     //    its parity pins live in the dedicated IvfProbes2 test below
     //    (degenerate sProbes=S == this flat kernel bit-for-bit, and the
