@@ -16,6 +16,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sfdir, outdir, only=None):
     con = duckdb.connect()
+    # DUCKDB_THREADS caps the oracle's parallelism so a long check can
+    # share the box with a same-JVM Spark measurement without shading it
+    import os
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
