@@ -829,23 +829,34 @@ object Approx {
   private def e18OracleSql: String =
     s"""WITH ${ivfScaledPairCtes(p = 4, tau = 0.4)},
       trainv AS (SELECT vec_id FROM cells WHERE vec_id % 50 <> 0),
-      dup AS (
-        SELECT DISTINCT id_b AS vec_id FROM pairs
-        WHERE id_a % 50 <> 0 AND id_b % 50 <> 0),
-      contamv AS (
-        SELECT DISTINCT CASE WHEN id_a % 50 = 0 THEN id_b ELSE id_a END
-          AS vec_id
-        FROM pairs WHERE (id_a % 50 = 0) <> (id_b % 50 = 0)),
+      dropped AS (
+        -- ONE pass over pairs (a twice-referenced pairs CTE would make
+        -- DuckDB materialize ~70M (pair, vec, vec) rows to temp — it
+        -- ENOSPC'd an 80 GB disk at sf5): the union of the dedup drops
+        -- (both-train -> higher id) and the decontam drops (exactly one
+        -- eval -> the train side) is all the mix needs, and a vector
+        -- dropped by either stage is simply dropped
+        SELECT DISTINCT CASE WHEN id_a % 50 = 0 THEN id_b
+          WHEN id_b % 50 = 0 THEN id_a ELSE id_b END AS vec_id
+        FROM pairs
+        WHERE NOT (id_a % 50 = 0 AND id_b % 50 = 0)),
       clean AS (
         SELECT vec_id FROM trainv
-        WHERE vec_id NOT IN (SELECT vec_id FROM dup)
-          AND vec_id NOT IN (SELECT vec_id FROM contamv)),
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)),
       gated AS (
         SELECT d.source, d.n_chars
         FROM documents d JOIN clean c ON c.vec_id = d.doc_id
         WHERE d.lang IN ('en', 'de', 'fr', 'es')
           AND len(string_split_regex(trim(d.text), ' +')) >= 20),
-      per AS (
+      per AS MATERIALIZED (
+        -- MATERIALIZED is load-bearing, not an optimization nicety:
+        -- DuckDB inlines multiply-referenced CTEs, and per/fb are each
+        -- read twice below — without the hint the ENTIRE candidate-pair
+        -- pipeline above re-runs multiplicatively (measured: OOM at a
+        -- 93 GiB cap at 150k vectors, while e8b's single-consumer
+        -- oracle over the same prefix runs in-memory). Materializing
+        -- the 20-row per-source aggregate cuts the chain so the
+        -- expensive prefix executes exactly once.
         SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens,
           sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS w
         FROM gated GROUP BY source),
@@ -1960,15 +1971,18 @@ object Approx {
           ivfCellsAndPairs(emb, C = c, P = 4, tau = 0.4, kernel = true)
         val evalA = col("id_a") % 50 === 0
         val evalB = col("id_b") % 50 === 0
-        val dupIds = pairs.filter(!evalA && !evalB)
-          .select(col("id_b").as("vec_id")).distinct()
-        val contamIds = pairs.filter(evalA =!= evalB)
-          .select(when(evalA, col("id_b")).otherwise(col("id_a"))
-            .as("vec_id")).distinct()
+        // ONE pass over the candidate-pair pipeline (two independent
+        // dedup/decontam consumers would run the expensive probe-cell
+        // join twice): a pair yields a dropped TRAINING id — the higher
+        // id when both are train (e8b's rep rule), the train side when
+        // exactly one is eval (e16's rule), nothing when both are eval
+        // — and the keep set only needs the UNION of the drops
+        val dropped = pairs.filter(!(evalA && evalB))
+          .select(when(evalA, col("id_b")).when(evalB, col("id_a"))
+            .otherwise(col("id_b")).as("vec_id")).distinct()
         val clean = cells.select("vec_id")
           .filter(col("vec_id") % 50 =!= 0)
-          .join(dupIds, Seq("vec_id"), "left_anti")
-          .join(contamIds, Seq("vec_id"), "left_anti")
+          .join(dropped, Seq("vec_id"), "left_anti")
         val gated = t(s, dir, "documents")
           .join(clean, col("doc_id") === col("vec_id"))
           .filter(col("lang").isin("en", "de", "fr", "es") &&

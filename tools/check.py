@@ -21,6 +21,18 @@ def main(sfdir, outdir, only=None):
     import os
     if os.environ.get("DUCKDB_THREADS"):
         con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    # the comparator sorts both frames itself, so result order is free —
+    # but empirically dropping insertion-order preservation made the big
+    # oracle CTE pipelines spill MORE on this box (plan change toward
+    # materializing parallel operators), so it is opt-in, not default
+    if os.environ.get("DUCKDB_NO_ORDER"):
+        con.execute("SET preserve_insertion_order=false")
+    # DUCKDB_MEMORY caps the buffer pool (e.g. "48GB"): the default
+    # (~80% of RAM) let the sf5 e18 oracle grow to 108 GB RSS and get
+    # OOM-killed beside a Spark JVM; an explicit cap trades that for
+    # orderly spill to temp
+    if os.environ.get("DUCKDB_MEMORY"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY']}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
