@@ -31,6 +31,10 @@ class PlanAuditSpec extends SparkSuite {
     *   to doc_id < 150 on BOTH sides (d32 is the full-corpus twin)
     * - d15/d28/d33/d35/q18/q84/q87: a 1-row global statistic (corpus
     *   size, total, mean, min/max) broadcasts onto the corpus
+    * - e18_e2e_vector_pipeline: d28's mix tail verbatim (shared
+    *   temperatureMix code) — the same two 1-row broadcast scalars
+    *   (normalizer total, base-allocation sum) attach to the ~20-row
+    *   per-source aggregate, never the corpus
     * - e1/e4/e7/e10/e14/e15: the CONSTANT query batch (≤ a few hundred
     *   vectors) broadcasts against the corpus scan with a non-equi
     *   (q_id <> c_id) condition — the e1 discipline
@@ -39,7 +43,8 @@ class PlanAuditSpec extends SparkSuite {
   private val bnljAllowed = Set(
     "bb_e2e_combined", "bb_e2e_rrpm", "bb_e2e_tophits",
     "d6_ngram_jaccard",
-    "d15_tfidf_topterms", "d28_temperature_mix", "d33_heavy_hitters",
+    "d15_tfidf_topterms", "d28_temperature_mix",
+    "e18_e2e_vector_pipeline", "d33_heavy_hitters",
     "d35_bm25", "q18_scalar_subquery", "q84_ab_test", "q87_histogram",
     "e1_cosine_topk", "e4_embed_dedup", "e7_pq_adc", "e10_knn_classify",
     "e14_recall_eval", "e15_binary_ann",
@@ -50,8 +55,11 @@ class PlanAuditSpec extends SparkSuite {
     * by CONSTRUCTION (post-aggregation metadata, not corpus rows):
     * - d28_temperature_mix: everything past the one groupBy runs on a
     *   #sources-row frame (~20 rows); its global apportionment window
-    *   funnels that metadata frame, never the corpus */
-  private val boundedSinglePartition = Set("d28_temperature_mix")
+    *   funnels that metadata frame, never the corpus
+    * - e18_e2e_vector_pipeline: same tail, same bound (shared
+    *   temperatureMix code) */
+  private val boundedSinglePartition =
+    Set("d28_temperature_mix", "e18_e2e_vector_pipeline")
 
   test("catalog-wide plan audit: no CartesianProduct anywhere; every " +
       "SinglePartition exchange is a keyless partial-aggregate merge; " +
