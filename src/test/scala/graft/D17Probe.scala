@@ -43,17 +43,28 @@ object D17Probe {
       println(f"[d17probe] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  $stats")
       hygiene()
     }
-    // 1. Bench's warmup pass at the smallest corpus
+    // 1. Bench's warmup pass at the smallest corpus. The dir is arg 2
+    //    when given (ADVICE round 14: on a box without the default path
+    //    the swallowed Throwables made the "Bench-exact warmup" a
+    //    silent no-op); failures are COUNTED and reported loudly either
+    //    way, so a degraded warmup can never masquerade as the real
+    //    instrument.
+    val warmDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    var warmFails = 0
     SparkEntry.queries.foreach { case (_, fn) =>
-      try materialize(fn(spark, "/root/testdata/sf0.001"))
-      catch { case _: Throwable => () }
+      try materialize(fn(spark, warmDir))
+      catch { case _: Throwable => warmFails += 1 }
     }
+    if (warmFails > 0) System.err.println(
+      s"[d17probe] WARNING: $warmFails/${SparkEntry.queries.size} warmup " +
+        s"queries FAILED at $warmDir - the Bench-exact-warmup premise is " +
+        "degraded; pass a readable warmup dir as arg 2")
     hygiene()
     // one untimed d17 at the TARGET corpus so `baseline` is the warm
     // second execution — the same instrument as BenchOne warm+noop
-    // (the 3.51 s r13 reading this probe compares against)
-    try materialize(SparkEntry.queries("d17_repetition_quality")(spark, sfDir))
-    catch { case _: Throwable => () }
+    // (the 3.51 s r13 reading this probe compares against). A failure
+    // HERE invalidates the probe outright, so it is fatal, not warned.
+    materialize(SparkEntry.queries("d17_repetition_quality")(spark, sfDir))
     hygiene()
     println(s"[d17probe] warmup done  $stats")
     timeD17("baseline")

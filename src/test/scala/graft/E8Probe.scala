@@ -90,6 +90,17 @@ object E8Probe {
             out16.explain("formatted")
           else out16.write.format("noop").mode("overwrite").save()
           -1L
+        case "s" =>
+          // e8c's SHARD TIER at an explicit cell-count cap (noop sink):
+          // "s4096" runs ivfDedupShardedAt with cmax=4096 — the sharded
+          // arm of the sharded-vs-clamped A/B (the clamped arm is
+          // "n4096", which pins C at the cap the way e8b's default
+          // config does above the binding point)
+          graft.catalog.Approx.ivfDedupShardedAt(
+              graft.catalog.Tables.t(spark, dir, "embeddings"),
+              P = 4, tau = 0.4, cmax = c)
+            .write.format("noop").mode("overwrite").save()
+          -1L
         case "f" | "t" =>
           val emb = graft.catalog.Tables.t(spark, dir, "embeddings")
             .withColumn("dv", transform(col("embedding"), x => x.cast("double")))

@@ -329,7 +329,9 @@ class EdgeSpec extends SparkSuite {
   }
 
   test("scaledPlanes: the integer ladder matches the oracle's VALUES " +
-      "ladder at every boundary (2^P >= ceil(n/64), clamped [6, 16])") {
+      "ladder at every boundary (2^P >= ceil(n/64), clamped " +
+      "[6, lshPmax]); the PMAX escape and its clamp diagnostic") {
+    import graft.catalog.Approx
     import graft.catalog.Approx.scaledPlanes
     // below-floor and floor: ceil(n/64) <= 64 keeps P at 6
     assert(scaledPlanes(0L) == 6)
@@ -341,10 +343,29 @@ class EdgeSpec extends SparkSuite {
     // ceiling division, not floor: 64*2^7 - 63 still needs 2^7 slots
     assert(scaledPlanes((64L << 7) - 63) == 7)
     assert(scaledPlanes((64L << 7) - 64) == 7)
-    // cap boundary and clamp
-    assert(scaledPlanes(64L << 16) == 16)
-    assert(scaledPlanes((64L << 16) + 1) == 16)
-    assert(scaledPlanes(Long.MaxValue / 2) == 16)
+    // default-cap boundary and clamp (env-coupled like ivfCmax: skip
+    // under an exported override, the parameterized pins below carry)
+    if (!sys.env.contains("SPARK_GRAFT_LSH_PMAX")) {
+      assert(Approx.lshPmax == 16)
+      assert(scaledPlanes(64L << 16) == 16)
+      assert(scaledPlanes((64L << 16) + 1) == 16)
+      assert(scaledPlanes(Long.MaxValue / 2) == 16)
+    }
+    // the cap-PARAMETERIZED ladder (SPARK_GRAFT_LSH_PMAX lockstep):
+    // a forced-low cap binds at test scale, a raised cap keeps climbing
+    assert(Approx.scaledPlanesAt(5000L, 6) == 6)   // natural 7, clamped
+    assert(Approx.scaledPlanesAt(5000L, 16) == 7)  // natural
+    assert(Approx.scaledPlanesAt(64L << 16, 20) == 16)
+    assert(Approx.scaledPlanesAt((64L << 16) + 1, 20) == 17) // escape
+    assert(Approx.scaledPlanesAt(64L << 22, 20) == 20)       // raised clamp
+    // the clamp diagnostic: speaks exactly when 2^pmax < ceil(n/64),
+    // names the escape env var and strict mode
+    assert(Approx.lshClampDiagnostic(64L << 16, 16).isEmpty)
+    val d = Approx.lshClampDiagnostic((64L << 16) + 1, 16)
+    assert(d.isDefined && d.get.contains("SPARK_GRAFT_LSH_PMAX") &&
+      d.get.contains("SPARK_GRAFT_LSH_STRICT"))
+    assert(Approx.lshClampDiagnostic(5000L, 6).isDefined) // forced cap binds
+    assert(Approx.lshClampDiagnostic(5000L, 7).isEmpty)
   }
 
   test("lshScaledTop3: the P scale knob — a 5k corpus forces P=7 and " +

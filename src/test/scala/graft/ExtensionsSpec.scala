@@ -449,7 +449,6 @@ class ExtensionsSpec extends SparkSuite {
     assert(Approx.scaledC(513L) == 32)  // ceiling division, not floor
     assert(Approx.scaledC(2000L) == 64)
     assert(Approx.scaledC(25000L) == 1024)
-    assert(Approx.scaledC(10000000L) == 4096) // clamp
     // 3b) the cluster-escape ladders (SPARK_GRAFT_IVF_CMAX lockstep
     //     helpers): identical at the default cap; a raised cap keeps
     //     the C ladder climbing and S tracks sqrt(C) via smaxFor
@@ -462,8 +461,52 @@ class ExtensionsSpec extends SparkSuite {
     assert(Approx.smaxFor(65536) == 256)
     assert(Approx.scaledSuperCAt(8192, 128) == 128) // s*s >= C reachable again
     assert(Approx.scaledSuperCAt(8192, 64) == 64)   // old cap would have pinned it
-    assert(Approx.ivfCmax == 4096, "suite must run at the default cap")
-    assert(Approx.ivfSmax == 64)
+    // default-cap pins are env-coupled BY DESIGN (ivfCmax reads the
+    // process environment once per JVM): under an exported
+    // SPARK_GRAFT_IVF_CMAX the cap-PARAMETERIZED ladder pins above still
+    // hold, so skip only these env-reading assertions rather than
+    // failing a suite that is deliberately running at a raised cap
+    // (ADVICE round 14 — e.g. the cluster-escape gate exports it)
+    if (!sys.env.contains("SPARK_GRAFT_IVF_CMAX")) {
+      assert(Approx.scaledC(10000000L) == 4096) // default clamp binds
+      assert(Approx.ivfCmax == 4096, "suite must run at the default cap")
+      assert(Approx.ivfSmax == 64)
+    }
+    // the clamp diagnostic (round-15: the silently-binding cap now
+    // speaks): pure function of (n, cmax), message names the escape
+    // env var, the sharded operator, and strict mode
+    assert(Approx.clampDiagnostic(131072L, 4096).isEmpty) // 4096*32 exactly
+    assert(Approx.clampDiagnostic(131073L, 4096).isDefined)
+    val diag = Approx.clampDiagnostic(250000L, 4096).get
+    assert(diag.contains("SPARK_GRAFT_IVF_CMAX") &&
+      diag.contains("e8c_embed_dedup_sharded") &&
+      diag.contains("SPARK_GRAFT_IVF_STRICT") &&
+      diag.contains("4.1x"),
+      s"clamp diagnostic must name the three escapes and the price: $diag")
+    assert(Approx.clampDiagnostic(250000L, 8192).isEmpty) // escaped cap
+    // strict mode fails instead of degrading; non-binding strict is a
+    // no-op either way
+    val strictErr = intercept[RuntimeException] {
+      Approx.clampEnforce(250000L, 4096, strict = true)
+    }
+    assert(strictErr.getMessage.contains("CLAMPED"))
+    Approx.clampEnforce(131072L, 4096, strict = true) // not binding: no-op
+    Approx.clampEnforce(250000L, 4096, strict = false) // warn path: no throw
+    // env-int parse guard (ADVICE round 14 A1): non-numeric, empty, and
+    // out-of-range values ALL surface the descriptive require message —
+    // never a raw NumberFormatException (the pure parse arm is split
+    // from the sys.env read exactly so this is testable)
+    def parse(raw: Option[String], pow2: Boolean = true): Int =
+      Approx.envIntParse("SPARK_GRAFT_IVF_CMAX", raw, 4096, 8, 65536, pow2)
+    assert(parse(None) == 4096)
+    assert(parse(Some(" 8192 ")) == 8192)
+    for (bad <- Seq("abc", "", "  ", "3.5", "12.0", "100000", "4", "3000")) {
+      val e = intercept[IllegalArgumentException] { parse(Some(bad)) }
+      assert(e.getMessage.contains("SPARK_GRAFT_IVF_CMAX") &&
+        e.getMessage.contains("power of two"),
+        s"'$bad' must die in the descriptive message, got: ${e.getMessage}")
+    }
+    assert(parse(Some("3000"), pow2 = false) == 3000) // non-pow2 shape
     // 4) the kernel=true ivfDedup path is now TWO-LEVEL (IvfProbes2) —
     //    its parity pins live in the dedicated IvfProbes2 test below
     //    (degenerate sProbes=S == this flat kernel bit-for-bit, and the
@@ -639,5 +682,62 @@ class ExtensionsSpec extends SparkSuite {
     val counts = SaltedAgg.saltedCount(df, Seq("k"), "n", nSalts = 8)
       .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("n")).toMap
     assert(counts("hot") == 9000L)
+  }
+
+  test("shard tier (e8c): shardCountAt ladder pins; a forced-small cap " +
+      "makes sharding bind and the sharded output equals running " +
+      "ivfDedup independently per shard at each shard's own C; the " +
+      "unbound cap degenerates to K=1 == e8b's pipeline") {
+    import graft.catalog.Approx
+    // ladder: smallest power of two K with ceil(n/K) <= cmax*32,
+    // clamped at IvfShardMax — mirrors the oracle's kparam VALUES
+    assert(Approx.IvfShardMax == 4096)
+    assert(Approx.shardCountAt(500L, 4096) == 1)       // default: unbound
+    assert(Approx.shardCountAt(131072L, 4096) == 1)    // 4096*32 exactly
+    assert(Approx.shardCountAt(131073L, 4096) == 2)    // first binding point
+    assert(Approx.shardCountAt(250000L, 4096) == 2)    // sf5 at the default cap
+    assert(Approx.shardCountAt(262145L, 4096) == 4)
+    assert(Approx.shardCountAt(500L, 8) == 2)          // forced cap: 8*32=256
+    assert(Approx.shardCountAt(256L, 8) == 1)
+    assert(Approx.shardCountAt(257L, 8) == 2)
+    assert(Approx.shardCountAt(Long.MaxValue / 4, 8) == 4096) // shmax clamp
+    // semantic parity: at cmax=8 the sf0.001 corpus (n=50) stays K=1,
+    // so force binding with cmax=8 over sf0.01 (n=500 -> K=2, per-shard
+    // 250 -> C=8 exactly at the cap, unclamped)
+    val emb = graft.catalog.Tables.t(spark, "/root/testdata/sf0.01",
+      "embeddings")
+    val n = emb.count()
+    val k = Approx.shardCountAt(n, 8)
+    assert(k == 2, s"n=$n at cmax=8 must shard (got K=$k)")
+    val got = Approx.ivfDedupShardedAt(emb, P = 4, tau = 0.4, cmax = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // independent reference: run the UNSHARDED ivfDedup on each modulo
+    // slice at that slice's own scaledCAt — "each shard runs its own
+    // C <= CMAX index" is literally this
+    val expect = (0L until k.toLong).flatMap { s =>
+      val slice = emb.filter(col("vec_id") % k === s)
+      val c = Approx.scaledCAt(slice.count(), 8)
+      Approx.ivfDedup(slice, C = c, P = 4, tau = 0.4, kernel = true)
+        .collect().map(r => (r.getLong(0), s, r.getLong(1), r.getLong(2),
+          k.toLong, c.toLong))
+    }.sortBy(_._1)
+    assert(got.toSeq == expect,
+      s"sharded output must equal per-shard ivfDedup (got ${got.length} " +
+        s"rows vs ${expect.length})")
+    // shards must actually differ in membership (binding, not vacuous)
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L))
+    // degenerate K=1 at an unbound cap: e8b's pipeline plus metadata
+    val degen = Approx.ivfDedupShardedAt(emb, P = 4, tau = 0.4, cmax = 4096)
+    val e8b = Approx.ivfDedup(emb, C = Approx.scaledCAt(n, 4096), P = 4,
+      tau = 0.4, kernel = true)
+    val dRows = degen.select("vec_id", "cell", "rep_id", "n_shards")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val bRows = e8b.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), 1L))
+    assert(dRows.toSeq == bRows.toSeq,
+      "K=1 sharded must degenerate to the unsharded pipeline bit-exactly")
   }
 }

@@ -18,9 +18,16 @@ def main(sfdir, outdir, only=None):
     con = duckdb.connect()
     # DUCKDB_THREADS caps the oracle's parallelism so a long check can
     # share the box with a same-JVM Spark measurement without shading it
-    import os
+    import os, re
     if os.environ.get("DUCKDB_THREADS"):
-        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+        raw = os.environ["DUCKDB_THREADS"]
+        try:
+            threads = int(raw)
+        except ValueError:
+            sys.exit(f"DUCKDB_THREADS must be an integer, got '{raw}'")
+        if threads < 1:
+            sys.exit(f"DUCKDB_THREADS must be >= 1, got {threads}")
+        con.execute(f"SET threads={threads}")
     # the comparator sorts both frames itself, so result order is free —
     # but empirically dropping insertion-order preservation made the big
     # oracle CTE pipelines spill MORE on this box (plan change toward
@@ -32,7 +39,14 @@ def main(sfdir, outdir, only=None):
     # OOM-killed beside a Spark JVM; an explicit cap trades that for
     # orderly spill to temp
     if os.environ.get("DUCKDB_MEMORY"):
-        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY']}'")
+        raw = os.environ["DUCKDB_MEMORY"]
+        # validate before interpolating into SET: a quote would break the
+        # statement and a garbage value would surface as an opaque
+        # DuckDB error instead of naming the env var (ADVICE round 14)
+        if not re.fullmatch(r"\d+(\.\d+)?\s*(KB|MB|GB|TB|KiB|MiB|GiB|TiB)",
+                            raw.strip(), re.IGNORECASE):
+            sys.exit(f"DUCKDB_MEMORY must look like '48GB', got '{raw}'")
+        con.execute(f"SET memory_limit='{raw.strip()}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
