@@ -1102,13 +1102,10 @@ object Approx {
     val byC = cOf.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
     val smax = smaxFor(cmax)
     val assigned = byC.toSeq.sortBy(_._1).map { case (c, shards) =>
-      val sC = scaledSuperCAt(c, smax)
-      val (superCb, childStart, childIds) = ivfChildren(c, sC, dims)
       val base = if (byC.size == 1) emb
         else emb.filter(col("shard").isin(shards: _*))
-      base.withColumn("probes", graft.functions.IvfKernels.ivf_probes2(
-          col("dv"), superCb, ivfFlatCentroids(c, dims), childStart,
-          childIds, dims, P, sProbes = 2))
+      base.withColumn("probes",
+          probes2Col(embIn.sparkSession, c, smax, dims, P))
         .withColumn("cell", element_at(col("probes"), lit(1)))
         .withColumn("n_cells", lit(c.toLong))
     }.reduce(_ union _)
@@ -1323,6 +1320,53 @@ object Approx {
     k
   }
   private[graft] def shardCount(n: Long): Int = shardCountAt(n, ivfCmax)
+
+  /** minimum C at which the probe kernel's CHILD codebook ships as a
+    * SparkContext.broadcast instead of a task-binary reference object.
+    * Measured on the r15 cluster gate (local-cluster[2,16,12288], sf3 +
+    * sf5, CMAX=16384 → C=8192): the inline codebook serialized 4.1 MiB
+    * into EVERY stage containing the expression — 40 stages per
+    * e-family dump — and at the CMAX=65536 ceiling it would be
+    * 33.5 MiB/stage. At the threshold the codebook is C·dims·8 =
+    * 2 MiB; below it the long-audited inline plan shape is unchanged
+    * (the whole sf0.01 catalog runs C=16). */
+  private[graft] val BcastCMin = 4096
+
+  /** one broadcast per (SparkContext, C): the codebook is a pure
+    * function of C (fixed seed base, ivfFlatCentroids), so the memo key
+    * needs no content fingerprint; sharing one instance across call
+    * sites (e8b/e16b/e18 in one session, shards sharing a C in e8c)
+    * keeps case-class equality on IvfProbes2B — and with it codegen
+    * CSE — intact, and re-broadcasts nothing. applicationId scopes the
+    * memo to the live SparkContext (a fresh context gets fresh
+    * broadcasts; entries of a stopped context are a few stale handles,
+    * not pinned data). */
+  private val cbBcastMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      org.apache.spark.broadcast.Broadcast[Array[Double]]]()
+  private[graft] def cbBcast(spark: SparkSession, c: Int, dims: Int = 64)
+      : org.apache.spark.broadcast.Broadcast[Array[Double]] =
+    cbBcastMemo.computeIfAbsent((spark.sparkContext.applicationId, c),
+      _ => spark.sparkContext.broadcast(ivfFlatCentroids(c, dims)))
+
+  /** the two-level probe-kernel column shared by both scaled assignment
+    * call sites (ivfCellsAndPairs kernel path, ivfDedupShardedAt):
+    * identical arithmetic either way — below BcastCMin the child
+    * codebook rides inline exactly as before; at/above it ships as a
+    * broadcast (IvfProbes2B) so a corpus-scaled C doesn't serialize
+    * megabytes into every task binary. */
+  private[graft] def probes2Col(spark: SparkSession, c: Int, smax: Int,
+      dims: Int, p: Int): Column = {
+    val sC = scaledSuperCAt(c, smax)
+    val (superCb, childStart, childIds) = ivfChildren(c, sC, dims)
+    if (c >= BcastCMin)
+      graft.functions.IvfKernels.ivf_probes2b(col("dv"), superCb,
+        cbBcast(spark, c, dims), childStart, childIds, dims, p, sProbes = 2)
+    else
+      graft.functions.IvfKernels.ivf_probes2(col("dv"), superCb,
+        ivfFlatCentroids(c, dims), childStart, childIds, dims, p,
+        sProbes = 2)
+  }
 
   /** deployment plane-depth cap for the scaledPlanes ladder — the same
     * escape discipline the IVF side got in round 14 (SPARK_GRAFT_IVF_CMAX):
@@ -1606,11 +1650,8 @@ object Approx {
       // stays inside whole-stage codegen. The oracle re-derives the
       // supers, the parent map, and the two-stage ranking in SQL from
       // COUNT(*) alone (see ivfScaledPairCtes).
-      val S = scaledSuperC(C)
-      val (superCb, childStart, childIds) = ivfChildren(C, S, dims)
-      emb.withColumn("probes", graft.functions.IvfKernels.ivf_probes2(
-          col("dv"), superCb, ivfFlatCentroids(C, dims), childStart,
-          childIds, dims, P, sProbes = 2))
+      emb.withColumn("probes",
+          probes2Col(embIn.sparkSession, C, ivfSmax, dims, P))
         .withColumn("cell", element_at(col("probes"), lit(1)))
     } else {
       val sims = array((0 until C).map(c =>

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -213,6 +214,23 @@ object IvfKernels {
       sProbes: Int): Column =
     GraftBridge.column(IvfProbes2(GraftBridge.expression(dv), superCb, cb,
       childStart, childIds, dims, p, sProbes))
+
+  /** broadcast-codebook variant of ivf_probes2 for corpus-scaled C: at
+    * C=8192 the inline child codebook is C·dims·8 = 4.0 MiB serialized
+    * into EVERY stage's task binary that contains the expression (the
+    * cluster gate measured 40 stages × 4.1 MiB per e-family dump, and
+    * at the CMAX=65536 ceiling it would be 33.5 MiB/stage). Shipping it
+    * as a real SparkContext.broadcast makes the task binary carry only
+    * the handle; each executor fetches the array once per lifetime via
+    * the BlockManager. The small arrays (superCb ≈ √C·dims·8, childStart/
+    * childIds ≤ (C+1)·4 — ~130 KiB total at C=8192) stay inline: they
+    * are under the 1 MiB warning threshold at every reachable C and
+    * inlining keeps the degenerate-equivalence spec paths unchanged. */
+  def ivf_probes2b(dv: Column, superCb: Array[Double],
+      cbB: Broadcast[Array[Double]], childStart: Array[Int],
+      childIds: Array[Int], dims: Int, p: Int, sProbes: Int): Column =
+    GraftBridge.column(IvfProbes2B(GraftBridge.expression(dv), superCb, cbB,
+      childStart, childIds, dims, p, sProbes))
 }
 
 case class IvfSims(child: Expression, cb: Array[Double], dims: Int)
@@ -276,6 +294,58 @@ case class IvfProbes2(child: Expression, superCb: Array[Double],
   }
 
   override protected def withNewChildInternal(newChild: Expression): IvfProbes2 =
+    copy(child = newChild)
+}
+
+/** IvfProbes2 with the CHILD codebook behind a SparkContext.broadcast
+  * (see IvfKernels.ivf_probes2b for why): identical arithmetic and
+  * determinism contract — both eval paths call the same
+  * probes2OrNull — only the transport of the C·dims array differs.
+  * Codegen resolves `value()` ONCE into a mutable field at generated-
+  * class init (one BlockManager lookup per partition init, a local
+  * array read per row — never a per-row value() call); the interpreted
+  * path calls `.value` per eval, which TorrentBroadcast caches after
+  * the first fetch. The broadcast handle serializes at a few hundred
+  * bytes, so the expression's task-binary footprint is the small
+  * inline arrays only. Instances for the same C share one broadcast
+  * via Approx.cbBcast's driver-side memo, so case-class equality (and
+  * with it codegen CSE / canonicalization) holds across call sites. */
+case class IvfProbes2B(child: Expression, superCb: Array[Double],
+    cbB: Broadcast[Array[Double]], childStart: Array[Int],
+    childIds: Array[Int], dims: Int, p: Int, sProbes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_probes2b"
+
+  override def nullSafeEval(a: Any): Any =
+    IvfKernels.probes2OrNull(a.asInstanceOf[ArrayData], superCb, cbB.value,
+      childStart, childIds, dims, p, sProbes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val supRef = ctx.addReferenceObj("ivfSuperCodebook", superCb, "double[]")
+    val bRef = ctx.addReferenceObj("ivfCbBcast", cbB,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolved once per generated-class init: the per-row loop reads a
+    // plain double[] field, exactly like the inline variant
+    val cbField = ctx.addMutableState("double[]", "ivfCbResolved",
+      v => s"$v = (double[]) $bRef.value();")
+    val csRef = ctx.addReferenceObj("ivfChildStart", childStart, "int[]")
+    val ciRef = ctx.addReferenceObj("ivfChildIds", childIds, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("ivfProbes2b")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+          graft.functions.IvfKernels.probes2OrNull($a, $supRef, $cbField,
+            $csRef, $ciRef, $dims, $p, $sProbes);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbes2B =
     copy(child = newChild)
 }
 

@@ -628,6 +628,74 @@ class ExtensionsSpec extends SparkSuite {
     assert(Approx.scaledSuperC(4096) == 64)
   }
 
+  test("IvfProbes2B broadcast-codebook kernel: bit-identical to inline " +
+      "IvfProbes2 at C=4096 (the BcastCMin rung); broadcast content == " +
+      "driver codebook verbatim; one broadcast per (context, C) via the " +
+      "memo; interpreted == codegen; ragged/null-hole input nulls") {
+    import graft.catalog.Approx
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dims = 64
+    val c = Approx.BcastCMin // 4096 — the first broadcast-eligible rung
+    val s = Approx.scaledSuperC(c)
+    val (superCb, cs, ci) = Approx.ivfChildren(c, s, dims)
+    val cb = Approx.ivfFlatCentroids(c, dims)
+    // memo identity + content: the broadcast IS the driver codebook
+    val b = Approx.cbBcast(spark, c, dims)
+    assert(b eq Approx.cbBcast(spark, c, dims),
+      "cbBcast must memoize one broadcast per (context, C)")
+    assert(java.util.Arrays.equals(b.value, cb),
+      "broadcast content must equal ivfFlatCentroids(C) verbatim")
+    // probes2Col switches transport at the threshold: broadcast at
+    // BcastCMin, inline below it — asserted on the expression class so
+    // a silent fallback to the 4-MiB-task-binary path can't reappear
+    def exprOf(col: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.expression(col)
+    assert(exprOf(Approx.probes2Col(spark, c, Approx.ivfSmax, dims, 4))
+      .isInstanceOf[graft.functions.IvfProbes2B])
+    assert(exprOf(Approx.probes2Col(spark, c / 2, Approx.ivfSmax, dims, 4))
+      .isInstanceOf[graft.functions.IvfProbes2])
+    // bit-identical outputs, both in ONE codegen'd projection
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+    val rows = emb.select(col("vec_id"),
+        graft.functions.IvfKernels.ivf_probes2(col("dv"), superCb, cb,
+          cs, ci, dims, 4, 2).as("inl"),
+        graft.functions.IvfKernels.ivf_probes2b(col("dv"), superCb, b,
+          cs, ci, dims, 4, 2).as("bc"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("inl").toSeq ==
+        r.getAs[scala.collection.Seq[Long]]("bc").toSeq,
+        s"vec ${r.getLong(0)}: broadcast kernel must equal inline")
+    }
+    // interpreted == codegen + ragged/null-hole edges
+    def litArr(xs: Seq[java.lang.Double]) = Literal(
+      ArrayData.toArrayData(xs.map(x =>
+        if (x == null) null else x.doubleValue()).toArray[Any]),
+      ArrayType(DoubleType))
+    val goodDv = (0 until dims).map(d => java.lang.Double.valueOf(d * 0.01))
+    val interp = graft.functions.IvfProbes2B(litArr(goodDv), superCb, b,
+        cs, ci, dims, 4, 2)
+      .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    val viaCodegen = emb.limit(1)
+      .select(graft.functions.IvfKernels.ivf_probes2b(
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => i.cast("double") * lit(0.01)), superCb, b, cs, ci,
+        dims, 4, 2))
+      .collect().head.getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(interp == viaCodegen, "probes2b interpreted != codegen")
+    assert(graft.functions.IvfProbes2B(litArr(goodDv.take(dims - 1)),
+      superCb, b, cs, ci, dims, 4, 2).eval(null) == null,
+      "ragged input must null")
+    assert(graft.functions.IvfProbes2B(
+      litArr(goodDv.updated(3, null: java.lang.Double)),
+      superCb, b, cs, ci, dims, 4, 2).eval(null) == null,
+      "null-holed input must null")
+  }
+
   test("WindowTopKRewrite: the row_number-filter idiom plans as the " +
       "native TopKPerKeyExec and returns the identical rows") {
     import org.apache.spark.sql.expressions.Window
