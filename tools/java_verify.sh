@@ -16,7 +16,11 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 JAR=target/scala-2.13/bigbugdataspark_2.13-0.1.0.jar
-exec java $ADDOPENS -Dspark.ui.enabled=false \
+# SPARK_EXTRA_OPTS: extra -Dspark.* session configs (SparkConf loads
+# spark.* system properties), e.g. a raised autoBroadcastJoinThreshold
+# for the didactic e8 entry at sf1 whose 26 MB vector side otherwise
+# plans a sort-merge join with a ~160 GB sort spill (> this box's disk).
+exec java $ADDOPENS ${SPARK_EXTRA_OPTS:-} -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-32g}" -cp "$JAR:/opt/spark/jars/*" \
   graft.Verify "$@"
