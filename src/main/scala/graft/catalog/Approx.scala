@@ -854,6 +854,152 @@ object Approx {
       LEFT JOIN reps r ON r.vec_id = c.vec_id
       ORDER BY c.vec_id"""
 
+  /** e16c's CTE prefix — the sharded assignment re-keyed by DISTINCT
+    * per-shard C instead of by shard: the cell geometry (cents, supers,
+    * parent argmax) is a pure function of C alone, so keying on C is
+    * what lets the EVAL side be replicated across shards at the cost of
+    * one branch per distinct C (the engine's byC map, expressed as the
+    * cdist CTE). kparam/shn/cparam are byte-identical to
+    * ivfShardedPairCtes'; sofc/parentc are its sparam/parent with C as
+    * the key; member assignment (vc/vtop/sims/cells) lands on the same
+    * values because a member's geometry was always C_s-determined.
+    * evtop/evsims/evprobes assign EVERY eval vector under EVERY
+    * distinct C (CROSS JOIN against the distinct parent supers —
+    * n_eval·#distinctC rows, effectively constant), and cand keys on
+    * (C, pcell): the within-shard rule in the coordinates that make
+    * replication free. All ladders and range() literals generated from
+    * ivfCmax/ivfSmax/IvfShardMax in the same JVM — the established
+    * lockstep guarantee. */
+  private def ivfShardedDecontamCtes(p: Int, tau: Double): String =
+    s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      kparam AS (
+        SELECT COALESCE(MIN(k), $IvfShardMax) AS K
+        FROM (VALUES ${Iterator.iterate(1)(_ << 1).takeWhile(_ <= IvfShardMax)
+          .map(k => s"($k)").mkString(",")}) t(k), nn
+        WHERE (nn.n + k - 1) // k <= ${ivfCmax.toLong * 32L}),
+      shn AS (
+        SELECT vec_id % K AS shard, COUNT(*) AS ns
+        FROM embeddings, kparam GROUP BY 1),
+      cparam AS (
+        SELECT shard, COALESCE(MIN(pw), $ivfCmax) AS C
+        FROM shn LEFT JOIN (VALUES ${Iterator.iterate(8)(_ << 1)
+          .takeWhile(_ <= ivfCmax).map(c => s"($c)").mkString(",")}) t(pw)
+          ON pw >= (ns + 31) // 32
+        GROUP BY shard),
+      cdist AS (SELECT DISTINCT C FROM cparam),
+      sofc AS (
+        SELECT C, COALESCE(MIN(sq), $ivfSmax) AS S
+        FROM cdist LEFT JOIN (VALUES ${Iterator.iterate(2)(_ << 1)
+          .takeWhile(_ <= ivfSmax).map(s => s"($s)").mkString(",")}) u(sq)
+          ON sq * sq >= C
+        GROUP BY C),
+      cents AS (
+        SELECT cell, list(val ORDER BY d) AS cv
+        FROM (
+          SELECT CAST(i // 64 + 1 AS BIGINT) AS cell, i % 64 AS d,
+            ${mixToUnitSql(s"CAST(${0x49564600L} + i AS HUGEINT)")} - 0.5 AS val
+          FROM range(${ivfCmax * 64L}) t(i)
+          WHERE i // 64 < (SELECT MAX(C) FROM cparam))
+        GROUP BY cell),
+      supers AS (
+        SELECT sup, list(val ORDER BY d) AS sv
+        FROM (
+          SELECT CAST(i // 64 + 1 AS BIGINT) AS sup, i % 64 AS d,
+            ${mixToUnitSql(s"CAST($IvfSuperSeedBase + i AS HUGEINT)")} - 0.5 AS val
+          FROM range(${ivfSmax * 64L}) t(i)
+          WHERE i // 64 < (SELECT MAX(S) FROM sofc))
+        GROUP BY sup),
+      parentc AS (
+        SELECT C, cell, sup FROM (
+          SELECT cd.C, c.cell, s.sup,
+            list_reduce(list_transform(range(1, 65), i -> c.cv[i] * s.sv[i]),
+              (a, b) -> a + b) AS sim
+          FROM cdist cd
+          JOIN cents c ON c.cell <= cd.C
+          JOIN sofc ON sofc.C = cd.C
+          JOIN supers s ON s.sup <= sofc.S)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY C, cell
+          ORDER BY sim DESC, sup ASC) = 1),
+      v AS (
+        SELECT vec_id, vec_id % (SELECT K FROM kparam) AS shard,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings),
+      vc AS (
+        SELECT v.vec_id, v.shard, cp.C, v.dv
+        FROM v JOIN cparam cp ON cp.shard = v.shard),
+      vtop AS (
+        SELECT vec_id, shard, C, dv, sup FROM (
+          SELECT vc.vec_id, vc.shard, vc.C, vc.dv, pn.sup,
+            list_reduce(list_transform(range(1, 65), i -> vc.dv[i] * s.sv[i]),
+              (a, b) -> a + b) AS ssim
+          FROM vc
+          JOIN (SELECT DISTINCT C, sup FROM parentc) pn ON pn.C = vc.C
+          JOIN supers s ON s.sup = pn.sup)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ssim DESC, sup ASC) <= 2),
+      sims AS (
+        SELECT vt.vec_id, vt.shard, vt.C, vt.dv, pr.cell,
+          list_reduce(list_transform(range(1, 65), i -> vt.dv[i] * c.cv[i]),
+            (a, b) -> a + b) AS sim
+        FROM vtop vt
+        JOIN parentc pr ON pr.C = vt.C AND pr.sup = vt.sup
+        JOIN cents c ON c.cell = pr.cell),
+      cells AS (
+        SELECT vec_id, shard, C, cell FROM sims
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sim DESC, cell ASC) = 1),
+      trainmem AS (
+        SELECT C, vec_id AS train_id, cell AS pcell FROM sims
+        WHERE vec_id % 50 <> 0
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sim DESC, cell ASC) <= $p),
+      evtop AS (
+        SELECT vec_id, C, dv, sup FROM (
+          SELECT e.vec_id, pn.C, e.dv, pn.sup,
+            list_reduce(list_transform(range(1, 65), i -> e.dv[i] * s.sv[i]),
+              (a, b) -> a + b) AS ssim
+          FROM (SELECT vec_id, dv FROM v WHERE vec_id % 50 = 0) e
+          CROSS JOIN (SELECT DISTINCT C, sup FROM parentc) pn
+          JOIN supers s ON s.sup = pn.sup)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, C
+          ORDER BY ssim DESC, sup ASC) <= 2),
+      evsims AS (
+        SELECT et.vec_id, et.C, pr.cell,
+          list_reduce(list_transform(range(1, 65), i -> et.dv[i] * c.cv[i]),
+            (a, b) -> a + b) AS sim
+        FROM evtop et
+        JOIN parentc pr ON pr.C = et.C AND pr.sup = et.sup
+        JOIN cents c ON c.cell = pr.cell),
+      evprobes AS (
+        SELECT vec_id AS eval_id, C, cell AS pcell FROM evsims
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, C
+          ORDER BY sim DESC, cell ASC) <= $p),
+      cand AS (
+        SELECT DISTINCT e.eval_id, t.train_id
+        FROM trainmem t JOIN evprobes e
+          ON e.C = t.C AND e.pcell = t.pcell),
+      contam AS (
+        SELECT cand.train_id AS vec_id, cand.eval_id
+        FROM cand
+        JOIN v va ON va.vec_id = cand.eval_id
+        JOIN v vb ON vb.vec_id = cand.train_id
+        WHERE ${cosineSql("va.dv", "vb.dv")} >= $tau),
+      flags AS (
+        SELECT vec_id, COUNT(*) AS n_near_eval, MIN(eval_id) AS witness_eval
+        FROM contam GROUP BY vec_id)"""
+
+  private def e16cOracleSql: String =
+    s"""WITH ${ivfShardedDecontamCtes(p = 4, tau = 0.4)}
+      SELECT c.vec_id, c.shard, c.cell,
+        CAST(COALESCE(f.n_near_eval, 0) AS BIGINT) AS n_near_eval,
+        CAST(COALESCE(f.witness_eval, -1) AS BIGINT) AS witness_eval,
+        CAST(CASE WHEN f.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        CAST((SELECT K FROM kparam) AS BIGINT) AS n_shards,
+        CAST(c.C AS BIGINT) AS n_cells
+      FROM cells c LEFT JOIN flags f ON f.vec_id = c.vec_id
+      WHERE c.vec_id % 50 <> 0
+      ORDER BY c.vec_id"""
+
   /** e2b's oracle: P from COUNT(*) (the scaledPlanes ladder as a MIN
     * over VALUES), the 8·P hyperplanes regenerated via the HUGEINT
     * splitmix64 emulation, per-table sign-bit buckets, Hamming-1
@@ -1139,6 +1285,96 @@ object Approx {
       tau: Double): DataFrame =
     ivfDedupShardedAt(embIn, P, tau, ivfCmax)
 
+  /** SHARD TIER for semantic decontamination (e16c): e8c's contract
+    * applied to e16b, with the one asymmetry a deployment actually has
+    * — the corpus shards, the eval suite does NOT. K modulo-id shards
+    * each run their own UN-clamped scaledC ladder from their own
+    * count; a TRAIN vector probes within its own shard; the (small,
+    * fixed) eval suite probes EVERY shard. Because the cell geometry
+    * is a pure function of C alone (fixed-seed centroids/supers), an
+    * eval vector's probes under shard s are a function of C_s only, so
+    * replication costs one assignment branch per DISTINCT per-shard C
+    * (usually exactly one — modulo shards of dense ids differ by <= 1
+    * vector), and the candidate join keys on (C, pcell): a probe cell
+    * occupied by train members of several same-C shards meets the same
+    * eval probe rows once each, which IS the replication.
+    *
+    * The semantic point vs e8c: sharding near-dup DEDUP trades recall
+    * (a cross-shard pair is deliberately not a candidate), but sharding
+    * DECONTAMINATION must not — a missed eval×train contamination is a
+    * benchmark leak, not a recall trade — so the eval side is the one
+    * frame that crosses every shard boundary. It is the designed-small
+    * side (n/50 here; a fixed benchmark suite in production), the same
+    * structural-smallness argument as ivfDecontam's asymmetric join.
+    *
+    * Scale shape: per-shard candidate volume is Σ_cell eval·train_s,
+    * linear at C_s ∝ n_s and independent of K; eval assignment work is
+    * n_eval·#distinctC — effectively constant. K=1 degenerates to
+    * exactly e16b's pipeline plus shard metadata columns (same ladder,
+    * same geometry, same candidates — pinned by spec). */
+  private[graft] def ivfDecontamShardedAt(embIn: DataFrame, P: Int,
+      tau: Double, cmax: Int): DataFrame = {
+    val dims = 64
+    val n = embIn.count()
+    val k = shardCountAt(n, cmax)
+    val emb = embIn
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("shard", col("vec_id") % k)
+      .select("vec_id", "shard", "dv").cache()
+    val counts = emb.groupBy("shard").agg(count(lit(1)).as("ns"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cOf = counts.map { case (s, ns) =>
+      clampEnforce(ns, cmax, ivfStrict)
+      s -> scaledCAt(ns, cmax)
+    }
+    val byC = cOf.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val smax = smaxFor(cmax)
+    val spark = embIn.sparkSession
+    val assigned = byC.toSeq.sortBy(_._1).map { case (c, shards) =>
+      val base = if (byC.size == 1) emb
+        else emb.filter(col("shard").isin(shards: _*))
+      base.withColumn("probes", probes2Col(spark, c, smax, dims, P))
+        .withColumn("cell", element_at(col("probes"), lit(1)))
+        .withColumn("n_cells", lit(c.toLong))
+    }.reduce(_ union _)
+    val cells = assigned.cache()
+    // train members probe within their own shard's geometry; n_cells
+    // (= the shard's C) rides along as the join key to the replicated
+    // eval side — (C, pcell) is the within-shard rule stated in the
+    // coordinates that make the eval replication free
+    val trainMem = cells.filter(col("vec_id") % 50 =!= 0)
+      .select(col("n_cells"), col("vec_id").as("train_id"),
+        explode(col("probes")).as("pcell"))
+    val evBase = emb.filter(col("vec_id") % 50 === 0)
+    val evProbes = byC.keys.toSeq.sorted.map { c =>
+      evBase.withColumn("probes", probes2Col(spark, c, smax, dims, P))
+        .select(lit(c.toLong).as("n_cells"), col("vec_id").as("eval_id"),
+          explode(col("probes")).as("pcell"))
+    }.reduce(_ union _)
+    val cand = trainMem.join(evProbes, Seq("n_cells", "pcell"))
+      .select("eval_id", "train_id").distinct()
+    val ve = cells.select(col("vec_id").as("eval_id"), col("dv").as("evv"))
+    val vt = cells.select(col("vec_id").as("train_id"), col("dv").as("tvv"))
+    val contam = cand.join(ve, Seq("eval_id")).join(vt, Seq("train_id"))
+      .filter(Vectors.cosine(col("evv"), col("tvv")) >= tau)
+      .select(col("train_id").as("vec_id"), col("eval_id"))
+    val flags = contam.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_near_eval"),
+        min(col("eval_id")).as("witness_eval"))
+    cells.filter(col("vec_id") % 50 =!= 0)
+      .select("vec_id", "shard", "cell", "n_cells")
+      .join(flags, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("shard"), col("cell"),
+        coalesce(col("n_near_eval"), lit(0L)).as("n_near_eval"),
+        coalesce(col("witness_eval"), lit(-1L)).as("witness_eval"),
+        when(col("n_near_eval").isNull, 1L).otherwise(0L).as("keep"),
+        lit(k.toLong).as("n_shards"), col("n_cells"))
+      .orderBy("vec_id")
+  }
+  private[graft] def ivfDecontamSharded(embIn: DataFrame, P: Int,
+      tau: Double): DataFrame =
+    ivfDecontamShardedAt(embIn, P, tau, ivfCmax)
+
   /** e16b's semantic decontamination over the IVF probe machinery,
     * built as ONE explicit eval-probes × train-probes equi-join on the
     * shared probe cell instead of a union of two oppositely-filtered
@@ -1252,10 +1488,10 @@ object Approx {
         "grows with n and within-cell pair work re-enters the measured " +
         "quadratic regime (4.1x at 2x past the binding point, doubling " +
         "per octave - SCALE.md round-14). Raise SPARK_GRAFT_IVF_CMAX " +
-        "(power of two <= 65536), switch to the sharded operator " +
-        "(e8c_embed_dedup_sharded: per-shard C from each shard's own " +
-        "count), or set SPARK_GRAFT_IVF_STRICT=1 to fail instead of " +
-        "degrading.")
+        "(power of two <= 65536), switch to the sharded operators " +
+        "(e8c_embed_dedup_sharded / e16c_decontam_sharded: per-shard C " +
+        "from each shard's own count), or set SPARK_GRAFT_IVF_STRICT=1 " +
+        "to fail instead of degrading.")
   }
 
   /** super-ladder cap in lockstep with ivfCmax: the smallest power of
@@ -2336,6 +2572,32 @@ object Approx {
         "keep gate through e8b's scaled IVF machinery (shared kernel, " +
         "shared oracle CTE prefix) — the decontamination a 100 TB " +
         "ingest would actually run, fully oracle-checked"),
+
+    QueryDef(
+      "e16c_decontam_sharded",
+      (s, dir) => {
+        // the decontamination tier ABOVE the cell-count cap — e8c's
+        // shard contract applied to e16b, with the one asymmetry a
+        // deployment actually has: the corpus shards, the eval suite
+        // does NOT. Train vectors probe within their own shard's
+        // un-clamped per-shard-C index; the (small, fixed) eval suite
+        // probes EVERY shard — one assignment branch per DISTINCT
+        // per-shard C, because the geometry is a function of C alone —
+        // so sharding trades near-dup recall (e8c, by contract) but
+        // NEVER decontamination coverage: a cross-shard eval×train
+        // contamination cannot be missed. K=1 degenerates to exactly
+        // e16b plus shard metadata columns (spec-pinned); the forced-
+        // CMAX gates make sharding bind at test scale.
+        ivfDecontamSharded(t(s, dir, "embeddings"), P = 4, tau = 0.4)
+      },
+      Some(e16cOracleSql),
+      "sharded semantic decontamination — the tier above the cell-count " +
+        "cap: K modulo-id shards with per-shard scaled C, train probes " +
+        "within-shard, the eval suite replicated across every distinct " +
+        "shard geometry so no contamination crosses a shard boundary " +
+        "unseen; oracle re-derives K, the per-C geometry, and the " +
+        "replicated eval probes in SQL — completes the shard tier for " +
+        "both ingest-quality surfaces (dedup e8c + decontam e16c)"),
 
     QueryDef(
       "e18_e2e_vector_pipeline",

@@ -808,4 +808,63 @@ class ExtensionsSpec extends SparkSuite {
     assert(dRows.toSeq == bRows.toSeq,
       "K=1 sharded must degenerate to the unsharded pipeline bit-exactly")
   }
+
+  test("shard tier (e16c): a forced-small cap makes sharding bind and " +
+      "the sharded decontam equals running ivfDecontam independently " +
+      "per shard with the FULL eval suite replicated in; the unbound " +
+      "cap degenerates to K=1 == e16b's pipeline") {
+    import graft.catalog.Approx
+    val emb = graft.catalog.Tables.t(spark, "/root/testdata/sf0.01",
+      "embeddings")
+    val n = emb.count()
+    val k = Approx.shardCountAt(n, 8)
+    assert(k == 2, s"n=$n at cmax=8 must shard (got K=$k)")
+    val got = Approx.ivfDecontamShardedAt(emb, P = 4, tau = 0.4, cmax = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(got.nonEmpty)
+    // independent reference per shard: that shard's members PLUS the
+    // full eval suite, decontaminated at the shard's own scaledCAt —
+    // "the eval suite probes every shard" is literally this. The slice
+    // keeps the shard's own eval members once (set union), and
+    // ivfDecontam only emits train rows, all of which are the shard's.
+    val expect = (0L until k.toLong).flatMap { s =>
+      val slice = emb.filter(col("vec_id") % k === s ||
+        col("vec_id") % 50 === 0)
+      val ns = emb.filter(col("vec_id") % k === s).count()
+      val c = Approx.scaledCAt(ns, 8)
+      Approx.ivfDecontam(slice, C = c, P = 4, tau = 0.4, kernel = true)
+        .collect().map(r => (r.getLong(0), s, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), k.toLong, c.toLong))
+    }.sortBy(_._1)
+    assert(got.toSeq == expect,
+      s"sharded decontam must equal per-shard ivfDecontam with the " +
+        s"replicated eval suite (got ${got.length} rows vs " +
+        s"${expect.length})")
+    // shards must actually differ in membership (binding, not vacuous)
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L))
+    // and contamination must actually cross the shard boundary
+    // somewhere, or the replication claim is untested: some train
+    // vector must be flagged by an eval vector of the OTHER shard
+    val crossed = got.exists { case (vid, shard, _, nNear, witness, _, _, _) =>
+      nNear > 0 && witness >= 0 && witness % k != shard
+    }
+    assert(crossed,
+      "no contamination crossed a shard boundary - the corpus does not " +
+        "exercise eval replication; pick a different forced cap")
+    // degenerate K=1 at an unbound cap: e16b's pipeline plus metadata
+    val degen = Approx.ivfDecontamShardedAt(emb, P = 4, tau = 0.4,
+      cmax = 4096)
+    val e16b = Approx.ivfDecontam(emb, C = Approx.scaledCAt(n, 4096),
+      P = 4, tau = 0.4, kernel = true)
+    val dRows = degen.select("vec_id", "cell", "n_near_eval",
+      "witness_eval", "keep", "n_shards")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val bRows = e16b.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), 1L))
+    assert(dRows.toSeq == bRows.toSeq,
+      "K=1 sharded decontam must degenerate to e16b bit-exactly")
+  }
 }
