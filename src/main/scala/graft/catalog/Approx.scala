@@ -949,7 +949,7 @@ object Approx {
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
           ORDER BY sim DESC, cell ASC) = 1),
       trainmem AS (
-        SELECT C, vec_id AS train_id, cell AS pcell FROM sims
+        SELECT shard, C, vec_id AS train_id, cell AS pcell FROM sims
         WHERE vec_id % 50 <> 0
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
           ORDER BY sim DESC, cell ASC) <= $p),
@@ -999,6 +999,61 @@ object Approx {
       FROM cells c LEFT JOIN flags f ON f.vec_id = c.vec_id
       WHERE c.vec_id % 50 <> 0
       ORDER BY c.vec_id"""
+
+  /** e18c's oracle: the sharded decontam CTE prefix (which already
+    * carries the replicated-eval contam set) + the DEDUP side's
+    * within-(shard, pcell) train×train candidate pairs + e18's exact
+    * composition tail (union-of-drops, doc gate, temperature mix) —
+    * the per/fb MATERIALIZED lesson from e18OracleSql carries. */
+  private def e18cOracleSql: String =
+    s"""WITH ${ivfShardedDecontamCtes(p = 4, tau = 0.4)},
+      tpairs AS (
+        SELECT DISTINCT a.train_id AS id_a, b.train_id AS id_b
+        FROM trainmem a JOIN trainmem b
+          ON a.shard = b.shard AND a.pcell = b.pcell
+          AND a.train_id < b.train_id),
+      dpairs AS (
+        SELECT id_a, id_b FROM tpairs
+        JOIN v va ON va.vec_id = tpairs.id_a
+        JOIN v vb ON vb.vec_id = tpairs.id_b
+        WHERE ${cosineSql("va.dv", "vb.dv")} >= 0.4),
+      dropped AS (
+        SELECT id_b AS vec_id FROM dpairs
+        UNION
+        SELECT vec_id FROM contam),
+      clean AS (
+        SELECT vec_id FROM cells
+        WHERE vec_id % 50 <> 0
+          AND vec_id NOT IN (SELECT vec_id FROM dropped)),
+      gated AS (
+        SELECT d.source, d.n_chars
+        FROM documents d JOIN clean c ON c.vec_id = d.doc_id
+        WHERE d.lang IN ('en', 'de', 'fr', 'es')
+          AND len(string_split_regex(trim(d.text), ' +')) >= 20),
+      per AS MATERIALIZED (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens,
+          sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS w
+        FROM gated GROUP BY source),
+      tot AS (
+        SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+          (a, b) -> a + b) AS total
+        FROM per),
+      px AS (
+        SELECT source, tokens, w, w / total AS p,
+          (w / total) * 100000.0 AS raw
+        FROM per, tot),
+      fb AS (
+        SELECT *, CAST(floor(raw) AS BIGINT) AS base,
+          raw - floor(raw) AS rem
+        FROM px),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+          (SELECT SUM(base) FROM fb) AS sum_base
+        FROM fb)
+      SELECT source, tokens, p,
+        CAST(base + CASE WHEN rk <= 100000 - sum_base THEN 1 ELSE 0 END
+          AS BIGINT) AS alloc
+      FROM rk ORDER BY source"""
 
   /** e2b's oracle: P from COUNT(*) (the scaledPlanes ladder as a MIN
     * over VALUES), the 8·P hyperplanes regenerated via the HUGEINT
@@ -1226,9 +1281,15 @@ object Approx {
     * A modulo-skewed shard (sparse ids) that still clamps at the cap
     * gets the same loud clampEnforce diagnostic as the unsharded
     * ladder. */
-  private[graft] def ivfDedupShardedAt(embIn: DataFrame, P: Int,
-      tau: Double, cmax: Int): DataFrame = {
-    val dims = 64
+  /** the sharded assignment shared by every shard-tier operator
+    * (e8c dedup, e16c decontam, e18c composed pipeline): K modulo-id
+    * shards, per-shard C from each shard's OWN count (the K-row
+    * metadata collect), one kernel branch per DISTINCT C. `cells`
+    * carries (vec_id, shard, dv, probes, cell, n_cells=C_s). */
+  private[graft] final case class ShardedIndex(cells: DataFrame, k: Long,
+      byC: Map[Int, Seq[Long]], smax: Int)
+  private[graft] def shardedAssign(embIn: DataFrame, P: Int, cmax: Int,
+      dims: Int = 64): ShardedIndex = {
     val n = embIn.count()
     val k = shardCountAt(n, cmax)
     val emb = embIn
@@ -1255,7 +1316,29 @@ object Approx {
         .withColumn("cell", element_at(col("probes"), lit(1)))
         .withColumn("n_cells", lit(c.toLong))
     }.reduce(_ union _)
-    val cells = assigned.cache()
+    ShardedIndex(assigned.cache(), k, byC, smax)
+  }
+
+  /** the replicated-eval probe frame shared by e16c and e18c: every
+    * eval vector assigned under every DISTINCT per-shard C — the
+    * geometry is a function of C alone, so this is how "the eval suite
+    * probes every shard" costs n_eval·#distinctC, not n_eval·K. */
+  private[graft] def evalProbesByC(idx: ShardedIndex, P: Int,
+      dims: Int = 64): DataFrame = {
+    val evBase = idx.cells.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "dv")
+    idx.byC.keys.toSeq.sorted.map { c =>
+      evBase.withColumn("probes",
+          probes2Col(idx.cells.sparkSession, c, idx.smax, dims, P))
+        .select(lit(c.toLong).as("n_cells"), col("vec_id").as("eval_id"),
+          explode(col("probes")).as("pcell"))
+    }.reduce(_ union _)
+  }
+
+  private[graft] def ivfDedupShardedAt(embIn: DataFrame, P: Int,
+      tau: Double, cmax: Int): DataFrame = {
+    val idx = shardedAssign(embIn, P, cmax)
+    val (cells, k) = (idx.cells, idx.k)
     val members = cells.select(col("shard"), col("vec_id"),
       explode(col("probes")).as("pcell"))
     // candidates within (shard, pcell) ONLY — the shard column joins
@@ -1314,30 +1397,8 @@ object Approx {
     * same geometry, same candidates — pinned by spec). */
   private[graft] def ivfDecontamShardedAt(embIn: DataFrame, P: Int,
       tau: Double, cmax: Int): DataFrame = {
-    val dims = 64
-    val n = embIn.count()
-    val k = shardCountAt(n, cmax)
-    val emb = embIn
-      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("shard", col("vec_id") % k)
-      .select("vec_id", "shard", "dv").cache()
-    val counts = emb.groupBy("shard").agg(count(lit(1)).as("ns"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val cOf = counts.map { case (s, ns) =>
-      clampEnforce(ns, cmax, ivfStrict)
-      s -> scaledCAt(ns, cmax)
-    }
-    val byC = cOf.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
-    val smax = smaxFor(cmax)
-    val spark = embIn.sparkSession
-    val assigned = byC.toSeq.sortBy(_._1).map { case (c, shards) =>
-      val base = if (byC.size == 1) emb
-        else emb.filter(col("shard").isin(shards: _*))
-      base.withColumn("probes", probes2Col(spark, c, smax, dims, P))
-        .withColumn("cell", element_at(col("probes"), lit(1)))
-        .withColumn("n_cells", lit(c.toLong))
-    }.reduce(_ union _)
-    val cells = assigned.cache()
+    val idx = shardedAssign(embIn, P, cmax)
+    val (cells, k) = (idx.cells, idx.k)
     // train members probe within their own shard's geometry; n_cells
     // (= the shard's C) rides along as the join key to the replicated
     // eval side — (C, pcell) is the within-shard rule stated in the
@@ -1345,12 +1406,7 @@ object Approx {
     val trainMem = cells.filter(col("vec_id") % 50 =!= 0)
       .select(col("n_cells"), col("vec_id").as("train_id"),
         explode(col("probes")).as("pcell"))
-    val evBase = emb.filter(col("vec_id") % 50 === 0)
-    val evProbes = byC.keys.toSeq.sorted.map { c =>
-      evBase.withColumn("probes", probes2Col(spark, c, smax, dims, P))
-        .select(lit(c.toLong).as("n_cells"), col("vec_id").as("eval_id"),
-          explode(col("probes")).as("pcell"))
-    }.reduce(_ union _)
+    val evProbes = evalProbesByC(idx, P)
     val cand = trainMem.join(evProbes, Seq("n_cells", "pcell"))
       .select("eval_id", "train_id").distinct()
     val ve = cells.select(col("vec_id").as("eval_id"), col("dv").as("evv"))
@@ -1374,6 +1430,56 @@ object Approx {
   private[graft] def ivfDecontamSharded(embIn: DataFrame, P: Int,
       tau: Double): DataFrame =
     ivfDecontamShardedAt(embIn, P, tau, ivfCmax)
+
+  /** e18c's body, cmax-parameterized so the spec can bind sharding at
+    * test scale: e18's composed ingest pipeline where each quality
+    * surface keeps its OWN sharding contract — within-shard train×train
+    * dedup (e8c), shard-replicated eval decontam (e16c) — over ONE
+    * shared sharded assignment. The two candidate joins cannot share a
+    * pair pass (disjoint pair populations under different contracts);
+    * what they share is the expensive part: the assignment, the
+    * per-shard ladders, and the kernel branches. */
+  private[graft] def e2eShardedAt(embIn: DataFrame, docs: DataFrame,
+      cmax: Int): DataFrame = {
+    val idx = shardedAssign(embIn, P = 4, cmax = cmax)
+    val trainMem = idx.cells.filter(col("vec_id") % 50 =!= 0)
+      .select(col("shard"), col("n_cells"),
+        col("vec_id").as("train_id"), explode(col("probes")).as("pcell"))
+    val tcand = trainMem
+      .select(col("shard"), col("pcell"), col("train_id").as("id_a"))
+      .join(trainMem.select(col("shard"), col("pcell"),
+        col("train_id").as("id_b")), Seq("shard", "pcell"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = idx.cells.select(col("vec_id").as("id_a"), col("dv").as("va"))
+    val vb = idx.cells.select(col("vec_id").as("id_b"), col("dv").as("vb"))
+    val ddrop = tcand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .filter(Vectors.cosine(col("va"), col("vb")) >= 0.4)
+      .select(col("id_b").as("vec_id"))
+    val evProbes = evalProbesByC(idx, P = 4)
+    val ccand = trainMem
+      .select(col("n_cells"), col("pcell"), col("train_id"))
+      .join(evProbes, Seq("n_cells", "pcell"))
+      .select("eval_id", "train_id").distinct()
+    val ve = idx.cells.select(col("vec_id").as("eval_id"),
+      col("dv").as("evv"))
+    val vt = idx.cells.select(col("vec_id").as("train_id"),
+      col("dv").as("tvv"))
+    val cdrop = ccand.join(ve, Seq("eval_id")).join(vt, Seq("train_id"))
+      .filter(Vectors.cosine(col("evv"), col("tvv")) >= 0.4)
+      .select(col("train_id").as("vec_id"))
+    val dropped = ddrop.unionByName(cdrop).distinct()
+    val clean = idx.cells.select("vec_id")
+      .filter(col("vec_id") % 50 =!= 0)
+      .join(dropped, Seq("vec_id"), "left_anti")
+    val gated = docs
+      .join(clean, col("doc_id") === col("vec_id"))
+      .filter(col("lang").isin("en", "de", "fr", "es") &&
+        size(split(trim(col("text")), " +")).cast("long") >= 20)
+    TextDocs.temperatureMix(
+      gated.groupBy("source").agg(sum(col("n_chars")).as("tokens")),
+      100000L)
+  }
 
   /** e16b's semantic decontamination over the IVF probe machinery,
     * built as ONE explicit eval-probes × train-probes equi-join on the
@@ -2598,6 +2704,37 @@ object Approx {
         "unseen; oracle re-derives K, the per-C geometry, and the " +
         "replicated eval probes in SQL — completes the shard tier for " +
         "both ingest-quality surfaces (dedup e8c + decontam e16c)"),
+
+    QueryDef(
+      "e18c_e2e_sharded_pipeline",
+      (s, dir) => {
+        // e18's composed vector-side ingest pipeline in the tier ABOVE
+        // the cell-count cap: ONE sharded assignment pass feeds both
+        // quality surfaces with their OWN sharding contracts —
+        //   dedup (e8c's rule): drop the higher id of a confirmed
+        //     train×train pair sharing a probe cell WITHIN ITS SHARD
+        //     (cross-shard near-dups are the priced recall trade);
+        //   decontam (e16c's rule): drop a train vector near ANY eval
+        //     vector, the eval suite REPLICATED across every distinct
+        //     shard geometry (coverage is never traded);
+        // then d30's doc-quality gate and d28's temperature mix exactly
+        // as e18. The two candidate joins cannot share a pair pass
+        // (disjoint pair populations under different contracts), but
+        // they share the expensive sharded assignment, the per-shard
+        // C ladders, and the kernel branches. K=1 degenerates to
+        // exactly e18 (spec-pinned); the forced-CMAX gates make both
+        // sharding contracts bind at test scale.
+        e2eShardedAt(t(s, dir, "embeddings"), t(s, dir, "documents"),
+          ivfCmax)
+      },
+      Some(e18cOracleSql),
+      "composed vector-side ingest pipeline ABOVE the cell-count cap: " +
+        "eval holdout -> within-shard near-dup dedup (e8c's contract) " +
+        "-> shard-replicated semantic decontam (e16c's contract) -> " +
+        "doc quality gate -> temperature mix, sharing one sharded " +
+        "assignment pass; oracle composes the sharded CTE prefix with " +
+        "e18's exact mix tail — the proof the shard tier composes " +
+        "end-to-end, not just operator-by-operator"),
 
     QueryDef(
       "e18_e2e_vector_pipeline",

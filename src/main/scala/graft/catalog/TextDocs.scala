@@ -26,7 +26,7 @@ object TextDocs {
     * — is post-aggregation metadata, not data. stableCheckpoint pins it
     * so its two consumers (normalizer + allocator) cost ONE upstream
     * pass, not two. */
-  private[catalog] def temperatureMix(per0: DataFrame, budget: Long)
+  private[graft] def temperatureMix(per0: DataFrame, budget: Long)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = per0

@@ -101,6 +101,33 @@ object E8Probe {
               P = 4, tau = 0.4, cmax = c)
             .write.format("noop").mode("overwrite").save()
           -1L
+        case "q" =>
+          // e16c's SHARDED decontam at an explicit cap (noop sink) —
+          // the sharded arm of the decontam clamped-vs-sharded A/B
+          // (the clamped arm is "m4096": ivfDecontam pinned at the cap
+          // the way e16b's default config clamps above the binding
+          // point)
+          graft.catalog.Approx.ivfDecontamShardedAt(
+              graft.catalog.Tables.t(spark, dir, "embeddings"),
+              P = 4, tau = 0.4, cmax = c)
+            .write.format("noop").mode("overwrite").save()
+          -1L
+        case "x" =>
+          // e18c's composed sharded pipeline at an explicit cap (noop
+          // sink) — the sharded arm of the composed A/B
+          graft.catalog.Approx.e2eShardedAt(
+              graft.catalog.Tables.t(spark, dir, "embeddings"),
+              graft.catalog.Tables.t(spark, dir, "documents"), cmax = c)
+            .write.format("noop").mode("overwrite").save()
+          -1L
+        case "y" =>
+          // e18 exactly as the catalog runs it (scaledC under the
+          // process env — CLAMPED at the default cap above 131k
+          // vectors), the clamped arm of the composed A/B; the numeric
+          // suffix is ignored ("y0")
+          graft.SparkEntry.queries("e18_e2e_vector_pipeline")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          -1L
         case "f" | "t" =>
           val emb = graft.catalog.Tables.t(spark, dir, "embeddings")
             .withColumn("dv", transform(col("embedding"), x => x.cast("double")))

@@ -867,4 +867,62 @@ class ExtensionsSpec extends SparkSuite {
     assert(dRows.toSeq == bRows.toSeq,
       "K=1 sharded decontam must degenerate to e16b bit-exactly")
   }
+
+  test("shard tier (e18c): K=1 degenerates to e18 bit-exactly, and at " +
+      "a forced-small cap the composed pipeline equals the staged " +
+      "composition of per-shard dedup drops + e16c decontam drops + " +
+      "the doc gate + the temperature mix") {
+    import graft.catalog.{Approx, Tables, TextDocs}
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.t(spark, dir, "embeddings")
+    val docs = Tables.t(spark, dir, "documents")
+    def mixRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sortBy(_._1).toSeq
+    // K=1 at the unbound cap == e18 (same geometry, same candidate
+    // sets: within-shard == global, replicated eval == member eval)
+    val degen = mixRows(Approx.e2eShardedAt(emb, docs, 4096))
+    val e18 = mixRows(
+      graft.SparkEntry.queries("e18_e2e_vector_pipeline")(spark, dir))
+    assert(degen == e18,
+      "K=1 sharded pipeline must degenerate to e18 bit-exactly")
+    // binding regime at cmax=8 (K=2): staged reference — dedup drops
+    // from per-shard ivfDedup over TRAIN members at the shard's own C
+    // (from the FULL shard count, eval members included), decontam
+    // drops from e16c itself, then the gate + mix on the survivor set
+    val n = emb.count()
+    val k = Approx.shardCountAt(n, 8)
+    assert(k == 2)
+    val ddrops = (0L until k.toLong).flatMap { s =>
+      val slice = emb.filter(col("vec_id") % k === s)
+      val c = Approx.scaledCAt(slice.count(), 8)
+      Approx.ivfDedup(slice.filter(col("vec_id") % 50 =!= 0), C = c,
+          P = 4, tau = 0.4, kernel = true)
+        .filter(col("rep_id") < col("vec_id"))
+        .collect().map(_.getLong(0))
+    }.toSet
+    val cdrops = Approx.ivfDecontamShardedAt(emb, P = 4, tau = 0.4,
+        cmax = 8)
+      .filter(col("keep") === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(ddrops.nonEmpty && cdrops.nonEmpty,
+      "both drop surfaces must fire or the composition is vacuous")
+    val droppedIds = (ddrops ++ cdrops).toSeq
+    val clean = emb.select("vec_id")
+      .filter(col("vec_id") % 50 =!= 0)
+      .filter(!col("vec_id").isin(droppedIds: _*))
+    val gated = docs.join(clean, col("doc_id") === col("vec_id"))
+      .filter(col("lang").isin("en", "de", "fr", "es") &&
+        size(split(trim(col("text")), " +")).cast("long") >= 20)
+    val expect = mixRows(TextDocs.temperatureMix(
+      gated.groupBy("source").agg(sum(col("n_chars")).as("tokens")),
+      100000L))
+    val got = mixRows(Approx.e2eShardedAt(emb, docs, 8))
+    assert(got == expect,
+      "bound sharded pipeline must equal the staged composition")
+    // and the bound result must differ from K=1 somewhere, or the
+    // forced cap never actually changed a drop decision
+    assert(got != degen,
+      "forcing the cap changed no allocation - the gate is vacuous")
+  }
 }

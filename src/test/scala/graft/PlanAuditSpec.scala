@@ -44,7 +44,8 @@ class PlanAuditSpec extends SparkSuite {
     "bb_e2e_combined", "bb_e2e_rrpm", "bb_e2e_tophits",
     "d6_ngram_jaccard",
     "d15_tfidf_topterms", "d28_temperature_mix",
-    "e18_e2e_vector_pipeline", "d33_heavy_hitters",
+    "e18_e2e_vector_pipeline", "e18c_e2e_sharded_pipeline",
+    "d33_heavy_hitters",
     "d35_bm25", "q18_scalar_subquery", "q84_ab_test", "q87_histogram",
     "e1_cosine_topk", "e4_embed_dedup", "e7_pq_adc", "e10_knn_classify",
     "e14_recall_eval", "e15_binary_ann",
@@ -57,9 +58,12 @@ class PlanAuditSpec extends SparkSuite {
     *   #sources-row frame (~20 rows); its global apportionment window
     *   funnels that metadata frame, never the corpus
     * - e18_e2e_vector_pipeline: same tail, same bound (shared
-    *   temperatureMix code) */
+    *   temperatureMix code)
+    * - e18c_e2e_sharded_pipeline: same tail, same bound (the sharded
+    *   composition reuses temperatureMix verbatim) */
   private val boundedSinglePartition =
-    Set("d28_temperature_mix", "e18_e2e_vector_pipeline")
+    Set("d28_temperature_mix", "e18_e2e_vector_pipeline",
+      "e18c_e2e_sharded_pipeline")
 
   test("catalog-wide plan audit: no CartesianProduct anywhere; every " +
       "SinglePartition exchange is a keyless partial-aggregate merge; " +
