@@ -2,13 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
+    // args: <name[,name...]> [sfDir]   (default sf0.01)
+    // SPARK_GRAFT_CONF=k=v[,k=v] passes session confs (same knob as
+    // BenchOne) — e.g. spark.graft.scan.parallelizeMinBytes=<huge> to
+    // print the pre-optimization plan of a query for an A/B plan diff.
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     args(0).split(",").foreach { name =>
       println(s"========== $name ==========")
-      SparkEntry.queries(name)(spark, "/root/testdata/sf0.01").explain("formatted")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
