@@ -713,34 +713,65 @@ object Events {
         // total order), the MAD is the same selection over integer
         // |c − med|, and the outlier verdict 'dev > 3·MAD' is an
         // integer compare — no float can disagree about any row. Scale
-        // shape: two window passes + two broadcast joins, everything
-        // partitioned on event_type (bounded keys); rank-selection
-        // medians at 100 TB would swap in q75's mergeable GK sketch —
-        // this is the exact tier.
+        // shape (round 16): ONE corpus pass builds a value histogram;
+        // medians are RankSelect rank picks over it and every later
+        // step is histogram-sized — no corpus window, no re-scan
+        // (q75's mergeable GK sketch stays the approximate alternative
+        // when even the value domain is too wide).
+        // round 16 rewrite: everything after ONE corpus pass runs on
+        // VALUE HISTOGRAMS. The old shape windowed the full corpus
+        // per event_type THREE times (row_number median, row_number
+        // MAD, final scan) — each window funnels a whole type through
+        // one task's sort, the exact q78/q88 hazard this catalog's
+        // RankSelect exists to avoid, and the corpus was re-scanned
+        // per pass (8 parquet scans in the before-plan,
+        // plans/r16/q91_mad_outliers_before.txt). Now:
+        //   - one groupBy(event_type, c) histogram (map-side combine),
+        //     checkpointed;
+        //   - the lower median is the value at rank (n+1) div 2 —
+        //     identical under duplicates to the old (c, event_id)
+        //     tie-broken row_number pick, since the k-th smallest
+        //     VALUE does not depend on tie order — selected by
+        //     RankSelect over the histogram;
+        //   - |c − med| collapses the histogram to a dev histogram
+        //     (counts SUM across colliding values — same multiset of
+        //     devs), MAD = the same rank selection over it;
+        //   - n / n_outliers are exact histogram-weighted sums:
+        //     sum(_c) and sum(_c where dev > 3·MAD).
+        // Bit-exact vs the unchanged row-level oracle (re-gated sf0.01
+        // + adversarial skew); all-integer math throughout.
         val cents = (d2(col("value")) * 100).cast("long")
         val e = t(s, dir, "events")
-          .select(col("event_type"), col("event_id"), cents.as("c"))
-        val w = Window.partitionBy(col("event_type"))
-        def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
-          val wo = Window.partitionBy(col("event_type"))
-            .orderBy(col(valueCol).asc, col("event_id").asc)
-          df.withColumn("rn", row_number().over(wo))
-            .withColumn("n", count(lit(1)).over(w))
-            .filter(col("rn") === expr("(n + 1) div 2")) // integer div —
+          .select(col("event_type"), cents.as("c"))
+        val srcBytes = graft.operators.RankSelect.inputBytes(e)
+        val hist = graft.operators.RankSelect.histogram(e, "event_type", "c")
+          .stableCheckpoint()
+        val medTargets = hist.groupBy(col("event_type"))
+          .agg(sum(col("_c")).as("n"))
+          .select(col("event_type"), col("n"),
+            expr("(n + 1) div 2").as("k")) // integer div —
             // Column./ would promote to double and miss even-n groups
-            .select(col("event_type"), col(valueCol).as(s"${valueCol}_med"))
-        }
-        val med = lowerMedian(e, "c")
-        val dev = e.join(broadcast(med), "event_type")
+        val med = graft.operators.RankSelect
+          .valueAtRanksFromHist(hist, srcBytes, "event_type", "c",
+            medTargets.select(col("event_type"), col("k")))
+          .select(col("event_type"), col("c").as("c_med"))
+        val devHist = hist.join(broadcast(med), "event_type")
           .withColumn("dev", abs(col("c") - col("c_med")))
-        val mad = lowerMedian(dev.select(col("event_type"),
-          col("event_id"), col("dev")), "dev")
-        dev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"), col("dev"))
+          .agg(sum(col("_c")).as("_c"))
+          .stableCheckpoint() // read twice: MAD selection + final agg
+        val mad = graft.operators.RankSelect
+          .valueAtRanksFromHist(devHist, srcBytes, "event_type", "dev",
+            medTargets.select(col("event_type"), col("k")))
+          .select(col("event_type"), col("dev").as("dev_med"))
+        devHist
+          .join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
+          .agg(sum(col("_c")).as("n"),
             max(col("c_med")).as("med_c"),
             max(col("dev_med")).as("mad_c"),
-            sum(when(col("dev") > lit(3) * col("dev_med"), 1L)
+            sum(when(col("dev") > lit(3) * col("dev_med"), col("_c"))
               .otherwise(0L)).as("n_outliers"))
           .orderBy("event_type")
       },
@@ -770,8 +801,9 @@ object Events {
         GROUP BY 1 ORDER BY 1"""),
       "median/MAD robust outlier screen per group: discrete rank-" +
         "selection medians over integer cents, integer 3-MAD verdict — " +
-        "exact at any parallelism; two windows + two broadcast joins " +
-        "on bounded keys"),
+        "exact at any parallelism; one corpus pass builds a value " +
+        "histogram, RankSelect picks both medians off it, outlier " +
+        "counts are histogram-weighted sums"),
 
     QueryDef(
       "q93_ks_drift",

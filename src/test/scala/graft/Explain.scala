@@ -12,8 +12,15 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // entries are k=v joined by ','; an entry without '=' is a usage
+    // error — fail with the offending entry, not a bare MatchError.
+    // (Conf VALUES containing ',' are not representable in this flat
+    // format; pass such confs via a dedicated env/driver instead.)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"SPARK_GRAFT_CONF entry without '=': '$kv'")
+      }
     })
     args(0).split(",").foreach { name =>
       println(s"========== $name ==========")

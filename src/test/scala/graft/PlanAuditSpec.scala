@@ -156,8 +156,10 @@ class PlanAuditSpec extends SparkSuite {
       "path (PlanSpec pins its (_pid, grp) windows)"),
     "q88_ntile_nth" -> "same gate as q78 (shared RankSelect)",
     "q91_mad_outliers" -> ("per-type exact median-of-|deviations| — " +
-      "discrete rank picks within type; the corpus-scale pick is the " +
-      "RankSelect discipline, pinned here at reference semantics"),
+      "both medians ARE RankSelect picks over the value histogram since " +
+      "round 16: same size-GATED small path as q78 (window over the " +
+      "duplicate-collapsed histogram only when file-backed input " +
+      "< 32 MB; larger inputs take the distributed (_pid, grp) path)"),
     "q103_reservoir" -> ("per-type fixed-k reservoir: output <= " +
       "k x |types|; corpus-scale form merges per-partition reservoirs " +
       "(q94's mergeable-summary discipline)"),
